@@ -1,0 +1,352 @@
+"""Snapshot-committed lake table with exactly-once epoch MERGE.
+
+This is the engine's sink — the analog of (and upgrade over) the reference's
+JDBC ``executeBatch``+``commit`` loop with its lossy failure accounting
+(``rowsProcessed -= batchCount`` on error, DBConnector.java:290-297) and
+blind-insert-behind-unique-index idempotence (MonitorTable.java:70-76).
+
+Design (the same snapshot-commit idea Iceberg uses, self-contained so the
+sandbox needs no external jars; the public surface is written so an Iceberg
+``MERGE INTO`` catalog implementation can be dropped in — SURVEY.md §7.2):
+
+* Data lives in immutable parquet files, hash-bucketed by ``conv_id``
+  (``xxhash64(conv_id) % n_buckets``) — the lake analog of Iceberg's
+  ``bucket(N, conv_id)`` partition transform. A MERGE touches only the
+  buckets present in the incoming batch (partition pruning for writes).
+* Table state is a JSON *snapshot*: schema + bucket→files map + the set of
+  committed epoch ids. A commit writes a new snapshot file and atomically
+  renames the ``_CURRENT`` pointer. Data files, schema evolution, and the
+  epoch commit log therefore become visible in ONE atomic action — this is
+  what makes the sink exactly-once: a replayed epoch id is found in the
+  current snapshot and the whole merge is a no-op; a crash before the pointer
+  rename leaves only invisible orphan files and the epoch uncommitted.
+* Cross-epoch last-writer-wins: target rows carry ``(ts, lsn)`` of the last
+  applied mutation; an incoming mutation wins only if its ``(ts, lsn)`` is
+  lexicographically greater (SURVEY.md §7.5 — genuinely new semantics vs the
+  reference, which had no ordering at all).
+* Per-epoch, per-bucket lineage rows (applied/skipped/deleted counts,
+  max_lsn) are appended under ``lineage/`` (north_rule requirement;
+  generalizes the reference's offset-file metrics, OffsetRecord.java:281-291).
+
+Scale notes (100 TB): the rewrite cost of copy-on-write MERGE is bounded by
+``(affected buckets / n_buckets) × table size``; size ``n_buckets`` so one
+bucket ≈ a few GB. Hot conversations cannot skew the merge shuffle: the batch
+is LWW-collapsed (map-side combined) before the join, so the join's left side
+is ≤ one row per key. The existing-side scan prunes both columns (parquet
+column projection) and buckets (file-list pruning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.schema_evolution import align_schemas, merge_schemas
+from ..schemas import LINEAGE_SCHEMA, LWW_ORDER, MERGE_KEY
+
+_CURRENT = "_CURRENT"
+
+
+@dataclass
+class MergeStats:
+    epoch_id: int | str
+    applied: int
+    skipped: int
+    deleted: int
+    max_lsn: int | None
+    was_noop: bool
+
+
+def _epoch_key(epoch_id: int | str) -> str:
+    return str(epoch_id)
+
+
+def _epoch_num(epoch_id: int | str) -> int:
+    """Numeric epoch for the lineage table: the trailing integer of the key
+    (streaming keys are namespaced ``<ns>:<batch_id>`` so ids from different
+    checkpoint lineages cannot collide in the commit log)."""
+    tail = str(epoch_id).rsplit(":", 1)[-1]
+    try:
+        return int(tail)
+    except ValueError:
+        return -1
+
+
+def _bucket_expr(bucket_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotTable:
+    """Single-writer, snapshot-isolated parquet table (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._snapshot = self._read_current_snapshot()
+
+    # ------------------------------------------------------------------ init
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 16,
+        key: tuple[str, ...] = MERGE_KEY,
+        order: tuple[str, ...] = LWW_ORDER,
+    ) -> "SnapshotTable":
+        """CREATE TABLE IF NOT EXISTS semantics (reference
+        MonitorTable.java:122-150 checks catalog metadata first)."""
+        if os.path.exists(os.path.join(path, _CURRENT)):
+            return cls(spark, path)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "lineage"), exist_ok=True)
+        snap = {
+            "version": 0,
+            "schema": schema.jsonValue(),
+            "n_buckets": n_buckets,
+            "key": list(key),
+            "order": list(order),
+            "buckets": {},
+            "committed_epochs": [],
+            "parent": None,
+        }
+        tbl = object.__new__(cls)
+        tbl.spark, tbl.path = spark, path
+        tbl._write_snapshot(snap)
+        tbl._snapshot = snap
+        return tbl
+
+    # ------------------------------------------------------------- snapshots
+    def _read_current_snapshot(self) -> dict:
+        with open(os.path.join(self.path, _CURRENT)) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.path, "snapshots", name)) as f:
+            return json.load(f)
+
+    def _write_snapshot(self, snap: dict) -> None:
+        name = f"v{snap['version']:08d}.json"
+        snap_path = os.path.join(self.path, "snapshots", name)
+        tmp = snap_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, snap_path)
+        cur_tmp = os.path.join(self.path, _CURRENT + ".tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(cur_tmp, os.path.join(self.path, _CURRENT))  # atomic commit
+
+    # ----------------------------------------------------------- public API
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self._snapshot["schema"])
+
+    @property
+    def n_buckets(self) -> int:
+        return self._snapshot["n_buckets"]
+
+    @property
+    def key(self) -> tuple[str, ...]:
+        return tuple(self._snapshot.get("key", MERGE_KEY))
+
+    @property
+    def order(self) -> tuple[str, ...]:
+        return tuple(self._snapshot.get("order", LWW_ORDER))
+
+    @property
+    def committed_epochs(self) -> set[str]:
+        return {str(e) for e in self._snapshot["committed_epochs"]}
+
+    def _all_files(self, buckets: list[int] | None = None) -> list[str]:
+        out = []
+        for b, files in self._snapshot["buckets"].items():
+            if buckets is None or int(b) in buckets:
+                out.extend(os.path.join(self.path, f) for f in files)
+        return out
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current table state as a DataFrame (optionally bucket-pruned)."""
+        files = self._all_files(buckets)
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return align_schemas(df, self.schema)
+
+    def lineage(self) -> DataFrame:
+        lin_dir = os.path.join(self.path, "lineage")
+        if not any(f.endswith(".parquet") for f in os.listdir(lin_dir)):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(lin_dir)
+
+    # ---------------------------------------------------------------- MERGE
+    def merge_changes(self, batch: DataFrame, epoch_id: int | str) -> MergeStats:
+        """Idempotent MERGE of an LWW-collapsed change batch.
+
+        ``batch`` must have one row per ``(conv_id, turn_idx)`` (use
+        ``collapse_lww`` first), an ``op`` column, key + order + payload
+        columns. Replaying a committed ``epoch_id`` is a no-op.
+        """
+        if _epoch_key(epoch_id) in self.committed_epochs:
+            return MergeStats(epoch_id, 0, 0, 0, None, was_noop=True)
+
+        nb = self.n_buckets
+        key = list(self.key)
+        order = list(self.order)
+        bucket_col = key[0]
+        has_max_lsn = "_max_lsn" in batch.columns
+        incoming_schema = T.StructType(
+            [f for f in batch.schema.fields if f.name not in ("op", "_max_lsn")]
+        )
+        new_schema = merge_schemas(self.schema, incoming_schema)
+        value_cols = [f.name for f in new_schema.fields if f.name not in key]
+
+        b = batch.withColumn("_bucket", _bucket_expr(bucket_col, nb))
+        affected = sorted(r[0] for r in b.select("_bucket").distinct().collect())
+
+        existing = align_schemas(self.read(buckets=affected), new_schema).withColumn(
+            "_bucket", _bucket_expr(bucket_col, nb)
+        )
+        have = set(batch.columns)
+        field_type = {f.name: f.dataType for f in new_schema.fields}
+        inc = batch.select(
+            *key,
+            *[
+                (
+                    F.col(c).cast(field_type[c])
+                    if c in have
+                    else F.lit(None).cast(field_type[c])
+                ).alias(f"_in_{c}")
+                for c in value_cols
+            ],
+            F.col("op").alias("_in_op"),
+            (
+                F.col("_max_lsn")
+                if has_max_lsn
+                else (F.col("lsn") if "lsn" in batch.columns else F.lit(None).cast("long"))
+            ).alias("_in_max_lsn"),
+        ).withColumn("_bucket", _bucket_expr(bucket_col, nb))
+
+        joined = existing.alias("e").join(inc.alias("i"), on=key, how="full_outer")
+
+        in_newer = F.col("i._in_op").isNotNull() & (
+            F.col(f"e.{order[0]}").isNull()
+            | (
+                F.struct(*[F.col(f"i._in_{c}") for c in order])
+                > F.struct(*[F.col(f"e.{c}") for c in order])
+            )
+        )
+        is_delete = F.col("i._in_op") == "delete"
+
+        verdict = (
+            F.when(in_newer & is_delete, F.lit("delete"))
+            .when(in_newer & ~is_delete, F.lit("apply"))
+            .when(F.col("i._in_op").isNotNull(), F.lit("skip"))
+            .otherwise(F.lit("keep"))
+        )
+        resolved = joined.select(
+            *key,
+            F.coalesce(F.col("e._bucket"), F.col("i._bucket")).alias("_bucket"),
+            verdict.alias("_verdict"),
+            F.col("i._in_max_lsn").alias("_in_lsn"),
+            *[
+                F.when(verdict == "apply", F.col(f"i._in_{c}"))
+                .otherwise(F.col(f"e.{c}"))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
+        resolved = resolved.persist()
+        try:
+            # ---- lineage: per-bucket applied/skipped/deleted + max lsn ----
+            lin = (
+                resolved.groupBy("_bucket")
+                .agg(
+                    F.sum(F.when(F.col("_verdict") == "apply", 1).otherwise(0)).alias("applied"),
+                    F.sum(F.when(F.col("_verdict") == "skip", 1).otherwise(0)).alias("skipped"),
+                    F.sum(F.when(F.col("_verdict") == "delete", 1).otherwise(0)).alias("deleted"),
+                    F.max("_in_lsn").alias("max_lsn"),
+                )
+                .collect()
+            )
+            applied = int(sum(r["applied"] for r in lin))
+            skipped = int(sum(r["skipped"] for r in lin))
+            deleted = int(sum(r["deleted"] for r in lin))
+            max_lsn_vals = [r["max_lsn"] for r in lin if r["max_lsn"] is not None]
+            max_lsn = int(max(max_lsn_vals)) if max_lsn_vals else None
+
+            # ---- rewrite affected buckets ---------------------------------
+            survivors = resolved.filter(F.col("_verdict") != "delete").select(
+                *key, "_bucket", *value_cols
+            )
+            rel_dir = os.path.join("data", f"epoch={_epoch_num(epoch_id)}-{uuid.uuid4().hex[:8]}")
+            out_dir = os.path.join(self.path, rel_dir)
+            (
+                survivors.repartition(max(len(affected), 1), F.col("_bucket"))
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+        finally:
+            resolved.unpersist()
+
+        # map written files back to buckets from the partition directories
+        new_buckets: dict[str, list[str]] = {
+            b_: files for b_, files in self._snapshot["buckets"].items() if int(b_) not in affected
+        }
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            bval = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            files = [
+                os.path.join(rel_dir, entry, fn)
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            ]
+            if files:
+                new_buckets[bval] = files
+
+        # ---- lineage append (before the snapshot pointer flips; a crash
+        # here re-appends on replay, and readers key lineage by epoch_id) ----
+        now = datetime.now()
+        lin_rows = [
+            (
+                _epoch_num(epoch_id),
+                int(r["_bucket"]),
+                int(r["applied"]),
+                int(r["skipped"]),
+                int(r["deleted"]),
+                int(r["max_lsn"]) if r["max_lsn"] is not None else None,
+                now,
+            )
+            for r in lin
+        ]
+        if lin_rows:
+            self.spark.createDataFrame(lin_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(os.path.join(self.path, "lineage"))
+
+        # ---- atomic snapshot commit: data + schema + epoch in ONE rename ---
+        snap = {
+            "version": self._snapshot["version"] + 1,
+            "schema": new_schema.jsonValue(),
+            "n_buckets": nb,
+            "buckets": new_buckets,
+            "committed_epochs": sorted(self.committed_epochs | {_epoch_key(epoch_id)}),
+            "parent": self._snapshot["version"],
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return MergeStats(epoch_id, applied, skipped, deleted, max_lsn, was_noop=False)

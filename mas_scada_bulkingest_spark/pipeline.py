@@ -1,0 +1,76 @@
+"""End-to-end CDC apply pipeline: parse → normalize → collapse → MERGE.
+
+The Spark re-expression of the reference's ``extractAndUpload`` cycle
+(DBConnector.java:89-256): where the reference walks a JDBC cursor row by row
+into a column map and batch-inserts per entity type, this pipeline is a pure
+DataFrame plan per micro-batch, applied to the lake table inside
+``foreachBatch`` (or the batched replay driver), guarded by the epoch commit
+log for exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import normalize_text
+from .lake.snapshot_table import MergeStats, SnapshotTable
+from .operators.lww import collapse_lww
+from .operators.skew import hot_keys, salted_repartition
+from .schemas import TRANSCRIPT_SCHEMA
+
+
+def parse_changes(df: DataFrame, normalize: bool = False) -> DataFrame:
+    """Validate/canonicalize a raw change-record batch.
+
+    * enforces the CDC envelope types (lsn long, turn_idx int, ts timestamp)
+    * drops malformed ops (analog of the reference's silent skip of unknown
+      source columns, DBConnector.java:449-461)
+    * optional text normalization via the vectorized Arrow UDF
+    """
+    out = df.withColumn("lsn", F.col("lsn").cast("long")).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    out = out.filter(F.col("op").isin("insert", "update", "delete"))
+    if normalize:
+        out = out.withColumn("text", normalize_text(F.col("text")))
+    return out
+
+
+def apply_changes(
+    table: SnapshotTable,
+    batch: DataFrame,
+    epoch_id: int | str,
+    normalize: bool = False,
+    skew_salt: int | None = None,
+    hot_key_threshold: int | None = None,
+) -> MergeStats:
+    """Apply one micro-batch of change records to ``table`` exactly once.
+
+    ``skew_salt=N`` forces the explicit two-phase salted LWW collapse.
+    ``hot_key_threshold=K`` first detects conversations with >K events in the
+    batch and salt-repartitions only those before the collapse (north_rule's
+    explicit skew splitting); cold batches skip the extra pass.
+    """
+    if str(epoch_id) in table.committed_epochs:
+        return table.merge_changes(batch.limit(0), epoch_id)  # cheap no-op path
+
+    parsed = parse_changes(batch, normalize=normalize)
+    if hot_key_threshold is not None:
+        hot = hot_keys(parsed, keys=("conv_id",), min_count=hot_key_threshold)
+        if hot:
+            parsed = salted_repartition(parsed, keys=("conv_id",), hot=hot)
+            collapsed = collapse_lww(
+                parsed.drop("_salt"), two_phase_salt=skew_salt or 16, track_max_of="lsn"
+            )
+        else:
+            collapsed = collapse_lww(parsed, two_phase_salt=skew_salt, track_max_of="lsn")
+    else:
+        collapsed = collapse_lww(parsed, two_phase_salt=skew_salt, track_max_of="lsn")
+    return table.merge_changes(collapsed, epoch_id)
+
+
+def create_transcripts_table(
+    spark: SparkSession, path: str, n_buckets: int = 16
+) -> SnapshotTable:
+    return SnapshotTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=n_buckets)

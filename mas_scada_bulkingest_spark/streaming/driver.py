@@ -1,0 +1,138 @@
+"""Streaming & replay drivers.
+
+``run_stream`` is the Structured Streaming re-expression of the reference's
+polling loop (ProcessTagData.java:47-65 + DBConnector.java:89-256): a file
+source tails the change-log directory in micro-batches; ``foreachBatch``
+applies each batch through the exactly-once MERGE; the streaming checkpoint
+replaces the offset JSON (OffsetRecord.java:217-302). Because the sink is
+additionally guarded by the epoch commit log *inside the table snapshot*, a
+restart that re-delivers a batch (checkpoint lag) is still a no-op — stronger
+than the reference, which re-inserts on crash between upload and checkpoint
+(SURVEY.md §3.1).
+
+``replay_batches`` is the bounded/batch analog (the reference's catch-up
+mode, OffsetRecord.java:250-279): it walks the change-log files in lsn order
+in epoch-sized groups, reading each epoch with its *own* merged file schema so
+mid-stream additive schema evolution is exercised without a stream restart.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..lake.snapshot_table import MergeStats, SnapshotTable
+from ..pipeline import apply_changes
+from ..schemas import CHANGE_SCHEMA_EVOLVED
+
+
+def build_session(
+    app_name: str = "mas-scada-bulkingest-spark",
+    master: str | None = None,
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Opinionated session: AQE on (coalesce + skew join), Arrow on.
+
+    ``cores`` sets ``local[N]`` when no master is given — this is how the
+    N-vs-4N scaling evidence is produced in the sandbox (BASELINE.md).
+    """
+    if master is None:
+        master = f"local[{cores}]" if cores else "local[*]"
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores or 32))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def replay_batches(
+    spark: SparkSession,
+    changes_dir: str,
+    table: SnapshotTable,
+    files_per_epoch: int = 1,
+    start_epoch: int = 0,
+    on_epoch: Callable[[MergeStats], None] | None = None,
+    **apply_kwargs,
+) -> list[MergeStats]:
+    """Batch replay of a change-log directory in epoch-sized file groups.
+
+    Each epoch's files are read with ``mergeSchema`` over just that group, so
+    the engine sees the ``metadata`` column appear exactly when the stream
+    evolved — additive evolution flows through ``merge_changes`` which ALTERs
+    the table schema in the same atomic snapshot commit.
+    """
+    files = sorted(
+        os.path.join(changes_dir, f)
+        for f in os.listdir(changes_dir)
+        if f.endswith(".parquet")
+    )
+    n_epochs = math.ceil(len(files) / files_per_epoch)
+    stats: list[MergeStats] = []
+    for e in range(n_epochs):
+        group = files[e * files_per_epoch : (e + 1) * files_per_epoch]
+        batch = spark.read.option("mergeSchema", "true").parquet(*group)
+        st = apply_changes(table, batch, epoch_id=start_epoch + e, **apply_kwargs)
+        stats.append(st)
+        if on_epoch:
+            on_epoch(st)
+    return stats
+
+
+def run_stream(
+    spark: SparkSession,
+    changes_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType = CHANGE_SCHEMA_EVOLVED,
+    max_files_per_trigger: int | None = 4,
+    available_now: bool = True,
+    **apply_kwargs,
+):
+    """Structured-Streaming tail of the change-log directory.
+
+    The file-source schema is pinned (a stream cannot change schema mid-run —
+    on additive evolution, restart the stream with the widened schema; the
+    epoch guard makes the overlap replay safe). ``max_files_per_trigger``
+    mirrors the reference's bounded extraction window (``fetchInterval``
+    pacing, Config.java:74-75). ``available_now=True`` drains the backlog and
+    stops — the reference's catch-up mode; pass ``False`` for a continuous
+    tail.
+    """
+    table = SnapshotTable(spark, table_path)
+    # Namespace epoch ids by checkpoint lineage: the same checkpoint replays
+    # the same batch ids (-> no-ops), while a NEW checkpoint must not collide
+    # with previously committed ids (its batch ids restart at 0). Re-applied
+    # overlap is then resolved by cross-epoch LWW instead of being dropped.
+    ns = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+
+    def _apply(batch_df, batch_id: int) -> None:
+        apply_changes(table, batch_df, f"{ns}:{batch_id}", **apply_kwargs)
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000000)
+        .parquet(changes_dir)
+    )
+    writer = reader.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    return q

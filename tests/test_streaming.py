@@ -1,0 +1,71 @@
+"""Structured Streaming tail: availableNow drain == oracle, checkpoint resume,
+and epoch-guard protection against checkpoint/sink divergence (SURVEY.md T1/T2)."""
+
+from __future__ import annotations
+
+import shutil
+
+from mas_scada_bulkingest_spark import oracle
+from mas_scada_bulkingest_spark.lake.snapshot_table import SnapshotTable
+from mas_scada_bulkingest_spark.pipeline import create_transcripts_table
+from mas_scada_bulkingest_spark.sources import generate_changelog
+from mas_scada_bulkingest_spark.streaming.driver import run_stream
+
+from conftest import assert_frames_equal
+
+FINAL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn", "metadata"]
+
+
+def _final(tbl):
+    return tbl.read().orderBy("conv_id", "turn_idx").toPandas()[FINAL_COLS]
+
+
+def test_stream_drain_matches_oracle(spark, tmpdir_path):
+    generate_changelog(tmpdir_path + "/log", n_convs=40, mean_turns=5, seed=31)
+    ref = oracle.reduce_changelog_dir(tmpdir_path + "/log")
+    create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4)
+    q = run_stream(
+        spark,
+        tmpdir_path + "/log",
+        tmpdir_path + "/t",
+        tmpdir_path + "/ckpt",
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(120)
+    tbl = SnapshotTable(spark, tmpdir_path + "/t")
+    assert_frames_equal(_final(tbl), ref[FINAL_COLS])
+
+
+def test_stream_resume_after_checkpoint_loss_is_noop(spark, tmpdir_path):
+    """Even if the streaming checkpoint is lost entirely (worst case: the
+    whole log is re-delivered as new epochs), the snapshot's committed state
+    keeps the final table correct — re-applied mutations lose LWW or match
+    exactly. This is strictly stronger than the reference, which duplicates
+    rows when its offset file lags the upload (SURVEY.md §3.1)."""
+    generate_changelog(tmpdir_path + "/log", n_convs=20, mean_turns=4, seed=32)
+    ref = oracle.reduce_changelog_dir(tmpdir_path + "/log")
+    create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4)
+    q = run_stream(spark, tmpdir_path + "/log", tmpdir_path + "/t", tmpdir_path + "/ck1")
+    q.awaitTermination(120)
+    tbl = SnapshotTable(spark, tmpdir_path + "/t")
+    before = _final(tbl)
+    shutil.rmtree(tmpdir_path + "/ck1")  # lose the checkpoint
+    q2 = run_stream(spark, tmpdir_path + "/log", tmpdir_path + "/t", tmpdir_path + "/ck2")
+    q2.awaitTermination(120)
+    tbl2 = SnapshotTable(spark, tmpdir_path + "/t")
+    assert_frames_equal(_final(tbl2), before)
+    assert_frames_equal(_final(tbl2), ref[FINAL_COLS])
+
+
+def test_stream_restart_with_checkpoint_skips_processed(spark, tmpdir_path):
+    generate_changelog(tmpdir_path + "/log", n_convs=20, mean_turns=4, seed=33)
+    create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4)
+    q = run_stream(spark, tmpdir_path + "/log", tmpdir_path + "/t", tmpdir_path + "/ck")
+    q.awaitTermination(120)
+    tbl = SnapshotTable(spark, tmpdir_path + "/t")
+    n_epochs = len(tbl.committed_epochs)
+    # restart with the same checkpoint: no new files -> no new epochs
+    q2 = run_stream(spark, tmpdir_path + "/log", tmpdir_path + "/t", tmpdir_path + "/ck")
+    q2.awaitTermination(120)
+    tbl2 = SnapshotTable(spark, tmpdir_path + "/t")
+    assert len(tbl2.committed_epochs) == n_epochs
