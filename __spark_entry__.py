@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the engine flagship: deterministic changelog replay
+through the exactly-once CDC MERGE pipeline at sf0.001 scale. ``queries()``
+covers SURVEY.md §2 operator-by-operator plus the training-data pipeline
+operators (dedup / similarity / text analysis / multimodal); each SQL-
+expressible entry has a DuckDB oracle in ``oracle_sql()`` with matching
+column names (verified locally via tools/verify_oracles.py).
 """
 
 from __future__ import annotations
@@ -13,26 +14,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mas_scada_bulkingest_spark.cdc_queries import CDC_QUERIES, q_cdc_replay_state
+from mas_scada_bulkingest_spark.queries import SQL_QUERIES
+
+_ALL = {**SQL_QUERIES, **CDC_QUERIES}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: changelog replay → exactly-once MERGE → final transcripts."""
+    return q_cdc_replay_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _ALL.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _ALL.items() if sql is not None}

@@ -1,0 +1,933 @@
+"""Query/operator suite for the driver's correctness harness.
+
+One entry per implemented operator from SURVEY.md §2 (plus the training-data
+pipeline operators: dedup, similarity search, text analysis, multimodal
+plumbing). Each entry is ``name -> (spark_fn, oracle_sql | None)`` where
+``spark_fn(spark, sf_dir) -> DataFrame`` and ``oracle_sql`` is the equivalent
+ANSI SQL DuckDB runs on the same parquet tables.
+
+Determinism contract (the driver value-hashes results): every returned value
+is either exact (ints, strings, decimals summed exactly) or the result of a
+fixed IEEE-754 double operation on exact inputs (``exact_int / exact_int``,
+``sqrt(exact)``), never an order-dependent float reduction. Money-ish doubles
+are cast to decimal before summing (the decimal sum is exact and
+order-independent), embeddings are snapped to a 1e-4 integer grid before dot
+products (integer sums are exact in any order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.ids import name_uuid_expr
+from .operators.classify import classify_expr
+from .operators.lww import collapse_lww
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col: str, scale: int = 2) -> F.Column:
+    """Order-independent exact sum of a money-ish double column, as double."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+#: deterministic ±1 hyperplanes for sign-LSH, derived from md5 so the oracle
+#: SQL can embed the identical literals (no RNG — SNIPPETS/PAPERS-style
+#: hash-based projection).
+def _lsh_planes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) < 8 else -1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _lsh_planes()
+
+#: snap embedding floats to an exact integer grid (1e-4) so dot products are
+#: exact integer sums — order-independent, hence engine-independent.
+_GRID = "transform({col}, x -> cast(round(cast(x as double) * 10000) as bigint))"
+
+
+def _duck_grid(col: str) -> str:
+    return f"list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+
+# part-type classification config (exercises F12 first-match-wins + P5 discard)
+_CLASSIFY_PATTERNS = [
+    ("economy", ".*ECONOMY.*"),
+    ("polished", ".*POLISHED.*"),
+    ("brushed", ".*BRUSHED.*"),
+    ("anodized", ".*ANODIZED.*"),
+]
+_CLASSIFY_DISCARD = [".*NICKEL.*"]
+
+
+def _classify_case_sql(col: str) -> str:
+    """DuckDB CASE mirroring classify_expr (anchored full match + discard)."""
+    discard = " OR ".join(
+        f"regexp_full_match({col}, '^(?:{d})$')" for d in _CLASSIFY_DISCARD
+    )
+    whens = "\n        ".join(
+        f"WHEN regexp_full_match({col}, '^(?:{p})$') AND NOT ({discard}) THEN '{t}'"
+        for t, p in _CLASSIFY_PATTERNS
+    )
+    return f"CASE {whens} ELSE 'other' END"
+
+
+_VARIANT_CASE = (
+    "CASE WHEN substring(h,17,1) IN ('0','4','8','c') THEN '8' "
+    "WHEN substring(h,17,1) IN ('1','5','9','d') THEN '9' "
+    "WHEN substring(h,17,1) IN ('2','6','a','e') THEN 'a' "
+    "ELSE 'b' END"
+)
+
+# ---------------------------------------------------------------------------
+# S1/P1 — windowed incremental scan (reference deviceSqlTemplate.sql:1-3)
+# ---------------------------------------------------------------------------
+
+
+def q_windowed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+_SQL_WINDOWED_SCAN = """
+SELECT event_id, user_id, event_type, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+"""
+
+# ---------------------------------------------------------------------------
+# W1 — last-writer-wins collapse (north_rule core operator)
+# ---------------------------------------------------------------------------
+
+
+def q_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id", "value")
+    out = collapse_lww(ev, keys=("user_id", "event_type"), order=("ts", "event_id"))
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+_SQL_LWW_LATEST = """
+SELECT user_id, event_type, event_id AS last_event_id, value AS last_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# J1 — fact × broadcast dim equi join (reference deviceSqlTemplate.sql:2)
+# ---------------------------------------------------------------------------
+
+
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum("l_extendedprice").alias("revenue"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+        )
+    )
+
+
+_SQL_BROADCAST_ENRICH = """
+SELECT p_brand,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# J2 — EAV pivot via conditional aggregation (reference alarmSqlTemplate.sql:8-12)
+# ---------------------------------------------------------------------------
+
+
+def q_eav_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def piv(etype: str) -> F.Column:
+        return F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == etype, F.col("value")).cast("decimal(18,4)")
+            ).cast("double"),
+            F.lit(0.0),
+        )
+
+    return ev.groupBy("user_id").agg(
+        piv("click").alias("click_value"),
+        piv("view").alias("view_value"),
+        piv("purchase").alias("purchase_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SQL_EAV_PIVOT = """
+SELECT user_id,
+  coalesce(CAST(sum(CAST(CASE WHEN event_type='click' THEN value END AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS click_value,
+  coalesce(CAST(sum(CAST(CASE WHEN event_type='view' THEN value END AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS view_value,
+  coalesce(CAST(sum(CAST(CASE WHEN event_type='purchase' THEN value END AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS purchase_value,
+  count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# F12/P5 — first-match-wins regex classification with discard patterns
+# ---------------------------------------------------------------------------
+
+
+def q_classify_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    cls = classify_expr(
+        "p_type", _CLASSIFY_PATTERNS, discard=_CLASSIFY_DISCARD, default_type="other"
+    )
+    return (
+        part.withColumn("part_class", cls)
+        .groupBy("part_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _dsum("p_retailprice").alias("total_price"),
+        )
+    )
+
+
+_SQL_CLASSIFY_REGEX = f"""
+SELECT {_classify_case_sql('p_type')} AS part_class,
+       count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM part
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# J3/F5/A3 — entity registry: first-seen discovery + deterministic UUIDv3
+# ---------------------------------------------------------------------------
+
+
+def q_entity_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    reg = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    name = F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+    return reg.withColumn("entity_uuid", name_uuid_expr(name))
+
+
+_SQL_ENTITY_REGISTRY = f"""
+WITH reg AS (
+  SELECT user_id,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+         count(*) AS n_events,
+         max(event_id) AS max_event_id
+  FROM events GROUP BY user_id
+), h AS (
+  SELECT *, md5('user:' || CAST(user_id AS VARCHAR)) AS h FROM reg
+)
+SELECT user_id, first_seen, n_events, max_event_id,
+       substring(h,1,8) || '-' || substring(h,9,4) || '-3' || substring(h,14,3)
+       || '-' || {_VARIANT_CASE} || substring(h,18,3) || '-' || substring(h,21,12)
+       AS entity_uuid
+FROM h
+"""
+
+# ---------------------------------------------------------------------------
+# F4 — positional explode of path segments (reference Dimension.java:142-148)
+# ---------------------------------------------------------------------------
+
+
+def q_dim_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_type"), " ")).alias("seg_pos", "segment"),
+    ).select("p_partkey", (F.col("seg_pos") + 1).alias("seg_pos"), "segment")
+
+
+_SQL_DIM_EXPLODE = """
+SELECT p_partkey,
+       generate_subscripts(string_split(p_type, ' '), 1) AS seg_pos,
+       unnest(string_split(p_type, ' ')) AS segment
+FROM part
+"""
+
+# ---------------------------------------------------------------------------
+# F10 — regex extraction from a packed source string (alarmSqlTemplate.sql:4)
+# here: JSON-ish props parsing (the engine's from_json analog, kept
+# regex-based so the oracle needs no JSON extension)
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("int")
+    return (
+        ev.withColumn("k", k)
+        .withColumn("k_bucket", F.floor(F.col("k") / F.lit(10)).cast("int"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            _dsum("value", 4).alias("sum_value"),
+        )
+    )
+
+
+_SQL_JSON_EXTRACT = """
+SELECT CAST(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) // 10 AS INT) AS k_bucket,
+       count(*) AS n,
+       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS sum_k,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# F6/F7/F8 — calendar decomposition rollup (reference DateUtil.java:44-81)
+# ---------------------------------------------------------------------------
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+_SQL_TIME_ROLLUP = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# A1 — pricing summary (TPC-H Q1 shape; partial-agg hash aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# O1 — deterministic top-k
+# ---------------------------------------------------------------------------
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    tot = o.groupBy("o_custkey").agg(_dsum("o_totalprice").alias("total_spent"))
+    return (
+        tot.join(F.broadcast(c), tot.o_custkey == c.c_custkey)
+        .select(F.col("c_custkey").alias("custkey"), "c_name", "total_spent")
+        .orderBy(F.desc("total_spent"), F.asc("custkey"))
+        .limit(10)
+    )
+
+
+_SQL_TOPK_CUSTOMERS = """
+SELECT c_custkey AS custkey, c_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, custkey ASC
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# set op — unionByName of heterogeneous entity tables
+# ---------------------------------------------------------------------------
+
+
+def q_union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.unionByName(s)
+        .join(F.broadcast(n), F.col("nationkey") == n.n_nationkey)
+        .groupBy("kind", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_entities"), _dsum("acctbal").alias("sum_acctbal"))
+    )
+
+
+_SQL_UNION_ENTITIES = """
+WITH u AS (
+  SELECT c_name AS name, c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_name, s_nationkey, s_acctbal, 'supplier' FROM supplier
+)
+SELECT kind, n_name, count(*) AS n_entities,
+       CAST(sum(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM u JOIN nation ON nationkey = n_nationkey
+GROUP BY kind, n_name
+"""
+
+# ---------------------------------------------------------------------------
+# anti/semi join — new-entity detection (reference cache-miss path J3)
+# ---------------------------------------------------------------------------
+
+
+def q_anti_new_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+
+
+_SQL_ANTI_NEW_ENTITIES = """
+SELECT c_custkey AS custkey, c_name, c_mktsegment AS mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: exact (hash-groupBy over content fingerprint)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(trim(lower({c})), '\\\\s+', ' ')"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    return (
+        d.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("keep_doc_id").alias("min_keep_doc_id"),
+        )
+    )
+
+
+_SQL_DEDUP_EXACT = f"""
+WITH g AS (
+  SELECT md5({_NORM.format(c='text')}) AS fp,
+         min(doc_id) AS keep_doc_id, count(*) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT n_copies, count(*) AS n_groups, min(keep_doc_id) AS min_keep_doc_id
+FROM g GROUP BY n_copies
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard near-dup pairs (shingle → self-join → ratio)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_EXPR = (
+    "transform(sequence(0, size(_toks) - 3), "
+    "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))"
+)
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """doc_id → exploded distinct word-3-gram shingles."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    return (
+        d.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = """
+  toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(text), ' ')) AS tok,
+           generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+    FROM documents
+  ),
+  shingles AS (
+    SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  )
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+_SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+SELECT doc_a, doc_b, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH banding (shingle → minhash sig → band → bucket join)
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_R = 2  # rows per band -> 4 bands
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(j) for j in range(_N_HASHES)])).alias("j"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "j",
+        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    )
+    sig = hashed.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+    band = sig.withColumn("band", F.floor(F.col("j") / F.lit(_BAND_R)).cast("int"))
+    bandsig = band.groupBy("doc_id", "band").agg(
+        F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("j").cast("string"), "minhash")))).alias("bandkey")
+    )
+    a = bandsig.alias("a")
+    b = bandsig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bandkey") == F.col("b.bandkey")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.band").alias("band"),
+        )
+        .distinct()
+    )
+
+
+_SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
+  hashed AS (
+    SELECT doc_id, j, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+    FROM shingles, (SELECT unnest(range(0, {_N_HASHES})) AS j)
+  ),
+  sig AS (SELECT doc_id, j, min(h) AS minhash FROM hashed GROUP BY doc_id, j),
+  bandsig AS (
+    SELECT doc_id, CAST(j // {_BAND_R} AS INT) AS band,
+           string_agg(CAST(j AS VARCHAR) || ':' || minhash, '|' ORDER BY j) AS bandkey
+    FROM sig GROUP BY 1, 2
+  )
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band AS band
+FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bandkey = b.bandkey
+WHERE a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash fingerprint (16-bit, md5-digit high-bit variant)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bit_cols = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_b{i}")
+        for i in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_cols)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    per_doc = agg.select("doc_id", sim.alias("simhash"))
+    return per_doc.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+def _simhash_sql() -> str:
+    bits = ",\n      ".join(
+        f"sum(CASE WHEN substring(h,{i+1},1) >= '8' THEN 1 ELSE -1 END) AS _b{i}"
+        for i in range(16)
+    )
+    simexpr = " + ".join(f"CASE WHEN _b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(string_split(trim(text), ' '))) AS h FROM documents
+), agg AS (
+  SELECT doc_id,
+      {bits}
+  FROM toks GROUP BY doc_id
+), per_doc AS (
+  SELECT doc_id, {simexpr} AS simhash FROM agg
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM per_doc GROUP BY simhash
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search: brute-force cosine top-k (exact-integer-grid arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_GRID.format(col="embedding")).alias("g")
+    )
+    norm = emb.withColumn(
+        "n2", F.expr("aggregate(g, cast(0 as bigint), (acc, x) -> acc + x * x)")
+    )
+    q = norm.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("g").alias("qg"), F.col("n2").alias("qn2")
+    )
+    pairs = q.join(
+        norm.select(F.col("vec_id").alias("cand_id"), F.col("g").alias("cg"), F.col("n2").alias("cn2")),
+        F.col("query_id") != F.col("cand_id"),
+    )
+    dot = F.expr("aggregate(zip_with(qg, cg, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)")
+    cos = dot.cast("double") / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
+_SQL_EMBED_COSINE_TOPK = f"""
+WITH g AS (
+  SELECT vec_id, {_duck_grid('embedding')} AS g FROM embeddings
+), n AS (
+  SELECT vec_id, g, list_sum(list_transform(g, x -> x * x)) AS n2 FROM g
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.g[i] * c.g[i])) AS DOUBLE)
+           / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
+  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search: sign-LSH bucketing (hash-derived hyperplanes; the scale
+# path for ANN — bucket first, then search within bucket)
+# ---------------------------------------------------------------------------
+
+
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_GRID.format(col="embedding")).alias("g")
+    )
+    bucket = None
+    for p, plane in enumerate(_PLANES):
+        arr = "array(" + ",".join(f"cast({w} as bigint)" for w in plane) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with(g, {arr}, (x, w) -> x * w), cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        term = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return (
+        emb.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+def _ann_lsh_sql() -> str:
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        arr = "[" + ",".join(str(w) for w in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), i -> g[i] * ({arr})[i])) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH g AS (
+  SELECT vec_id, label, {_duck_grid('embedding')} AS g FROM embeddings
+), b AS (
+  SELECT vec_id, label, {bucket} AS bucket FROM g
+)
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id,
+       count(DISTINCT label) AS n_labels
+FROM b GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID heuristic (marker-token scoring)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_the = F.size(F.expr(r"regexp_extract_all(text, '\\bthe\\b', 0)"))
+    n_a = F.size(F.expr(r"regexp_extract_all(text, '\\ba\\b', 0)"))
+    n_data = F.size(F.expr(r"regexp_extract_all(text, '\\bdata\\b', 0)"))
+    pred = (
+        F.when(n_the > n_a, F.lit("en"))
+        .when(n_a > n_data, F.lit("es"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        d.withColumn("lang_pred", pred)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SQL_LANG_ID = """
+WITH scored AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\\bthe\\b')) AS n_the,
+         len(regexp_extract_all(text, '\\ba\\b')) AS n_a,
+         len(regexp_extract_all(text, '\\bdata\\b')) AS n_data
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN n_the > n_a THEN 'en' WHEN n_a > n_data THEN 'es' ELSE 'other' END AS lang_pred,
+       count(*) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis: quality scoring + token counting
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_tokens = F.size(toks)
+    stop_arr = "array(" + ",".join(f"'{s}'" for s in _STOPWORDS) + ")"
+    n_stop = F.expr(
+        f"size(filter(split(trim(text), ' '), t -> array_contains({stop_arr}, t)))"
+    )
+    bpe_tokens = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        bpe_tokens.alias("n_bpe_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        (F.length("text").cast("double") / n_tokens.cast("double")).alias("chars_per_token"),
+    )
+
+
+_SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, lang, length(text) AS n_chars,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         len(list_filter(string_split(trim(text), ' '),
+             t -> t IN ({", ".join(f"'{s}'" for s in _STOPWORDS)}))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, n_tokens, n_bpe_tokens, n_stopwords,
+       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token
+FROM base
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis: document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 4).alias("fp_prefix"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+_SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       md5({_NORM.format(c='text')}) AS fingerprint,
+       substring(md5({_NORM.format(c='text')}), 1, 4) AS fp_prefix,
+       length({_NORM.format(c='text')}) AS norm_len
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+#: name -> (spark_fn, oracle_sql | None)
+SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "windowed_scan": (q_windowed_scan, _SQL_WINDOWED_SCAN),
+    "lww_latest": (q_lww_latest, _SQL_LWW_LATEST),
+    "broadcast_enrich": (q_broadcast_enrich, _SQL_BROADCAST_ENRICH),
+    "eav_pivot": (q_eav_pivot, _SQL_EAV_PIVOT),
+    "classify_regex": (q_classify_regex, _SQL_CLASSIFY_REGEX),
+    "entity_registry": (q_entity_registry, _SQL_ENTITY_REGISTRY),
+    "dim_explode": (q_dim_explode, _SQL_DIM_EXPLODE),
+    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
+    "time_rollup": (q_time_rollup, _SQL_TIME_ROLLUP),
+    "pricing_summary": (q_pricing_summary, _SQL_PRICING_SUMMARY),
+    "topk_customers": (q_topk_customers, _SQL_TOPK_CUSTOMERS),
+    "union_entities": (q_union_entities, _SQL_UNION_ENTITIES),
+    "anti_new_entities": (q_anti_new_entities, _SQL_ANTI_NEW_ENTITIES),
+    "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "embed_cosine_topk": (q_embed_cosine_topk, _SQL_EMBED_COSINE_TOPK),
+    "embed_ann_lsh": (q_embed_ann_lsh, _ann_lsh_sql()),
+    "lang_id": (q_lang_id, _SQL_LANG_ID),
+    "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
+    "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),
+}
