@@ -40,11 +40,16 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -62,6 +67,8 @@ class MergeStats:
     deleted: int
     max_lsn: int | None
     was_noop: bool
+    #: wall-clock seconds per merge phase (pre_pass, write, lineage, commit)
+    timings: dict | None = None
 
 
 def _epoch_key(epoch_id: int | str) -> str:
@@ -190,13 +197,43 @@ class SnapshotTable:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(lin_dir)
 
+    # ------------------------------------------------------------ conf scope
+    @contextmanager
+    def _conf_overrides(self, overrides: dict[str, str]):
+        """Temporarily override session SQL confs (single-writer table, so a
+        session-scoped override around one job is safe)."""
+        prev: dict[str, str | None] = {}
+        for k, v in overrides.items():
+            prev[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, old in prev.items():
+                if old is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, old)
+
     # ---------------------------------------------------------------- MERGE
-    def merge_changes(self, batch: DataFrame, epoch_id: int | str) -> MergeStats:
+    def merge_changes(
+        self,
+        batch: DataFrame,
+        epoch_id: int | str,
+        stats_source: DataFrame | None = None,
+    ) -> MergeStats:
         """Idempotent MERGE of an LWW-collapsed change batch.
 
         ``batch`` must have one row per ``(conv_id, turn_idx)`` (use
         ``collapse_lww`` first), an ``op`` column, key + order + payload
         columns. Replaying a committed ``epoch_id`` is a no-op.
+
+        ``stats_source``: optional raw (pre-collapse) change DataFrame. The
+        affected-bucket/max-LSN pre-pass aggregates it directly — a pure
+        map-side-combined scan — instead of re-executing the collapse plan a
+        second time (the collapsed ``batch`` is lazy; every action replays its
+        whole lineage). Affected buckets and max LSN are identical computed
+        from either side since collapse preserves the key set.
         """
         if _epoch_key(epoch_id) in self.committed_epochs:
             return MergeStats(epoch_id, 0, 0, 0, None, was_noop=True)
@@ -213,11 +250,39 @@ class SnapshotTable:
         value_cols = [f.name for f in new_schema.fields if f.name not in key]
 
         b = batch.withColumn("_bucket", _bucket_expr(bucket_col, nb))
-        affected = sorted(r[0] for r in b.select("_bucket").distinct().collect())
 
-        existing = align_schemas(self.read(buckets=affected), new_schema).withColumn(
-            "_bucket", _bucket_expr(bucket_col, nb)
+        # ---- pre-pass: affected buckets + per-bucket incoming max lsn -----
+        # One map-side-combined aggregate over the collapsed batch; drives
+        # bucket pruning (which existing files to read / rewrite) and the
+        # resume watermark (max LSN seen per partition) for lineage.
+        if stats_source is not None:
+            stats_df = stats_source.withColumn(
+                "_bucket", _bucket_expr(bucket_col, nb)
+            )
+            lsn_src = (
+                F.col("lsn")
+                if "lsn" in stats_source.columns
+                else F.lit(None).cast("long")
+            )
+        else:
+            stats_df = b
+            lsn_src = (
+                F.col("_max_lsn")
+                if has_max_lsn
+                else (F.col("lsn") if "lsn" in batch.columns else F.lit(None).cast("long"))
+            )
+        _t0 = time.perf_counter()
+        pre = (
+            stats_df.groupBy("_bucket")
+            .agg(F.count(F.lit(1)).alias("n_in"), F.max(lsn_src).alias("max_lsn"))
+            .collect()
         )
+        _timings = {"pre_pass": round(time.perf_counter() - _t0, 3)}
+        affected = sorted(r["_bucket"] for r in pre)
+        max_lsn_by_bucket = {r["_bucket"]: r["max_lsn"] for r in pre}
+        max_lsn_vals = [v for v in max_lsn_by_bucket.values() if v is not None]
+        max_lsn = int(max(max_lsn_vals)) if max_lsn_vals else None
+
         have = set(batch.columns)
         field_type = {f.name: f.dataType for f in new_schema.fields}
         inc = batch.select(
@@ -231,81 +296,132 @@ class SnapshotTable:
                 for c in value_cols
             ],
             F.col("op").alias("_in_op"),
-            (
-                F.col("_max_lsn")
-                if has_max_lsn
-                else (F.col("lsn") if "lsn" in batch.columns else F.lit(None).cast("long"))
-            ).alias("_in_max_lsn"),
         ).withColumn("_bucket", _bucket_expr(bucket_col, nb))
 
-        joined = existing.alias("e").join(inc.alias("i"), on=key, how="full_outer")
-
-        in_newer = F.col("i._in_op").isNotNull() & (
-            F.col(f"e.{order[0]}").isNull()
-            | (
-                F.struct(*[F.col(f"i._in_{c}") for c in order])
-                > F.struct(*[F.col(f"e.{c}") for c in order])
+        existing_files = self._all_files(affected)
+        if existing_files:
+            existing = align_schemas(self.read(buckets=affected), new_schema).withColumn(
+                "_bucket", _bucket_expr(bucket_col, nb)
             )
-        )
-        is_delete = F.col("i._in_op") == "delete"
+            joined = existing.alias("e").join(inc.alias("i"), on=key, how="full_outer")
 
-        verdict = (
-            F.when(in_newer & is_delete, F.lit("delete"))
-            .when(in_newer & ~is_delete, F.lit("apply"))
-            .when(F.col("i._in_op").isNotNull(), F.lit("skip"))
-            .otherwise(F.lit("keep"))
-        )
-        resolved = joined.select(
-            *key,
-            F.coalesce(F.col("e._bucket"), F.col("i._bucket")).alias("_bucket"),
-            verdict.alias("_verdict"),
-            F.col("i._in_max_lsn").alias("_in_lsn"),
-            *[
-                F.when(verdict == "apply", F.col(f"i._in_{c}"))
-                .otherwise(F.col(f"e.{c}"))
-                .alias(c)
-                for c in value_cols
-            ],
-        )
-        resolved = resolved.persist()
-        try:
-            # ---- lineage: per-bucket applied/skipped/deleted + max lsn ----
-            lin = (
-                resolved.groupBy("_bucket")
-                .agg(
-                    F.sum(F.when(F.col("_verdict") == "apply", 1).otherwise(0)).alias("applied"),
-                    F.sum(F.when(F.col("_verdict") == "skip", 1).otherwise(0)).alias("skipped"),
-                    F.sum(F.when(F.col("_verdict") == "delete", 1).otherwise(0)).alias("deleted"),
-                    F.max("_in_lsn").alias("max_lsn"),
+            in_newer = F.col("i._in_op").isNotNull() & (
+                F.col(f"e.{order[0]}").isNull()
+                | (
+                    F.struct(*[F.col(f"i._in_{c}") for c in order])
+                    > F.struct(*[F.col(f"e.{c}") for c in order])
                 )
-                .collect()
             )
-            applied = int(sum(r["applied"] for r in lin))
-            skipped = int(sum(r["skipped"] for r in lin))
-            deleted = int(sum(r["deleted"] for r in lin))
-            max_lsn_vals = [r["max_lsn"] for r in lin if r["max_lsn"] is not None]
-            max_lsn = int(max(max_lsn_vals)) if max_lsn_vals else None
+            is_delete = F.col("i._in_op") == "delete"
 
-            # ---- rewrite affected buckets ---------------------------------
-            survivors = resolved.filter(F.col("_verdict") != "delete").select(
+            verdict = (
+                F.when(in_newer & is_delete, F.lit("delete"))
+                .when(in_newer & ~is_delete, F.lit("apply"))
+                .when(F.col("i._in_op").isNotNull(), F.lit("skip"))
+                .otherwise(F.lit("keep"))
+            )
+            resolved = joined.select(
+                *key,
+                F.coalesce(F.col("e._bucket"), F.col("i._bucket")).alias("_bucket"),
+                verdict.alias("_verdict"),
+                *[
+                    F.when(verdict == "apply", F.col(f"i._in_{c}"))
+                    .otherwise(F.col(f"e.{c}"))
+                    .alias(c)
+                    for c in value_cols
+                ],
+            )
+        else:
+            # Insert-only fast path: nothing to reconcile against (first epoch,
+            # or the batch only touches empty buckets) — skip the join wholesale.
+            verdict = F.when(F.col("_in_op") == "delete", F.lit("delete")).otherwise(
+                F.lit("apply")
+            )
+            resolved = inc.select(
+                *key,
+                "_bucket",
+                verdict.alias("_verdict"),
+                *[F.col(f"_in_{c}").alias(c) for c in value_cols],
+            )
+
+        applied = skipped = deleted = 0
+        lin_by_bucket: dict[int, tuple[int, int, int]] = {}
+        rel_dir = os.path.join("data", f"epoch={_epoch_num(epoch_id)}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        if affected:
+            # ---- lineage rides the write pass via CollectMetrics (observe):
+            # map-side conditional sums, no extra job, no persist of the wide
+            # join output (a cache would spill at scale; SURVEY.md §4).
+            per_bucket = len(affected) <= int(
+                os.environ.get("SNAPSHOT_LINEAGE_BUCKET_LIMIT", "128")
+            )
+            obs = Observation()
+            exprs = []
+            if per_bucket:
+                for bk in affected:
+                    m = F.col("_bucket") == bk
+                    for vname, tag in (("apply", "a"), ("skip", "s"), ("delete", "d")):
+                        exprs.append(
+                            F.sum(
+                                F.when(m & (F.col("_verdict") == vname), 1).otherwise(0)
+                            ).alias(f"{tag}_{bk}")
+                        )
+            else:
+                for vname, tag in (("apply", "a"), ("skip", "s"), ("delete", "d")):
+                    exprs.append(
+                        F.sum(F.when(F.col("_verdict") == vname, 1).otherwise(0)).alias(
+                            f"{tag}_all"
+                        )
+                    )
+            observed = resolved.observe(obs, *exprs)
+            survivors = observed.filter(F.col("_verdict") != "delete").select(
                 *key, "_bucket", *value_cols
             )
-            rel_dir = os.path.join("data", f"epoch={_epoch_num(epoch_id)}-{uuid.uuid4().hex[:8]}")
-            out_dir = os.path.join(self.path, rel_dir)
-            (
-                survivors.repartition(max(len(affected), 1), F.col("_bucket"))
-                .write.partitionBy("_bucket")
-                .mode("overwrite")
-                .parquet(out_dir)
-            )
-        finally:
-            resolved.unpersist()
+            # Two scoped AQE overrides for the write job only:
+            # * empty-relation propagation would collapse an all-deleted
+            #   epoch's plan before CollectMetrics runs, losing the
+            #   observation row entirely;
+            # * partition coalescing folds the explicit per-bucket
+            #   repartition into ONE write task on modest batches (observed
+            #   via event log: a 64-bucket write planned as a single task),
+            #   serializing the write regardless of core count.
+            _t0 = time.perf_counter()
+            with self._conf_overrides(
+                {
+                    "spark.sql.adaptive.optimizer.excludedRules": (
+                        "org.apache.spark.sql.execution.adaptive."
+                        "AQEPropagateEmptyRelation"
+                    ),
+                    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                }
+            ):
+                (
+                    survivors.repartition(max(len(affected), 1), F.col("_bucket"))
+                    .write.partitionBy("_bucket")
+                    .mode("overwrite")
+                    .parquet(out_dir)
+                )
+            metrics = obs.get
+            _timings["write"] = round(time.perf_counter() - _t0, 3)
+            if per_bucket:
+                for bk in affected:
+                    a, sk, dl = metrics[f"a_{bk}"], metrics[f"s_{bk}"], metrics[f"d_{bk}"]
+                    lin_by_bucket[bk] = (int(a), int(sk), int(dl))
+            else:
+                lin_by_bucket[-1] = (
+                    int(metrics["a_all"]),
+                    int(metrics["s_all"]),
+                    int(metrics["d_all"]),
+                )
+            applied = sum(v[0] for v in lin_by_bucket.values())
+            skipped = sum(v[1] for v in lin_by_bucket.values())
+            deleted = sum(v[2] for v in lin_by_bucket.values())
 
         # map written files back to buckets from the partition directories
         new_buckets: dict[str, list[str]] = {
             b_: files for b_, files in self._snapshot["buckets"].items() if int(b_) not in affected
         }
-        for entry in os.listdir(out_dir):
+        for entry in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
             if not entry.startswith("_bucket="):
                 continue
             bval = entry.split("=", 1)[1]
@@ -324,19 +440,46 @@ class SnapshotTable:
         lin_rows = [
             (
                 _epoch_num(epoch_id),
-                int(r["_bucket"]),
-                int(r["applied"]),
-                int(r["skipped"]),
-                int(r["deleted"]),
-                int(r["max_lsn"]) if r["max_lsn"] is not None else None,
+                int(bk),
+                int(a),
+                int(sk),
+                int(dl),
+                (
+                    int(max_lsn_by_bucket[bk])
+                    if bk in max_lsn_by_bucket and max_lsn_by_bucket[bk] is not None
+                    else (max_lsn if bk == -1 else None)
+                ),
                 now,
             )
-            for r in lin
+            for bk, (a, sk, dl) in sorted(lin_by_bucket.items())
         ]
+        _t0 = time.perf_counter()
         if lin_rows:
-            self.spark.createDataFrame(lin_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
-                "append"
-            ).parquet(os.path.join(self.path, "lineage"))
+            # Direct pyarrow append: lineage is a handful of local rows per
+            # epoch; a Spark job (local relation -> python worker -> write
+            # task) costs seconds of fixed overhead for a sub-KB file.
+            lin_table = pa.table(
+                {
+                    "epoch_id": pa.array([r[0] for r in lin_rows], pa.int64()),
+                    "partition_id": pa.array([r[1] for r in lin_rows], pa.int32()),
+                    "applied": pa.array([r[2] for r in lin_rows], pa.int64()),
+                    "skipped": pa.array([r[3] for r in lin_rows], pa.int64()),
+                    "deleted": pa.array([r[4] for r in lin_rows], pa.int64()),
+                    "max_lsn": pa.array([r[5] for r in lin_rows], pa.int64()),
+                    "committed_ts": pa.array(
+                        [r[6] for r in lin_rows], pa.timestamp("us")
+                    ),
+                }
+            )
+            pq.write_table(
+                lin_table,
+                os.path.join(
+                    self.path,
+                    "lineage",
+                    f"lineage-{_epoch_num(epoch_id)}-{uuid.uuid4().hex[:8]}.parquet",
+                ),
+            )
+        _timings["lineage"] = round(time.perf_counter() - _t0, 3)
 
         # ---- atomic snapshot commit: data + schema + epoch in ONE rename ---
         snap = {
@@ -347,6 +490,10 @@ class SnapshotTable:
             "committed_epochs": sorted(self.committed_epochs | {_epoch_key(epoch_id)}),
             "parent": self._snapshot["version"],
         }
+        _t0 = time.perf_counter()
         self._write_snapshot(snap)
         self._snapshot = snap
-        return MergeStats(epoch_id, applied, skipped, deleted, max_lsn, was_noop=False)
+        _timings["commit"] = round(time.perf_counter() - _t0, 3)
+        return MergeStats(
+            epoch_id, applied, skipped, deleted, max_lsn, was_noop=False, timings=_timings
+        )

@@ -34,17 +34,36 @@ def hot_keys(
     df: DataFrame,
     keys: Sequence[str] = ("conv_id",),
     min_count: int = 100_000,
+    sample_fraction: float | None = None,
 ) -> list[tuple]:
     """Keys whose event count in ``df`` exceeds ``min_count``.
 
     Returns a (small, driver-side) list of key tuples. The aggregate is
     map-side combined, so its shuffle volume is bounded by the number of
-    distinct keys per task — cheap even on very large batches.
+    distinct keys per task.
+
+    ``sample_fraction`` (default: auto) detects hot keys on a uniform sample
+    instead of the full batch: a key with ``min_count`` events appears
+    ``min_count * fraction`` times in expectation, so the sampled threshold
+    keeps ≥ ~50 expected occurrences for any truly hot key — detection stays
+    reliable while the scan cost drops by 1/fraction. Pass ``1.0`` to force
+    the exact full-batch count. Sampling errs toward *over*-detection
+    (threshold set at half the expected sampled count); a false positive only
+    costs a harmless extra salt split.
     """
+    if sample_fraction is None:
+        # keep >= ~50 expected sampled events per genuinely hot key
+        sample_fraction = min(1.0, max(0.01, 100.0 / max(min_count, 1)))
+    if sample_fraction < 1.0:
+        scan = df.sample(fraction=sample_fraction, seed=42)
+        threshold = max(1.0, min_count * sample_fraction / 2.0)
+    else:
+        scan = df
+        threshold = float(min_count)
     rows = (
-        df.groupBy(*keys)
+        scan.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > min_count)
+        .filter(F.col("_n") > threshold)
         .select(*keys)
         .collect()
     )

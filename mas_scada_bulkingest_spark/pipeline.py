@@ -67,7 +67,9 @@ def apply_changes(
             collapsed = collapse_lww(parsed, two_phase_salt=skew_salt, track_max_of="lsn")
     else:
         collapsed = collapse_lww(parsed, two_phase_salt=skew_salt, track_max_of="lsn")
-    return table.merge_changes(collapsed, epoch_id)
+    # stats_source lets the merge's bucket/max-LSN pre-pass scan the raw
+    # events (pure map-side aggregate) instead of re-running the collapse plan
+    return table.merge_changes(collapsed, epoch_id, stats_source=parsed)
 
 
 def create_transcripts_table(
