@@ -1,0 +1,101 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ..., "cdc_events_per_sec": ...}
+
+The headline metric mirrors BASELINE.json: change-events/sec applied
+end-to-end (changelog replay → exactly-once MERGE commit). Query timings
+cover the operator suite. Scaling evidence (N vs 4N cores) lives in
+``tools/bench_scaling.py`` → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mas_scada_bulkingest_spark.pipeline import create_transcripts_table  # noqa: E402
+from mas_scada_bulkingest_spark.queries import SQL_QUERIES  # noqa: E402
+from mas_scada_bulkingest_spark.sources.changelog_gen import generate_changelog  # noqa: E402
+from mas_scada_bulkingest_spark.streaming.driver import build_session, replay_batches  # noqa: E402
+
+#: events scale for the CDC replay benchmark (per sf of the query tables)
+_CDC_CONVS = {"sf0.001": 2_000, "sf0.01": 8_000, "sf0.1": 40_000}
+
+
+def _workdir(prefix: str) -> str:
+    """tmpfs when available: the sandbox's disk serializes concurrent
+    writers, which would measure the disk, not the engine."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+def bench_cdc_replay(spark, sf_name: str) -> tuple[float, int]:
+    """Replay a freshly generated changelog; returns (seconds, n_events)."""
+    work = _workdir("bench_cdc_")
+    changes = os.path.join(work, "changes")
+    n_convs = _CDC_CONVS.get(sf_name, 40_000)
+    man = generate_changelog(changes, n_convs=n_convs, mean_turns=8, n_files=32, seed=7)
+    table = create_transcripts_table(spark, os.path.join(work, "t"), n_buckets=32)
+    t0 = time.perf_counter()
+    replay_batches(spark, changes, table, files_per_epoch=16, hot_key_threshold=200_000)
+    dt = time.perf_counter() - t0
+    return dt, man.n_events
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    local_dir = _workdir("bench_local_")
+    spark = build_session(
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.local.dir": local_dir},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # headline: CDC replay throughput
+    cdc_sec, n_events = bench_cdc_replay(spark, sf_name)
+    timings["cdc_replay"] = round(cdc_sec, 3)
+
+    # operator suite at sf_dir (count() forces full execution, no driver
+    # materialization of wide results)
+    for name, (fn, _sql) in SQL_QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "cdc_replay_plus_operator_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cdc_events": n_events,
+        "cdc_events_per_sec": round(n_events / cdc_sec, 1),
+        "cores": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for the transcript-CDC ingest engine.
+
+The production analog of the reference's ``Connector.main`` loop
+(Connector.java:56-166): tail a change-log directory, apply each epoch as an
+exactly-once MERGE into the transcripts table, record lineage, exit (batch /
+availableNow) or keep tailing (stream).
+
+Usage (cluster):
+    spark-submit --py-files mas_scada_bulkingest_spark.zip \
+        bin/ingest_driver.py --changes-dir s3://…/changes \
+        --table-path s3://…/transcripts --checkpoint-dir s3://…/ckpt --stream
+
+Usage (local smoke):
+    python bin/ingest_driver.py --demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from mas_scada_bulkingest_spark.pipeline import create_transcripts_table  # noqa: E402
+from mas_scada_bulkingest_spark.lake.snapshot_table import SnapshotTable  # noqa: E402
+from mas_scada_bulkingest_spark.sources.changelog_gen import generate_changelog  # noqa: E402
+from mas_scada_bulkingest_spark.status import status  # noqa: E402
+from mas_scada_bulkingest_spark.streaming.driver import (  # noqa: E402
+    build_session,
+    replay_batches,
+    run_stream,
+)
+
+
+def _session(args) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:  # launched via spark-submit with its own conf
+        return active
+    return build_session(cores=args.cores)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--changes-dir", help="change-log directory (parquet files)")
+    p.add_argument("--table-path", help="transcripts table root")
+    p.add_argument("--checkpoint-dir", help="streaming checkpoint location")
+    p.add_argument("--stream", action="store_true", help="continuous tail (default: drain+stop)")
+    p.add_argument("--cores", type=int, default=None, help="local[N] when not on a cluster")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--files-per-epoch", type=int, default=4)
+    p.add_argument("--hot-key-threshold", type=int, default=100_000)
+    p.add_argument("--normalize", action="store_true", help="NFC/whitespace text normalization")
+    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--vacuum", action="store_true", help="clean superseded epoch files after run")
+    p.add_argument("--status-only", action="store_true", help="print table status and exit")
+    p.add_argument("--demo", action="store_true", help="self-contained run on generated data")
+    args = p.parse_args(argv)
+
+    if args.demo:
+        work = tempfile.mkdtemp(prefix="ingest_demo_")
+        args.changes_dir = os.path.join(work, "changes")
+        args.table_path = os.path.join(work, "transcripts")
+        args.checkpoint_dir = os.path.join(work, "ckpt")
+        generate_changelog(args.changes_dir, n_convs=500, seed=11)
+        print(f"demo workspace: {work}", file=sys.stderr)
+
+    if not args.table_path:
+        p.error("--table-path is required (or --demo)")
+
+    spark = _session(args)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.status_only:
+        print(json.dumps(status(SnapshotTable(spark, args.table_path)), indent=2))
+        return 0
+
+    if not args.changes_dir:
+        p.error("--changes-dir is required (or --demo)")
+
+    table = create_transcripts_table(spark, args.table_path, n_buckets=args.n_buckets)
+
+    if args.checkpoint_dir:
+        q = run_stream(
+            spark,
+            args.changes_dir,
+            args.table_path,
+            args.checkpoint_dir,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=not args.stream,
+            normalize=args.normalize,
+            hot_key_threshold=args.hot_key_threshold,
+        )
+        q.awaitTermination()
+    else:
+        stats = replay_batches(
+            spark,
+            args.changes_dir,
+            table,
+            files_per_epoch=args.files_per_epoch,
+            normalize=args.normalize,
+            hot_key_threshold=args.hot_key_threshold,
+        )
+        for st in stats:
+            print(
+                f"epoch {st.epoch_id}: applied={st.applied} skipped={st.skipped} "
+                f"deleted={st.deleted} max_lsn={st.max_lsn} noop={st.was_noop}",
+                file=sys.stderr,
+            )
+
+    table = SnapshotTable(spark, args.table_path)
+    if args.vacuum:
+        n = table.vacuum()
+        print(f"vacuum: removed {n} superseded data files", file=sys.stderr)
+    print(json.dumps(status(table), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -197,6 +197,44 @@ class SnapshotTable:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(lin_dir)
 
+    # ----------------------------------------------------------- maintenance
+    def vacuum(self, retain_versions: int = 1) -> int:
+        """Delete data files no longer referenced by recent snapshots.
+
+        Copy-on-write MERGE rewrites whole buckets, so superseded epoch
+        directories become garbage (the moral analog of Iceberg's
+        ``expire_snapshots`` + ``remove_orphan_files``). Keeps every file
+        referenced by the current snapshot and the ``retain_versions - 1``
+        snapshots before it (time travel window); returns files deleted.
+        Single-writer assumption: do not run concurrently with a merge.
+        """
+        snap_dir = os.path.join(self.path, "snapshots")
+        versions = sorted(
+            int(f[1:9]) for f in os.listdir(snap_dir) if f.endswith(".json")
+        )
+        keep_versions = set(versions[-max(retain_versions, 1):])
+        referenced: set[str] = set()
+        for v in keep_versions:
+            with open(os.path.join(snap_dir, f"v{v:08d}.json")) as f:
+                s = json.load(f)
+            for files in s["buckets"].values():
+                referenced.update(files)
+        data_dir = os.path.join(self.path, "data")
+        deleted = 0
+        for root, _dirs, files in os.walk(data_dir, topdown=False):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel not in referenced:  # parquet or _SUCCESS markers
+                    os.remove(full)
+                    deleted += 1 if fn.endswith(".parquet") else 0
+            if root != data_dir and not os.listdir(root):
+                os.rmdir(root)
+        for v in versions:
+            if v not in keep_versions:
+                os.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
+        return deleted
+
     # ------------------------------------------------------------ conf scope
     @contextmanager
     def _conf_overrides(self, overrides: dict[str, str]):

@@ -1,0 +1,47 @@
+"""Status surface + vacuum maintenance (reference stats/CLI analog)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from mas_scada_bulkingest_spark.pipeline import create_transcripts_table
+from mas_scada_bulkingest_spark.sources.changelog_gen import generate_changelog
+from mas_scada_bulkingest_spark.status import epoch_summary, status
+from mas_scada_bulkingest_spark.streaming.driver import replay_batches
+
+
+def _replayed(spark, tmpdir_path, n_epoch_files=2):
+    generate_changelog(tmpdir_path + "/log", n_convs=40, mean_turns=5, seed=31)
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4)
+    stats = replay_batches(spark, tmpdir_path + "/log", tbl, files_per_epoch=n_epoch_files)
+    return tbl, stats
+
+
+def test_status_totals_match_merge_stats(spark, tmpdir_path):
+    tbl, stats = _replayed(spark, tmpdir_path)
+    st = status(tbl)
+    assert st["epochs_committed"] == len(stats)
+    assert st["rows_applied"] == sum(s.applied for s in stats)
+    assert st["rows_deleted"] == sum(s.deleted for s in stats)
+    assert st["max_lsn"] == max(s.max_lsn for s in stats if s.max_lsn)
+    assert st["n_data_files"] > 0
+    summary = epoch_summary(tbl).toPandas()
+    assert list(summary.epoch_id) == sorted(int(s.epoch_id) for s in stats)
+
+
+def test_vacuum_removes_only_superseded_files(spark, tmpdir_path):
+    tbl, _ = _replayed(spark, tmpdir_path)
+    before = tbl.read().orderBy("conv_id", "turn_idx").toPandas()
+    all_parquet = glob.glob(tmpdir_path + "/t/data/**/*.parquet", recursive=True)
+    live = {os.path.join(tmpdir_path, "t", f) for fs in tbl._snapshot["buckets"].values() for f in fs}
+    superseded = [f for f in all_parquet if f not in live]
+    assert superseded, "multi-epoch replay must leave superseded files"
+
+    removed = tbl.vacuum()
+    assert removed == len(superseded)
+    # table content unchanged; current files intact
+    after = tbl.read().orderBy("conv_id", "turn_idx").toPandas()
+    assert before.equals(after)
+    # idempotent
+    assert tbl.vacuum() == 0
