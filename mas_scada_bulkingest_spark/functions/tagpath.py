@@ -34,3 +34,20 @@ def tag_from_alarm_source(col: Column | str) -> Column:
 def ackby_from_alarm_source(col: Column | str) -> Column:
     """F10: ack user from a ``…usr:<user>`` suffix (alarmSqlTemplate.sql:9-10)."""
     return F.regexp_extract(_c(col), r"usr:(.*)$", 1)
+
+
+def path_levels(col: Column | str, n_levels: int = 8, sep: str = "/") -> list[Column]:
+    """F4: dimension columns ``LEVEL_0..LEVEL_{n-1}`` from path segments.
+
+    The reference registers each tagpath segment as a dimension LEVEL_i
+    (Dimension.java:142-148; EntityType.java:111-118 caps at LEVEL_7).
+    Missing segments are NULL (``element_at`` beyond length), matching the
+    registration's sparse behavior.
+    """
+    parts = F.split(_c(col), sep)
+    return [
+        F.when(F.size(parts) > i, F.element_at(parts, i + 1))
+        .otherwise(F.lit(None).cast("string"))
+        .alias(f"LEVEL_{i}")
+        for i in range(n_levels)
+    ]

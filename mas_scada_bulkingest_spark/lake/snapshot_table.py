@@ -58,6 +58,13 @@ from ..schemas import LINEAGE_SCHEMA, LWW_ORDER, MERGE_KEY
 
 _CURRENT = "_CURRENT"
 
+#: internal storage column marking deleted keys. A delete is persisted as a
+#: tombstone row carrying the delete's (ts, lsn) so cross-epoch LWW stays
+#: exact: a stale insert replayed in a LATER epoch loses the comparison
+#: against the tombstone instead of resurrecting the row (the reference has
+#: no delete concept at all; SURVEY.md §7.5). ``read()`` hides tombstones.
+_TOMBSTONE = "_tombstone"
+
 
 @dataclass
 class MergeStats:
@@ -184,12 +191,24 @@ class SnapshotTable:
         return out
 
     def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current table state as a DataFrame (optionally bucket-pruned)."""
+        """Current *live* table state (tombstones hidden, bucket-prunable)."""
+        df = self._read_raw(buckets)
+        if df is None:
+            return self.spark.createDataFrame([], self.schema)
+        return align_schemas(
+            df.filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False))), self.schema
+        )
+
+    def _read_raw(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """All stored rows incl. tombstones, with the ``_tombstone`` flag
+        normalized to a non-null boolean; None when no files exist."""
         files = self._all_files(buckets)
         if not files:
-            return self.spark.createDataFrame([], self.schema)
+            return None
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-        return align_schemas(df, self.schema)
+        if _TOMBSTONE not in df.columns:  # pre-tombstone files only
+            df = df.withColumn(_TOMBSTONE, F.lit(False))
+        return df.withColumn(_TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
 
     def lineage(self) -> DataFrame:
         lin_dir = os.path.join(self.path, "lineage")
@@ -336,9 +355,14 @@ class SnapshotTable:
             F.col("op").alias("_in_op"),
         ).withColumn("_bucket", _bucket_expr(bucket_col, nb))
 
-        existing_files = self._all_files(affected)
-        if existing_files:
-            existing = align_schemas(self.read(buckets=affected), new_schema).withColumn(
+        raw = self._read_raw(buckets=affected)
+        if raw is not None:
+            # Existing side INCLUDES tombstones: a delete's (ts, lsn) must
+            # out-compare stale re-deliveries arriving in later epochs.
+            storage_schema = T.StructType(
+                list(new_schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())]
+            )
+            existing = align_schemas(raw, storage_schema).withColumn(
                 "_bucket", _bucket_expr(bucket_col, nb)
             )
             joined = existing.alias("e").join(inc.alias("i"), on=key, how="full_outer")
@@ -358,16 +382,24 @@ class SnapshotTable:
                 .when(F.col("i._in_op").isNotNull(), F.lit("skip"))
                 .otherwise(F.lit("keep"))
             )
+            # apply AND delete both take the incoming row's values: a
+            # tombstone stores the delete's (ts, lsn) watermark (payload is
+            # null on delete events by contract).
+            takes_incoming = verdict.isin("apply", "delete")
             resolved = joined.select(
                 *key,
                 F.coalesce(F.col("e._bucket"), F.col("i._bucket")).alias("_bucket"),
                 verdict.alias("_verdict"),
                 *[
-                    F.when(verdict == "apply", F.col(f"i._in_{c}"))
+                    F.when(takes_incoming, F.col(f"i._in_{c}"))
                     .otherwise(F.col(f"e.{c}"))
                     .alias(c)
                     for c in value_cols
                 ],
+                F.when(verdict == "delete", F.lit(True))
+                .when(verdict == "apply", F.lit(False))
+                .otherwise(F.coalesce(F.col(f"e.{_TOMBSTONE}"), F.lit(False)))
+                .alias(_TOMBSTONE),
             )
         else:
             # Insert-only fast path: nothing to reconcile against (first epoch,
@@ -380,6 +412,7 @@ class SnapshotTable:
                 "_bucket",
                 verdict.alias("_verdict"),
                 *[F.col(f"_in_{c}").alias(c) for c in value_cols],
+                (F.col("_in_op") == "delete").alias(_TOMBSTONE),
             )
 
         applied = skipped = deleted = 0
@@ -412,9 +445,9 @@ class SnapshotTable:
                         )
                     )
             observed = resolved.observe(obs, *exprs)
-            survivors = observed.filter(F.col("_verdict") != "delete").select(
-                *key, "_bucket", *value_cols
-            )
+            # tombstones are WRITTEN (not dropped): they carry the delete's
+            # LWW watermark; read() hides them, vacuum can purge them later
+            survivors = observed.select(*key, "_bucket", *value_cols, _TOMBSTONE)
             # Two scoped AQE overrides for the write job only:
             # * empty-relation propagation would collapse an all-deleted
             #   epoch's plan before CollectMetrics runs, losing the

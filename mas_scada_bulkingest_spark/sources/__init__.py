@@ -1,1 +1,2 @@
 from .changelog_gen import generate_changelog  # noqa: F401
+from .extract import extract_raw_csv, sample_schema  # noqa: F401

@@ -1,1 +1,6 @@
-from .driver import run_stream, replay_batches, build_session  # noqa: F401
+from .driver import (  # noqa: F401
+    await_or_stop,
+    build_session,
+    replay_batches,
+    run_stream,
+)

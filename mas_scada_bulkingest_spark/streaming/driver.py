@@ -136,3 +136,36 @@ def run_stream(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     return q
+
+
+def await_or_stop(
+    query,
+    stop_file: str | None = None,
+    poll_secs: float = 2.0,
+    timeout_secs: float | None = None,
+) -> bool:
+    """Await a streaming query with a stop-file escape hatch (SURVEY.md T4).
+
+    The reference polls a remote stopFlag every 60 s and watches a ``.update``
+    file to trigger graceful shutdown (DBConnector.java:108-123;
+    Config.java:251-257). Here: if ``stop_file`` appears on disk the query is
+    stopped after its in-flight batch commits — the epoch guard makes the cut
+    clean (resume re-delivers at most one already-committed batch, a no-op).
+
+    Returns True if the query terminated on its own, False if stopped via the
+    stop file or timeout.
+    """
+    import time as _time
+
+    deadline = (_time.monotonic() + timeout_secs) if timeout_secs else None
+    while True:
+        if query.awaitTermination(poll_secs):
+            return True
+        if stop_file and os.path.exists(stop_file):
+            query.stop()
+            query.awaitTermination()
+            return False
+        if deadline and _time.monotonic() > deadline:
+            query.stop()
+            query.awaitTermination()
+            return False

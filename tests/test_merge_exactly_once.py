@@ -78,15 +78,19 @@ def test_cross_epoch_delete_then_stale_insert(spark, tmpdir_path):
     st = apply_changes(tbl, spark.createDataFrame([(2, "delete", "c", 0, None, None, None, t(2))], cols), 1)
     assert st.deleted == 1
     assert tbl.read().count() == 0
-    # a stale re-delivered insert (older ts/lsn) must NOT resurrect the row...
-    # but with the row physically deleted there is nothing to compare against;
-    # pure LWW on a missing key applies the insert. This matches the oracle
-    # (which sees the whole log and keeps the delete as the winner) only when
-    # the stale insert is in the same or earlier epoch than the delete —
-    # cross-epoch resurrection needs tombstones, a known CoW trade-off we
-    # document; the generator never emits post-delete stale inserts.
+    # a stale re-delivered insert (older ts/lsn) in a LATER epoch must NOT
+    # resurrect the row: the delete persists as a tombstone carrying its
+    # (ts, lsn), so the stale insert loses the LWW comparison.
+    st2 = apply_changes(tbl, spark.createDataFrame([(1, "insert", "c", 0, "user", "x", None, t(1))], cols), 2)
+    assert st2.skipped == 1 and st2.applied == 0
+    assert tbl.read().count() == 0
+    # ...while a genuinely newer re-insert resurrects it
+    st3 = apply_changes(tbl, spark.createDataFrame([(3, "insert", "c", 0, "user", "z", None, t(3))], cols), 3)
+    assert st3.applied == 1
+    rows = tbl.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "z"
     lin = tbl.lineage().toPandas()
-    assert set(lin.epoch_id) == {0, 1}
+    assert set(lin.epoch_id) == {0, 1, 2, 3}
 
 
 def test_lineage_accounting_sums(spark, tmpdir_path):
