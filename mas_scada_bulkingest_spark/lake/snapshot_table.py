@@ -97,6 +97,23 @@ def _bucket_expr(bucket_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
 
 
+def compute_bucket_stats(
+    df: DataFrame, bucket_col: str, n_buckets: int, lsn_col: str = "lsn"
+) -> list:
+    """Per-bucket (n_in, max_lsn) over a raw change batch — ONE column-pruned
+    map-side-combined scan. Shared by the MERGE's bucket pruning / lineage
+    watermark AND the pipeline's hot-bucket gate (a bucket under the hot-key
+    threshold cannot contain a hot key), so hot-key detection costs no extra
+    scan in the common cold case."""
+    lsn = F.col(lsn_col) if lsn_col in df.columns else F.lit(None).cast("long")
+    return (
+        df.withColumn("_bucket", _bucket_expr(bucket_col, n_buckets))
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("n_in"), F.max(lsn).alias("max_lsn"))
+        .collect()
+    )
+
+
 class SnapshotTable:
     """Single-writer, snapshot-isolated parquet table (see module docstring)."""
 
@@ -254,6 +271,63 @@ class SnapshotTable:
                 os.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
         return deleted
 
+    def purge_tombstones(self, before_lsn: int | None = None) -> int:
+        """Rewrite buckets dropping tombstone rows; returns tombstones purged.
+
+        Tombstones guard against stale re-deliveries (cross-epoch LWW), so
+        purge only up to a safe watermark: ``before_lsn`` should be an LSN at
+        or below which the upstream can no longer re-deliver (e.g. the
+        changelog retention horizon). ``None`` purges all tombstones —
+        correct once replays of the covered range are impossible. The analog
+        of Iceberg's rewrite_data_files maintenance. Single-writer: do not
+        run concurrently with a merge.
+        """
+        raw = self._read_raw()
+        if raw is None:
+            return 0
+        is_dead = F.col(_TOMBSTONE)
+        if before_lsn is not None and "lsn" in raw.columns:
+            is_dead = is_dead & (F.col("lsn") < F.lit(int(before_lsn)))
+        n_purge = raw.filter(is_dead).count()
+        if n_purge == 0:
+            return 0
+        keep = raw.filter(~is_dead)
+        nb = self.n_buckets
+        bucket_col = list(self.key)[0]
+        rel_dir = os.path.join("data", f"purge-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        with self._conf_overrides(
+            {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+        ):
+            (
+                keep.withColumn("_bucket", _bucket_expr(bucket_col, nb))
+                .repartition(nb, F.col("_bucket"))
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+        new_buckets: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            bval = entry.split("=", 1)[1]
+            files = [
+                os.path.join(rel_dir, entry, fn)
+                for fn in os.listdir(os.path.join(out_dir, entry))
+                if fn.endswith(".parquet")
+            ]
+            if files:
+                new_buckets[bval] = files
+        snap = {
+            **self._snapshot,
+            "version": self._snapshot["version"] + 1,
+            "buckets": new_buckets,
+            "parent": self._snapshot["version"],
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return int(n_purge)
+
     # ------------------------------------------------------------ conf scope
     @contextmanager
     def _conf_overrides(self, overrides: dict[str, str]):
@@ -278,6 +352,7 @@ class SnapshotTable:
         batch: DataFrame,
         epoch_id: int | str,
         stats_source: DataFrame | None = None,
+        pre_stats: list | None = None,
     ) -> MergeStats:
         """Idempotent MERGE of an LWW-collapsed change batch.
 
@@ -312,28 +387,22 @@ class SnapshotTable:
         # One map-side-combined aggregate over the collapsed batch; drives
         # bucket pruning (which existing files to read / rewrite) and the
         # resume watermark (max LSN seen per partition) for lineage.
-        if stats_source is not None:
-            stats_df = stats_source.withColumn(
-                "_bucket", _bucket_expr(bucket_col, nb)
-            )
-            lsn_src = (
-                F.col("lsn")
-                if "lsn" in stats_source.columns
-                else F.lit(None).cast("long")
-            )
-        else:
-            stats_df = b
-            lsn_src = (
-                F.col("_max_lsn")
-                if has_max_lsn
-                else (F.col("lsn") if "lsn" in batch.columns else F.lit(None).cast("long"))
-            )
         _t0 = time.perf_counter()
-        pre = (
-            stats_df.groupBy("_bucket")
-            .agg(F.count(F.lit(1)).alias("n_in"), F.max(lsn_src).alias("max_lsn"))
-            .collect()
-        )
+        if pre_stats is not None:
+            # caller already ran compute_bucket_stats on the raw batch
+            pre = pre_stats
+        elif stats_source is not None:
+            pre = compute_bucket_stats(stats_source, bucket_col, nb)
+        else:
+            lsn_col = "_max_lsn" if has_max_lsn else "lsn"
+            lsn_src = (
+                F.col(lsn_col) if lsn_col in batch.columns else F.lit(None).cast("long")
+            )
+            pre = (
+                b.groupBy("_bucket")
+                .agg(F.count(F.lit(1)).alias("n_in"), F.max(lsn_src).alias("max_lsn"))
+                .collect()
+            )
         _timings = {"pre_pass": round(time.perf_counter() - _t0, 3)}
         affected = sorted(r["_bucket"] for r in pre)
         max_lsn_by_bucket = {r["_bucket"]: r["max_lsn"] for r in pre}

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import normalize_text
-from .lake.snapshot_table import MergeStats, SnapshotTable
+from .lake.snapshot_table import MergeStats, SnapshotTable, compute_bucket_stats
 from .operators.lww import collapse_lww
 from .operators.skew import hot_keys, salted_repartition
 from .schemas import TRANSCRIPT_SCHEMA
@@ -56,20 +56,29 @@ def apply_changes(
         return table.merge_changes(batch.limit(0), epoch_id)  # cheap no-op path
 
     parsed = parse_changes(batch, normalize=normalize)
-    if hot_key_threshold is not None:
+    # ONE shared pre-pass over the raw batch: per-bucket counts + max LSN.
+    # It drives (a) the merge's bucket pruning and lineage watermark and
+    # (b) the hot-key gate — a conversation can only be hot if its whole
+    # BUCKET exceeds the threshold, so the per-conversation detection scan
+    # runs only when some bucket count crosses it (rare, by construction).
+    pre = compute_bucket_stats(parsed, "conv_id", table.n_buckets)
+    some_bucket_hot = hot_key_threshold is not None and any(
+        r["n_in"] > hot_key_threshold for r in pre
+    )
+    if some_bucket_hot:
         hot = hot_keys(parsed, keys=("conv_id",), min_count=hot_key_threshold)
         if hot:
-            parsed = salted_repartition(parsed, keys=("conv_id",), hot=hot)
+            parsed_salted = salted_repartition(parsed, keys=("conv_id",), hot=hot)
             collapsed = collapse_lww(
-                parsed.drop("_salt"), two_phase_salt=skew_salt or 16, track_max_of="lsn"
+                parsed_salted.drop("_salt"),
+                two_phase_salt=skew_salt or 16,
+                track_max_of="lsn",
             )
         else:
             collapsed = collapse_lww(parsed, two_phase_salt=skew_salt, track_max_of="lsn")
     else:
         collapsed = collapse_lww(parsed, two_phase_salt=skew_salt, track_max_of="lsn")
-    # stats_source lets the merge's bucket/max-LSN pre-pass scan the raw
-    # events (pure map-side aggregate) instead of re-running the collapse plan
-    return table.merge_changes(collapsed, epoch_id, stats_source=parsed)
+    return table.merge_changes(collapsed, epoch_id, pre_stats=pre)
 
 
 def create_transcripts_table(

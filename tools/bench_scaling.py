@@ -87,14 +87,32 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 160_000
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    gen_dir = tempfile.mkdtemp(prefix="bench_scaling_", dir="/dev/shm")
-    changes = os.path.join(gen_dir, "changes")
-    man = generate_changelog(changes, n_convs=n_convs, mean_turns=8, n_files=64, seed=7)
+    reuse = os.environ.get("SCALING_CHANGES_DIR")
+    gen_dir = None
+    if reuse and os.path.isdir(reuse):
+        changes = reuse
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        _files = sorted(_glob.glob(os.path.join(reuse, "*.parquet")))
+        _rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in _files)
+
+        class _M:  # minimal manifest stand-in for a pre-generated log
+            n_events = _rows
+            files = _files
+
+        man = _M()
+    else:
+        gen_dir = tempfile.mkdtemp(prefix="bench_scaling_", dir="/dev/shm")
+        changes = os.path.join(gen_dir, "changes")
+        man = generate_changelog(changes, n_convs=n_convs, mean_turns=8, n_files=64, seed=7)
     print(f"changelog: {man.n_events} events, {len(man.files)} files", file=sys.stderr)
 
     lo = run_level(n, changes, repo, trials)
     hi = run_level(4 * n, changes, repo, trials)
-    shutil.rmtree(gen_dir, ignore_errors=True)
+    if gen_dir:
+        shutil.rmtree(gen_dir, ignore_errors=True)
     thr_lo = man.n_events / lo["sec"]
     thr_hi = man.n_events / hi["sec"]
     eff = (thr_hi / thr_lo) / 4.0
