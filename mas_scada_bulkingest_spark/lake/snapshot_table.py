@@ -287,7 +287,11 @@ class SnapshotTable:
             return 0
         is_dead = F.col(_TOMBSTONE)
         if before_lsn is not None and "lsn" in raw.columns:
-            is_dead = is_dead & (F.col("lsn") < F.lit(int(before_lsn)))
+            # Null-safe: a tombstone with NULL lsn must be RETAINED (kept on
+            # the ~is_dead side), not silently dropped by three-valued logic.
+            is_dead = is_dead & F.coalesce(
+                F.col("lsn") < F.lit(int(before_lsn)), F.lit(False)
+            )
         n_purge = raw.filter(is_dead).count()
         if n_purge == 0:
             return 0
@@ -561,10 +565,21 @@ class SnapshotTable:
         new_buckets: dict[str, list[str]] = {
             b_: files for b_, files in self._snapshot["buckets"].items() if int(b_) not in affected
         }
+        affected_set = set(affected)
         for entry in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
             if not entry.startswith("_bucket="):
                 continue
             bval = entry.split("=", 1)[1]
+            if int(bval) not in affected_set:
+                # A written bucket outside the pre-pass's affected set means
+                # the caller's pre_stats were computed with a different
+                # bucket column / n_buckets than this table's — replacing an
+                # un-read bucket's file list would silently drop its rows.
+                raise ValueError(
+                    f"merge wrote bucket {bval} not in affected set "
+                    f"{sorted(affected_set)}; pre_stats were computed with a "
+                    f"mismatched bucket column or n_buckets"
+                )
             bdir = os.path.join(out_dir, entry)
             files = [
                 os.path.join(rel_dir, entry, fn)
@@ -622,10 +637,15 @@ class SnapshotTable:
         _timings["lineage"] = round(time.perf_counter() - _t0, 3)
 
         # ---- atomic snapshot commit: data + schema + epoch in ONE rename ---
+        # Built over the previous snapshot so table-level metadata (custom
+        # MERGE key/order, n_buckets, future fields) survives every commit —
+        # a snapshot that silently drops "key"/"order" would merge on the
+        # wrong columns from epoch 2 onward (regression-tested in
+        # tests/test_merge_exactly_once.py::test_custom_key_survives_commits).
         snap = {
+            **self._snapshot,
             "version": self._snapshot["version"] + 1,
             "schema": new_schema.jsonValue(),
-            "n_buckets": nb,
             "buckets": new_buckets,
             "committed_epochs": sorted(self.committed_epochs | {_epoch_key(epoch_id)}),
             "parent": self._snapshot["version"],

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from .functions.text import normalize_text
 from .lake.snapshot_table import MergeStats, SnapshotTable, compute_bucket_stats
 from .operators.lww import collapse_lww
-from .operators.skew import hot_keys, salted_repartition
+from .operators.skew import hot_keys
 from .schemas import TRANSCRIPT_SCHEMA
 
 
@@ -28,9 +28,11 @@ def parse_changes(df: DataFrame, normalize: bool = False) -> DataFrame:
       source columns, DBConnector.java:449-461)
     * optional text normalization via the vectorized Arrow UDF
     """
-    out = df.withColumn("lsn", F.col("lsn").cast("long")).withColumn(
-        "turn_idx", F.col("turn_idx").cast("int")
-    )
+    out = df
+    if "lsn" in out.columns:
+        out = out.withColumn("lsn", F.col("lsn").cast("long"))
+    if "turn_idx" in out.columns:
+        out = out.withColumn("turn_idx", F.col("turn_idx").cast("int"))
     out = out.filter(F.col("op").isin("insert", "update", "delete"))
     if normalize:
         out = out.withColumn("text", normalize_text(F.col("text")))
@@ -61,23 +63,38 @@ def apply_changes(
     # (b) the hot-key gate — a conversation can only be hot if its whole
     # BUCKET exceeds the threshold, so the per-conversation detection scan
     # runs only when some bucket count crosses it (rare, by construction).
-    pre = compute_bucket_stats(parsed, "conv_id", table.n_buckets)
+    bucket_col = table.key[0]
+    track = "lsn" if "lsn" in parsed.columns else None
+    pre = compute_bucket_stats(parsed, bucket_col, table.n_buckets)
     some_bucket_hot = hot_key_threshold is not None and any(
         r["n_in"] > hot_key_threshold for r in pre
     )
-    if some_bucket_hot:
-        hot = hot_keys(parsed, keys=("conv_id",), min_count=hot_key_threshold)
-        if hot:
-            parsed_salted = salted_repartition(parsed, keys=("conv_id",), hot=hot)
-            collapsed = collapse_lww(
-                parsed_salted.drop("_salt"),
-                two_phase_salt=skew_salt or 16,
-                track_max_of="lsn",
-            )
-        else:
-            collapsed = collapse_lww(parsed, two_phase_salt=skew_salt, track_max_of="lsn")
+    if some_bucket_hot and hot_keys(
+        parsed, keys=(bucket_col,), min_count=hot_key_threshold
+    ):
+        # Hot key confirmed: force the explicit two-phase salted collapse.
+        # No standalone salted_repartition here — the collapse's groupBy plans
+        # its own exchange, so a prior full shuffle of the raw batch would be
+        # pure wasted I/O before a hash aggregate (map-side partial agg
+        # already absorbs hot keys; salting-before-shuffle only pays off
+        # ahead of window/sort operators — see operators/skew.py for that
+        # path). The two-phase salt splits the reduce of a pathological
+        # single key across `skew_salt` reducers.
+        collapsed = collapse_lww(
+            parsed,
+            keys=table.key,
+            order=table.order,
+            two_phase_salt=skew_salt or 16,
+            track_max_of=track,
+        )
     else:
-        collapsed = collapse_lww(parsed, two_phase_salt=skew_salt, track_max_of="lsn")
+        collapsed = collapse_lww(
+            parsed,
+            keys=table.key,
+            order=table.order,
+            two_phase_salt=skew_salt,
+            track_max_of=track,
+        )
     return table.merge_changes(collapsed, epoch_id, pre_stats=pre)
 
 

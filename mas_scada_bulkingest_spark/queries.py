@@ -319,7 +319,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_JSON_EXTRACT = """
 SELECT CAST(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) // 10 AS INT) AS k_bucket,
        count(*) AS n,
-       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
 """
@@ -550,9 +550,24 @@ _SQL_SHINGLES = """
 """
 
 
+#: document-frequency cap: shingles shared by more than this many documents
+#: are "stop shingles" and are dropped BEFORE the self-join. Without it one
+#: common 3-gram shared by k docs makes k² join rows — quadratic blowup on a
+#: real corpus (the 100 TB scale-killer). Jaccard is then computed over the
+#: filtered shingle sets on both engine and oracle, so results stay exact.
+_SHINGLE_DF_CAP = 50
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    sh = _shingles(d).persist()
+    raw_sh = _shingles(d)
+    keep = (
+        raw_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = raw_sh.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -579,10 +594,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {_SQL_SHINGLES},
-  sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+  kept AS (
+    SELECT s.doc_id, s.shingle
+    FROM shingles s
+    JOIN (SELECT shingle FROM shingles GROUP BY shingle
+          HAVING count(*) <= {_SHINGLE_DF_CAP}) k USING (shingle)
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
   inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
   )
 SELECT doc_a, doc_b, n_inter,
@@ -755,10 +776,9 @@ SELECT query_id, cand_id, rank, cosine FROM ranked WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 
-def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.expr(_GRID.format(col="embedding")).alias("g")
-    )
+def _lsh_bucket_col() -> F.Column:
+    """Integer sign-LSH bucket id from the grid column ``g`` (8 md5-derived
+    hyperplanes — deterministic, no RNG, exact integer dot products)."""
     bucket = None
     for p, plane in enumerate(_PLANES):
         arr = "array(" + ",".join(f"cast({w} as bigint)" for w in plane) + ")"
@@ -767,8 +787,26 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def _duck_lsh_bucket() -> str:
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        arr = "[" + ",".join(str(w) for w in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), i -> g[i] * ({arr})[i])) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_GRID.format(col="embedding")).alias("g")
+    )
     return (
-        emb.withColumn("bucket", bucket)
+        emb.withColumn("bucket", _lsh_bucket_col())
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -779,23 +817,82 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_sql() -> str:
-    terms = []
-    for p, plane in enumerate(_PLANES):
-        arr = "[" + ",".join(str(w) for w in plane) + "]"
-        terms.append(
-            f"CASE WHEN list_sum(list_transform(range(1, 65), i -> g[i] * ({arr})[i])) > 0 "
-            f"THEN {1 << p} ELSE 0 END"
-        )
-    bucket = " + ".join(terms)
     return f"""
 WITH g AS (
   SELECT vec_id, label, {_duck_grid('embedding')} AS g FROM embeddings
 ), b AS (
-  SELECT vec_id, label, {bucket} AS bucket FROM g
+  SELECT vec_id, label, {_duck_lsh_bucket()} AS bucket FROM g
 )
 SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id,
        count(DISTINCT label) AS n_labels
 FROM b GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search: actual ANN query — LSH bucket join + within-bucket
+# cosine top-k. The 100 TB shape: candidates are restricted to the query's
+# bucket (an equi join on the bucket id — hash-partitionable, never all-pairs)
+# and the cosine ranking runs per bucket. Recall vs the exact baseline
+# (q_embed_cosine_topk) is reported in BENCH.md.
+# ---------------------------------------------------------------------------
+
+
+def q_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_GRID.format(col="embedding")).alias("g")
+    )
+    norm = emb.withColumn(
+        "n2", F.expr("aggregate(g, cast(0 as bigint), (acc, x) -> acc + x * x)")
+    ).withColumn("bucket", _lsh_bucket_col())
+    q = norm.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("g").alias("qg"),
+        F.col("n2").alias("qn2"),
+        "bucket",
+    )
+    cand = norm.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("g").alias("cg"),
+        F.col("n2").alias("cn2"),
+        "bucket",
+    )
+    pairs = q.join(cand, "bucket").filter(F.col("query_id") != F.col("cand_id"))
+    dot = F.expr(
+        "aggregate(zip_with(qg, cg, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "bucket", "rank", "cosine")
+    )
+
+
+def _ann_search_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT vec_id, {_duck_grid('embedding')} AS g FROM embeddings
+), n AS (
+  SELECT vec_id, g, list_sum(list_transform(g, x -> x * x)) AS n2,
+         {_duck_lsh_bucket()} AS bucket
+  FROM g
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.g[i] * c.g[i])) AS DOUBLE)
+           / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
+  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, bucket, rank, cosine FROM ranked WHERE rank <= 5
 """
 
 
@@ -927,6 +1024,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "embed_cosine_topk": (q_embed_cosine_topk, _SQL_EMBED_COSINE_TOPK),
     "embed_ann_lsh": (q_embed_ann_lsh, _ann_lsh_sql()),
+    "embed_ann_search": (q_embed_ann_search, _ann_search_sql()),
     "lang_id": (q_lang_id, _SQL_LANG_ID),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),

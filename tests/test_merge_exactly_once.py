@@ -93,6 +93,40 @@ def test_cross_epoch_delete_then_stale_insert(spark, tmpdir_path):
     assert set(lin.epoch_id) == {0, 1, 2, 3}
 
 
+def test_custom_key_survives_commits(spark, tmpdir_path):
+    """Regression: the commit snapshot must carry a custom MERGE key/order —
+    dropping them silently falls back to the (conv_id, turn_idx) defaults
+    from the SECOND merge onward, producing wrong merges."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("device", T.StringType(), False),
+            T.StructField("slot", T.IntegerType(), False),
+            T.StructField("val", T.StringType(), True),
+            T.StructField("ts", T.TimestampNTZType(), False),
+            T.StructField("seq", T.LongType(), False),
+        ]
+    )
+    tbl = SnapshotTable.create(
+        spark, tmpdir_path + "/t", schema, n_buckets=4,
+        key=("device", "slot"), order=("ts", "seq"),
+    )
+    cols = "seq long, op string, device string, slot int, val string, ts timestamp_ntz"
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    apply_changes(tbl, spark.createDataFrame([(1, "insert", "d1", 0, "a", t(1))], cols), 0)
+    # reopen from disk: key/order must have survived the first commit
+    reopened = SnapshotTable(spark, tmpdir_path + "/t")
+    assert reopened.key == ("device", "slot")
+    assert reopened.order == ("ts", "seq")
+    # second merge updates the same (device, slot) key — with the dropped-key
+    # bug this merged on the default key columns and corrupted the table
+    apply_changes(reopened, spark.createDataFrame([(2, "update", "d1", 0, "b", t(2))], cols), 1)
+    rows = reopened.read().collect()
+    assert len(rows) == 1 and rows[0]["val"] == "b"
+    assert SnapshotTable(spark, tmpdir_path + "/t").key == ("device", "slot")
+
+
 def test_lineage_accounting_sums(spark, tmpdir_path):
     m = generate_changelog(tmpdir_path + "/log", n_convs=30, mean_turns=5, seed=23)
     tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=8)

@@ -71,9 +71,15 @@ def main() -> int:
         mismatch = None
         for c in s.columns:
             a, b = s[c], d[c]
+            # dtype-strict: the driver's value hash distinguishes 4500 from
+            # 4500.0, so an int column on one side and float on the other is
+            # a FAIL here too (no silent float coercion).
+            if pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+                mismatch = f"col {c}: dtype kind {a.dtype} vs {b.dtype}"
+                break
             try:
-                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                    eq = (a.astype(float).fillna(-1e308) == b.astype(float).fillna(-1e308)).all()
+                if pd.api.types.is_float_dtype(a):
+                    eq = (a.fillna(-1e308) == b.fillna(-1e308)).all()
                 else:
                     eq = a.equals(b) or (a.astype(str) == b.astype(str)).all()
             except Exception:
