@@ -39,17 +39,35 @@ def _workdir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
-def bench_cdc_replay(spark, sf_name: str) -> tuple[float, int]:
+def bench_cdc_replay(spark, sf_name: str, mode: str = "cow") -> tuple[float, int]:
     """Replay a freshly generated changelog; returns (seconds, n_events)."""
-    work = _workdir("bench_cdc_")
+    work = _workdir(f"bench_cdc_{mode}_")
     changes = os.path.join(work, "changes")
     n_convs = _CDC_CONVS.get(sf_name, 40_000)
     man = generate_changelog(changes, n_convs=n_convs, mean_turns=8, n_files=32, seed=7)
-    table = create_transcripts_table(spark, os.path.join(work, "t"), n_buckets=32)
+    table = create_transcripts_table(
+        spark, os.path.join(work, "t"), n_buckets=32, mode=mode
+    )
     t0 = time.perf_counter()
-    replay_batches(spark, changes, table, files_per_epoch=16, hot_key_threshold=200_000)
+    replay_batches(
+        spark, changes, table, files_per_epoch=16, hot_key_threshold=200_000,
+        auto_compact_files=8 if mode == "mor" else None,
+    )
     dt = time.perf_counter() - t0
     return dt, man.n_events
+
+
+def _force(df) -> None:
+    """Materialize EVERY output column: hash all columns per row and sum.
+
+    ``count()`` lets Catalyst prune unreferenced projections, so projection-
+    only queries (md5/regex columns) would measure a no-op scan.
+    """
+    from pyspark.sql import functions as F
+
+    df.select(
+        F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
+    ).agg(F.sum("_h")).collect()
 
 
 def main() -> None:
@@ -71,15 +89,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: CDC replay throughput
-    cdc_sec, n_events = bench_cdc_replay(spark, sf_name)
+    # headline: CDC replay throughput, both storage modes (CoW reconciling
+    # merge vs MoR O(batch) delta appends + auto-compaction)
+    cdc_sec, n_events = bench_cdc_replay(spark, sf_name, mode="cow")
     timings["cdc_replay"] = round(cdc_sec, 3)
+    mor_sec, _ = bench_cdc_replay(spark, sf_name, mode="mor")
+    timings["cdc_replay_mor"] = round(mor_sec, 3)
 
-    # operator suite at sf_dir (count() forces full execution, no driver
-    # materialization of wide results)
+    # operator suite at sf_dir (full-column hash agg forces real execution
+    # of every output column without driver materialization)
     for name, (fn, _sql) in SQL_QUERIES.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -91,6 +112,7 @@ def main() -> None:
         "sf": sf,
         "cdc_events": n_events,
         "cdc_events_per_sec": round(n_events / cdc_sec, 1),
+        "cdc_events_per_sec_mor": round(n_events / mor_sec, 1),
         "cores": cpus,
     }
     spark.stop()

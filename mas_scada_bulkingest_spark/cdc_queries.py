@@ -1,11 +1,39 @@
 """CDC-engine queries for the correctness harness + multimodal plumbing.
 
-The CDC entries exercise the actual engine (changelog generation → epoch
-replay → exactly-once MERGE → lineage) rather than a SQL-expressible
-operator, so they are registered without a DuckDB oracle (the driver records
-a rows-only check); their correctness gate is the pytest suite, which replays
-the same changelog against the single-threaded pandas oracle reducer
-(tests/test_changelog_and_oracle.py, tests/test_merge_exactly_once.py).
+The flagship entries exercise the ACTUAL engine — changelog → epoch-sliced
+replay → exactly-once MERGE with tombstoned cross-epoch LWW and mid-stream
+additive schema evolution → lineage — and are still fully DuckDB-verifiable:
+the changelog is derived *deterministically from the sf-dir ``events``
+parquet* with SQL-expressible transforms, so the engine's final table state,
+its per-epoch lineage accounting, and its replay idempotence are each
+expressible as an ANSI-SQL window/aggregate query over the very same files
+(VERDICT.md round 1, item 1: the previous synthetic-generator path had no
+driver oracle at all).
+
+Derivation (identical expressions on both engines; see ``_SQL_CHANGES``):
+
+* ``lsn``      = ``event_id`` (verified unique per sf table)
+* ``conv_id``  = ``'conv-' || user_id``; ``turn_idx`` = ``event_id % 8`` —
+  ~E/(users*8) mutations per (conv_id, turn_idx) key
+* ``op``       = ``delete`` where ``event_type='error'`` (~20 %), else
+  ``update`` (CDC upsert semantics: an update to an unseen key inserts,
+  reference MonitorTable.java:70-76 unique-index analog)
+* ``ts``       = ``2024-01-01 + (event_id + (event_id*2654435761) % 100000)
+  seconds`` — integer-second arithmetic, exact in both engines; the
+  multiplicative-hash jitter (~1.2 days) dominates the 1 s/step drift, so
+  per-key event-time order is effectively DECOUPLED from lsn order and the
+  (ts, lsn) last-writer-wins comparison is genuinely exercised
+* epoch        = ``lsn % 4`` — epochs deliberately interleave LSN ranges so
+  every epoch delivers "late" data vs its predecessors (cross-epoch LWW +
+  tombstone semantics under maximal disorder, stronger than a contiguous
+  binlog split)
+* epochs 2-3 additionally carry a ``metadata`` column that epochs 0-1 lack
+  *in their batch schema entirely* — mid-replay additive schema evolution,
+  driver-checked (winner rows from early epochs must read NULL)
+
+The reference semantics being replayed: windowed extraction + blind upsert
+behind a unique index (DBConnector.java:89-256, MonitorTable.java:70-76),
+upgraded to ordered LWW with deletes per BASELINE.json north_rule.
 """
 
 from __future__ import annotations
@@ -20,33 +48,115 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .lake.snapshot_table import SnapshotTable
-from .pipeline import create_transcripts_table
-from .sources.changelog_gen import generate_changelog
-from .streaming.driver import replay_batches
+from .pipeline import apply_changes, create_conversations_registry
+from .schemas import TRANSCRIPT_SCHEMA
 
-# One replay per (process, sf_dir): the generated changelog and final table
-# are deterministic, so memoizing is purely a speed optimization.
+#: number of replay epochs the events-derived changelog is sliced into
+_N_EPOCHS = 4
+#: epochs >= this carry the additive ``metadata`` column (schema evolution)
+_EVOLVE_EPOCH = 2
+
+# One replay per (process, sf_dir): the derived changelog and final table are
+# deterministic, so memoizing is purely a speed optimization.
 _REPLAY_CACHE: dict[str, str] = {}
 
-_SF_CONVS = {"sf0.001": 120, "sf0.01": 400, "sf0.1": 1200}
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic changelog derived from ``events`` (see module doc).
+
+    Every expression here has an exact mirror in ``_SQL_CHANGES``; keep the
+    two in lockstep or the driver's value hash diverges.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    is_del = F.col("event_type") == "error"
+    s_off = F.col("event_id") + F.pmod(
+        F.col("event_id") * F.lit(2654435761), F.lit(100000)
+    )
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz") + F.make_dt_interval(
+        secs=s_off
+    )
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("update")).alias("op"),
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("turn_idx"),
+        F.when(is_del, F.lit(None)).otherwise(F.col("event_type")).alias("role"),
+        F.when(is_del, F.lit(None))
+        .otherwise(
+            F.concat(F.col("props"), F.lit(" v"), F.col("event_id").cast("string"))
+        )
+        .alias("text"),
+        F.when(is_del, F.lit(None))
+        .when(F.col("event_type") == "click", F.lit("search"))
+        .alias("tool"),
+        ts.alias("ts"),
+    )
 
 
-def _n_convs(sf_dir: str) -> int:
-    return _SF_CONVS.get(os.path.basename(os.path.normpath(sf_dir)), 400)
+#: DuckDB mirror of :func:`_events_changelog`, plus the epoch assignment.
+_SQL_CHANGES = """
+  changes AS (
+    SELECT event_id AS lsn,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+           'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 8 AS INT) AS turn_idx,
+           CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS role,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE props || ' v' || CAST(event_id AS VARCHAR) END AS text,
+           CASE WHEN event_type = 'error' THEN NULL
+                WHEN event_type = 'click' THEN 'search' END AS tool,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + (event_id + (event_id * 2654435761) % 100000) * INTERVAL 1 SECOND AS ts,
+           CAST(event_id % 4 AS BIGINT) AS epoch
+    FROM events
+  )
+"""
 
 
-def _replayed_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
-    key = os.path.normpath(sf_dir)
+def _replayed_table(
+    spark: SparkSession, sf_dir: str, mode: str = "cow"
+) -> SnapshotTable:
+    """Replay the events-derived changelog through the real engine once per
+    (process, sf, mode): 4 LSN-interleaved epochs via ``apply_changes``
+    (collapse → exactly-once MERGE), with the ``metadata`` column appearing
+    only in the batch schema of epochs >= 2 (additive evolution mid-replay).
+
+    ``mode="mor"`` runs the merge-on-read path (O(batch) delta appends +
+    read-time LWW + auto-compaction) — same final state, proven against the
+    same oracle.
+    """
+    key = f"{os.path.normpath(sf_dir)}::{mode}"
     if key in _REPLAY_CACHE:
         return SnapshotTable(spark, _REPLAY_CACHE[key])
     work = tempfile.mkdtemp(prefix="cdc_replay_")
-    changes = os.path.join(work, "changes")
     table_path = os.path.join(work, "transcripts")
-    generate_changelog(changes, n_convs=_n_convs(sf_dir), seed=42)
-    table = create_transcripts_table(spark, table_path, n_buckets=8)
-    replay_batches(
-        spark, changes, table, files_per_epoch=2, hot_key_threshold=1000
+    table = SnapshotTable.create(
+        spark, table_path, TRANSCRIPT_SCHEMA, n_buckets=8, mode=mode
     )
+    registry = create_conversations_registry(
+        spark, os.path.join(work, "conversations"), n_buckets=4
+    )
+    changes = _events_changelog(spark, sf_dir)
+    for e in range(_N_EPOCHS):
+        batch = changes.filter(F.pmod(F.col("lsn"), F.lit(_N_EPOCHS)) == e)
+        if e >= _EVOLVE_EPOCH:
+            batch = batch.withColumn(
+                "metadata",
+                F.when(
+                    F.col("op") != "delete",
+                    F.concat(
+                        F.lit('{"rev": '), F.col("lsn").cast("string"), F.lit("}")
+                    ),
+                ),
+            )
+        apply_changes(
+            table,
+            batch,
+            epoch_id=e,
+            hot_key_threshold=100_000,
+            auto_compact_files=8 if mode == "mor" else None,
+            registry=registry,
+        )
     _REPLAY_CACHE[key] = table_path
     return table
 
@@ -54,12 +164,14 @@ def _replayed_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
 def q_cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final transcripts table after full changelog replay (engine flagship).
 
-    Deterministic: seeded generator + LWW semantics ⇒ identical rows every
-    run. Timestamps rendered as strings for a stable cross-system hash.
+    The oracle is the textbook CDC reduction over the same parquet: global
+    (ts, lsn) last-writer-wins per (conv_id, turn_idx), minus keys whose
+    winner is a delete — per-turn text equality under stable turn ordering
+    (BASELINE.json input_hint invariant), now hash-checked by the driver.
     """
     table = _replayed_table(spark, sf_dir)
     df = table.read()
-    cols = [
+    return df.select(
         "conv_id",
         "turn_idx",
         "role",
@@ -67,20 +179,59 @@ def q_cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tool",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "lsn",
-    ]
-    if "metadata" in df.columns:
-        cols.append("metadata")
-    return df.select(*cols)
+        "metadata",
+    )
+
+
+_SQL_CDC_REPLAY_STATE = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  )
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, lsn,
+       CASE WHEN epoch >= {_EVOLVE_EPOCH}
+            THEN '{{"rev": ' || CAST(lsn AS VARCHAR) || '}}' END AS metadata
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_replay_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay through the merge-on-read storage path (per-epoch cost
+    O(batch): delta appends, read-time LWW resolution, auto-compaction) —
+    checked against the IDENTICAL oracle as the copy-on-write flagship, so
+    the driver proves MoR ≡ CoW on final state."""
+    table = _replayed_table(spark, sf_dir, mode="mor")
+    df = table.read()
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+    )
 
 
 def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-epoch lineage rollup (north_rule resumability evidence)."""
+    """Per-epoch lineage rollup (north_rule resumability evidence).
+
+    applied/skipped/deleted come from the engine's per-bucket lineage rows
+    (written by the MERGE's CollectMetrics pass); the oracle recomputes them
+    from first principles: per (key, epoch) collapse to the epoch winner,
+    then a prefix-max scan over epochs decides whether each epoch's winner
+    beat the state left by all earlier epochs (including tombstones).
+    """
     table = _replayed_table(spark, sf_dir)
     return (
         table.lineage()
         .groupBy("epoch_id")
         .agg(
-            F.count(F.lit(1)).alias("n_partitions"),
             F.sum("applied").alias("applied"),
             F.sum("skipped").alias("skipped"),
             F.sum("deleted").alias("deleted"),
@@ -89,17 +240,117 @@ def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ord packs (ts, lsn) into one comparable BIGINT: the second offset is
+# < 2^18+10^5 and lsn < 10^7, so ord = s_off * 10^7 + lsn is collision-free
+# and orders exactly like the lexicographic (ts, lsn) comparison.
+_SQL_CDC_LINEAGE = f"""
+WITH {_SQL_CHANGES},
+  o AS (
+    SELECT *, (lsn + (lsn * 2654435761) % 100000) * 10000000 + lsn AS ord
+    FROM changes
+  ),
+  w AS (
+    SELECT conv_id, turn_idx, epoch,
+           max(ord) AS word,
+           arg_max(op, ord) AS wop,
+           max(lsn) AS max_lsn_key
+    FROM o GROUP BY 1, 2, 3
+  ),
+  p AS (
+    SELECT *,
+           max(word) OVER (PARTITION BY conv_id, turn_idx ORDER BY epoch
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev
+    FROM w
+  )
+SELECT epoch AS epoch_id,
+       CAST(sum(CASE WHEN (prev IS NULL OR word > prev) AND wop <> 'delete'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS applied,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND word < prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS skipped,
+       CAST(sum(CASE WHEN (prev IS NULL OR word > prev) AND wop = 'delete'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+       max(max_lsn_key) AS max_lsn
+FROM p GROUP BY epoch
+"""
+
+
+def q_conversations_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent conversations dimension table as maintained BY the
+    pipeline during replay (first-seen MERGE inside ``apply_changes`` — the
+    reference's JCS cache + device registration, Connector.java:127-132,
+    Device.java:112-195). First-writer-wins across the interleaved epochs
+    must converge to the global min-lsn sighting per conversation, with the
+    deterministic UUIDv3 identity and regex classification."""
+    _replayed_table(spark, sf_dir)  # ensures the registry was maintained
+    key = f"{os.path.normpath(sf_dir)}::cow"
+    registry = SnapshotTable(
+        spark,
+        os.path.join(os.path.dirname(_REPLAY_CACHE[key]), "conversations"),
+    )
+    df = registry.read()
+    return df.select(
+        "conv_id",
+        "conv_uuid",
+        "conv_type",
+        F.date_format("first_seen_ts", "yyyy-MM-dd HH:mm:ss").alias("first_seen_ts"),
+        "first_seen_lsn",
+        "first_seen_epoch",
+    )
+
+
+_SQL_UUID_VARIANT_CASE = (
+    "CASE WHEN substring(h,17,1) IN ('0','4','8','c') THEN '8' "
+    "WHEN substring(h,17,1) IN ('1','5','9','d') THEN '9' "
+    "WHEN substring(h,17,1) IN ('2','6','a','e') THEN 'a' "
+    "ELSE 'b' END"
+)
+
+# classification mirror of pipeline.DEFAULT_CONV_PATTERNS/_DISCARD: first
+# full-anchored match wins; the discard pattern forces the default.
+_SQL_CONV_TYPE = """
+CASE WHEN regexp_full_match(conv_id, '^(?:conv-\\d)$')
+          AND NOT regexp_full_match(conv_id, '^(?:conv-13)$') THEN 'single'
+     WHEN regexp_full_match(conv_id, '^(?:conv-\\d\\d)$')
+          AND NOT regexp_full_match(conv_id, '^(?:conv-13)$') THEN 'double'
+     WHEN regexp_full_match(conv_id, '^(?:conv-\\d{3,})$')
+          AND NOT regexp_full_match(conv_id, '^(?:conv-13)$') THEN 'triple'
+     ELSE 'other' END
+"""
+
+_SQL_CONVERSATIONS_REGISTRY = f"""
+WITH {_SQL_CHANGES},
+  f AS (
+    SELECT conv_id,
+           min(lsn) AS first_seen_lsn,
+           arg_min(ts, lsn) AS first_ts
+    FROM changes GROUP BY conv_id
+  ),
+  h AS (SELECT *, md5('conv:' || conv_id) AS h FROM f)
+SELECT conv_id,
+       substring(h,1,8) || '-' || substring(h,9,4) || '-3' || substring(h,14,3)
+       || '-' || {_SQL_UUID_VARIANT_CASE} || substring(h,18,3) || '-' || substring(h,21,12)
+         AS conv_uuid,
+       {_SQL_CONV_TYPE} AS conv_type,
+       strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_seen_ts,
+       first_seen_lsn,
+       CAST(first_seen_lsn % 4 AS BIGINT) AS first_seen_epoch
+FROM h
+"""
+
+
 def q_cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay every committed epoch a second time; report that all were
-    no-ops (exactly-once evidence as a queryable result)."""
+    no-ops (exactly-once evidence as a driver-checkable result — the
+    reference re-inserts on crash-replay, DBConnector.java:219-332; this
+    engine's epoch commit log makes the replay structurally empty)."""
     table = _replayed_table(spark, sf_dir)
-    from .pipeline import apply_changes  # local import to avoid cycle
-
-    epochs = sorted(table.committed_epochs, key=lambda e: int(e))
+    changes = _events_changelog(spark, sf_dir)
     rows = []
-    for e in epochs:
-        st = apply_changes(table, table.read().limit(0), e)
-        rows.append((int(e), bool(st.was_noop), int(st.applied)))
+    for e in sorted(int(x) for x in table.committed_epochs):
+        batch = changes.filter(F.pmod(F.col("lsn"), F.lit(_N_EPOCHS)) == e)
+        st = apply_changes(table, batch, epoch_id=e)
+        rows.append((e, bool(st.was_noop), int(st.applied)))
     schema = T.StructType(
         [
             T.StructField("epoch_id", T.LongType()),
@@ -108,6 +359,15 @@ def q_cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+_SQL_CDC_IDEMPOTENT_REPLAY = """
+SELECT CAST(event_id % 4 AS BIGINT) AS epoch_id,
+       true AS was_noop,
+       CAST(0 AS BIGINT) AS applied
+FROM events
+GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -168,8 +428,10 @@ FROM documents
 
 #: name -> (spark_fn, oracle_sql | None)
 CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "cdc_replay_state": (q_cdc_replay_state, None),
-    "cdc_lineage": (q_cdc_lineage, None),
-    "cdc_idempotent_replay": (q_cdc_idempotent_replay, None),
+    "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
+    "cdc_replay_state_mor": (q_cdc_replay_state_mor, _SQL_CDC_REPLAY_STATE),
+    "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
+    "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),
+    "cdc_idempotent_replay": (q_cdc_idempotent_replay, _SQL_CDC_IDEMPOTENT_REPLAY),
     "multimodal_stub": (q_multimodal_stub, _SQL_MULTIMODAL_STUB),
 }

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.lww import collapse_lww
 from ..operators.schema_evolution import align_schemas, merge_schemas
 from ..schemas import LINEAGE_SCHEMA, LWW_ORDER, MERGE_KEY
 
@@ -91,6 +92,43 @@ def _epoch_num(epoch_id: int | str) -> int:
         return int(tail)
     except ValueError:
         return -1
+
+
+def _split_epoch_key(k: str) -> tuple[str, int] | None:
+    """``"<ns>:<n>"`` -> (ns, n); ``"<n>"`` -> ("", n); None if non-numeric."""
+    ns, _, tail = k.rpartition(":")
+    try:
+        return ns, int(tail)
+    except ValueError:
+        return None
+
+
+def _fold_epochs(
+    extras: set[str], watermarks: dict[str, int]
+) -> tuple[list[str], dict[str, int]]:
+    """Compact the committed-epoch set: per namespace, advance a contiguous
+    watermark W meaning "all ids 0..W committed" and keep only the sparse
+    ids beyond it. Keeps the snapshot JSON O(gaps), not O(total epochs) —
+    at 10^5+ epochs an ever-growing sorted list would bloat every commit."""
+    wm = dict(watermarks)
+    by_ns: dict[str, set[int]] = {}
+    rest: list[str] = []
+    for k in extras:
+        sp = _split_epoch_key(k)
+        if sp is None:
+            rest.append(k)
+            continue
+        by_ns.setdefault(sp[0], set()).add(sp[1])
+    for ns, nums in by_ns.items():
+        w = wm.get(ns, -1)
+        nums = {n for n in nums if n > w}
+        while w + 1 in nums:
+            w += 1
+            nums.discard(w)
+        if w >= 0:
+            wm[ns] = w
+        rest.extend((f"{ns}:{n}" if ns else str(n)) for n in sorted(nums))
+    return sorted(rest), wm
 
 
 def _bucket_expr(bucket_col: str, n_buckets: int):
@@ -132,9 +170,31 @@ class SnapshotTable:
         n_buckets: int = 16,
         key: tuple[str, ...] = MERGE_KEY,
         order: tuple[str, ...] = LWW_ORDER,
+        mode: str = "cow",
     ) -> "SnapshotTable":
         """CREATE TABLE IF NOT EXISTS semantics (reference
-        MonitorTable.java:122-150 checks catalog metadata first)."""
+        MonitorTable.java:122-150 checks catalog metadata first).
+
+        ``mode`` picks the MERGE physical strategy (fixed at create):
+
+        * ``"cow"`` — copy-on-write: each epoch reconciles against the
+          affected buckets and rewrites them; reads are plain scans and
+          lineage carries exact applied/skipped/deleted verdicts. Best for
+          read-heavy / modest-churn tables — but per-epoch write cost is
+          O(affected-bucket bytes), i.e. O(table) once batches touch every
+          bucket (uniform hash bucketing ⇒ any batch with ≳n_buckets
+          distinct keys does).
+        * ``"mor"`` — merge-on-read: each epoch appends its LWW-collapsed
+          delta (tombstones included) per bucket WITHOUT reading existing
+          data — per-epoch cost is O(batch), the only asymptotic that
+          survives 10^10 events (the reference's append-only insert is also
+          O(batch), DBConnector.java:258-332). Reads resolve last-writer-
+          wins across base+delta files; ``compact()`` bounds the per-bucket
+          file count. Lineage reports applied/deleted per batch; "skipped"
+          (stale losers) is resolved lazily at read and recorded as 0.
+        """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         if os.path.exists(os.path.join(path, _CURRENT)):
             return cls(spark, path)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -146,6 +206,7 @@ class SnapshotTable:
             "n_buckets": n_buckets,
             "key": list(key),
             "order": list(order),
+            "mode": mode,
             "buckets": {},
             "committed_epochs": [],
             "parent": None,
@@ -197,8 +258,28 @@ class SnapshotTable:
         return tuple(self._snapshot.get("order", LWW_ORDER))
 
     @property
+    def mode(self) -> str:
+        return self._snapshot.get("mode", "cow")
+
+    @property
     def committed_epochs(self) -> set[str]:
-        return {str(e) for e in self._snapshot["committed_epochs"]}
+        """Every committed epoch key, watermark ranges expanded (see
+        ``_fold_epochs``; the stored form is watermark + sparse extras)."""
+        out = {str(e) for e in self._snapshot["committed_epochs"]}
+        for ns, w in self._snapshot.get("epoch_watermarks", {}).items():
+            out.update((f"{ns}:{i}" if ns else str(i)) for i in range(w + 1))
+        return out
+
+    def is_epoch_committed(self, epoch_id: int | str) -> bool:
+        """Watermark-aware membership check (no expansion)."""
+        k = _epoch_key(epoch_id)
+        if k in {str(e) for e in self._snapshot["committed_epochs"]}:
+            return True
+        sp = _split_epoch_key(k)
+        if sp is None:
+            return False
+        ns, n = sp
+        return n <= self._snapshot.get("epoch_watermarks", {}).get(ns, -1)
 
     def _all_files(self, buckets: list[int] | None = None) -> list[str]:
         out = []
@@ -208,10 +289,20 @@ class SnapshotTable:
         return out
 
     def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current *live* table state (tombstones hidden, bucket-prunable)."""
+        """Current *live* table state (tombstones hidden, bucket-prunable).
+
+        Copy-on-write tables hold exactly one version per key, so the read is
+        a plain scan. Merge-on-read tables resolve last-writer-wins across
+        base + delta files here — a map-side-combined hash aggregate keyed by
+        the merge key, the same skew-resistant shape as the write-side
+        collapse (operators/lww.py); ``compact()`` keeps the number of files
+        per bucket (and hence versions per key) bounded.
+        """
         df = self._read_raw(buckets)
         if df is None:
             return self.spark.createDataFrame([], self.schema)
+        if self.mode == "mor":
+            df = collapse_lww(df, keys=self.key, order=self.order)
         return align_schemas(
             df.filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False))), self.schema
         )
@@ -285,6 +376,12 @@ class SnapshotTable:
         raw = self._read_raw()
         if raw is None:
             return 0
+        if self.mode == "mor":
+            # Collapse to winners first: dropping a tombstone while an older
+            # live version of the same key survives in an earlier delta file
+            # would RESURRECT that version at read time. Collapsing also
+            # compacts the rewritten buckets as a side effect.
+            raw = collapse_lww(raw, keys=self.key, order=self.order)
         is_dead = F.col(_TOMBSTONE)
         if before_lsn is not None and "lsn" in raw.columns:
             # Null-safe: a tombstone with NULL lsn must be RETAINED (kept on
@@ -332,6 +429,71 @@ class SnapshotTable:
         self._snapshot = snap
         return int(n_purge)
 
+    def compact(self, max_files: int = 8) -> int:
+        """Merge-on-read maintenance: rewrite every bucket holding more than
+        ``max_files`` files into ONE LWW-collapsed file per bucket
+        (tombstones retained — ``purge_tombstones`` owns their removal).
+
+        Bounds read amplification: between compactions a read touches at
+        most ``max_files`` delta files per bucket; the rewrite cost is
+        O(bucket bytes) but amortizes over the epochs since the last
+        compaction, keeping the *per-epoch* amortized cost O(batch). The
+        analog of Iceberg's ``rewrite_data_files`` minor compaction.
+        Single-writer: do not run concurrently with a merge. Returns the
+        number of buckets compacted.
+        """
+        targets = sorted(
+            int(b)
+            for b, files in self._snapshot["buckets"].items()
+            if len(files) > max_files
+        )
+        if not targets:
+            return 0
+        raw = self._read_raw(buckets=targets)
+        storage_schema = T.StructType(
+            list(self.schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())]
+        )
+        collapsed = collapse_lww(
+            align_schemas(raw, storage_schema), keys=self.key, order=self.order
+        )
+        nb = self.n_buckets
+        bucket_col = list(self.key)[0]
+        rel_dir = os.path.join("data", f"compact-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        with self._conf_overrides(
+            {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+        ):
+            (
+                collapsed.withColumn("_bucket", _bucket_expr(bucket_col, nb))
+                .repartition(max(len(targets), 1), F.col("_bucket"))
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+        new_buckets = {b: list(f) for b, f in self._snapshot["buckets"].items()}
+        for t in targets:  # a target bucket with only empty files vanishes
+            new_buckets.pop(str(t), None)
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            bval = entry.split("=", 1)[1]
+            files = [
+                os.path.join(rel_dir, entry, fn)
+                for fn in os.listdir(os.path.join(out_dir, entry))
+                if fn.endswith(".parquet")
+            ]
+            if files:
+                new_buckets[bval] = files
+        snap = {
+            **self._snapshot,
+            "version": self._snapshot["version"] + 1,
+            "buckets": new_buckets,
+            "parent": self._snapshot["version"],
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return len(targets)
+
     # ------------------------------------------------------------ conf scope
     @contextmanager
     def _conf_overrides(self, overrides: dict[str, str]):
@@ -357,6 +519,7 @@ class SnapshotTable:
         epoch_id: int | str,
         stats_source: DataFrame | None = None,
         pre_stats: list | None = None,
+        auto_compact_files: int | None = None,
     ) -> MergeStats:
         """Idempotent MERGE of an LWW-collapsed change batch.
 
@@ -371,7 +534,8 @@ class SnapshotTable:
         whole lineage). Affected buckets and max LSN are identical computed
         from either side since collapse preserves the key set.
         """
-        if _epoch_key(epoch_id) in self.committed_epochs:
+        _merge_t0 = time.perf_counter()
+        if self.is_epoch_committed(epoch_id):
             return MergeStats(epoch_id, 0, 0, 0, None, was_noop=True)
 
         nb = self.n_buckets
@@ -428,7 +592,12 @@ class SnapshotTable:
             F.col("op").alias("_in_op"),
         ).withColumn("_bucket", _bucket_expr(bucket_col, nb))
 
-        raw = self._read_raw(buckets=affected)
+        mor = self.mode == "mor"
+        # Merge-on-read: NEVER read the existing side — the collapsed batch
+        # is appended as per-bucket delta files (deletes as tombstones
+        # carrying their LWW watermark) and stale losers are resolved by the
+        # read-time collapse. Per-epoch cost is O(batch), not O(table).
+        raw = None if mor else self._read_raw(buckets=affected)
         if raw is not None:
             # Existing side INCLUDES tombstones: a delete's (ts, lsn) must
             # out-compare stale re-deliveries arriving in later epochs.
@@ -561,10 +730,19 @@ class SnapshotTable:
             skipped = sum(v[1] for v in lin_by_bucket.values())
             deleted = sum(v[2] for v in lin_by_bucket.values())
 
-        # map written files back to buckets from the partition directories
-        new_buckets: dict[str, list[str]] = {
-            b_: files for b_, files in self._snapshot["buckets"].items() if int(b_) not in affected
-        }
+        # map written files back to buckets from the partition directories:
+        # CoW replaces each affected bucket's file list (the rewrite carried
+        # every surviving row); MoR appends the epoch's delta files to it.
+        if mor:
+            new_buckets: dict[str, list[str]] = {
+                b_: list(files) for b_, files in self._snapshot["buckets"].items()
+            }
+        else:
+            new_buckets = {
+                b_: files
+                for b_, files in self._snapshot["buckets"].items()
+                if int(b_) not in affected
+            }
         affected_set = set(affected)
         for entry in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
             if not entry.startswith("_bucket="):
@@ -587,11 +765,15 @@ class SnapshotTable:
                 if fn.endswith(".parquet")
             ]
             if files:
-                new_buckets[bval] = files
+                if mor:
+                    new_buckets[bval] = new_buckets.get(bval, []) + files
+                else:
+                    new_buckets[bval] = files
 
         # ---- lineage append (before the snapshot pointer flips; a crash
-        # here re-appends on replay, and readers key lineage by epoch_id) ----
+        # here re-appends on replay, and readers key lineage by epoch_key) ---
         now = datetime.now()
+        wall = round(time.perf_counter() - _merge_t0, 3)
         lin_rows = [
             (
                 _epoch_num(epoch_id),
@@ -616,11 +798,17 @@ class SnapshotTable:
             lin_table = pa.table(
                 {
                     "epoch_id": pa.array([r[0] for r in lin_rows], pa.int64()),
+                    "epoch_key": pa.array(
+                        [_epoch_key(epoch_id)] * len(lin_rows), pa.string()
+                    ),
                     "partition_id": pa.array([r[1] for r in lin_rows], pa.int32()),
                     "applied": pa.array([r[2] for r in lin_rows], pa.int64()),
                     "skipped": pa.array([r[3] for r in lin_rows], pa.int64()),
                     "deleted": pa.array([r[4] for r in lin_rows], pa.int64()),
                     "max_lsn": pa.array([r[5] for r in lin_rows], pa.int64()),
+                    "wall_secs": pa.array(
+                        [wall] * len(lin_rows), pa.float64()
+                    ),
                     "committed_ts": pa.array(
                         [r[6] for r in lin_rows], pa.timestamp("us")
                     ),
@@ -642,18 +830,31 @@ class SnapshotTable:
         # a snapshot that silently drops "key"/"order" would merge on the
         # wrong columns from epoch 2 onward (regression-tested in
         # tests/test_merge_exactly_once.py::test_custom_key_survives_commits).
+        extras = {str(e) for e in self._snapshot["committed_epochs"]}
+        extras.add(_epoch_key(epoch_id))
+        folded, watermarks = _fold_epochs(
+            extras, self._snapshot.get("epoch_watermarks", {})
+        )
         snap = {
             **self._snapshot,
             "version": self._snapshot["version"] + 1,
             "schema": new_schema.jsonValue(),
             "buckets": new_buckets,
-            "committed_epochs": sorted(self.committed_epochs | {_epoch_key(epoch_id)}),
+            "committed_epochs": folded,
+            "epoch_watermarks": watermarks,
             "parent": self._snapshot["version"],
         }
         _t0 = time.perf_counter()
         self._write_snapshot(snap)
         self._snapshot = snap
         _timings["commit"] = round(time.perf_counter() - _t0, 3)
+        if mor and auto_compact_files:
+            # post-commit maintenance: exactly-once is already sealed by the
+            # snapshot above; compaction is its own (crash-safe) commit.
+            _t0 = time.perf_counter()
+            n = self.compact(max_files=auto_compact_files)
+            if n:
+                _timings["compact"] = round(time.perf_counter() - _t0, 3)
         return MergeStats(
             epoch_id, applied, skipped, deleted, max_lsn, was_noop=False, timings=_timings
         )

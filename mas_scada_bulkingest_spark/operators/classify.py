@@ -11,10 +11,31 @@ Catalyst, whole-stage-codegen'd, no UDF.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def load_classifier_config(path: str) -> tuple[list[tuple[str, str]], list[str], str | None]:
+    """Load ``(patterns, discard, default_type)`` from a JSON config file —
+    the engine analog of the reference's ``connection.json`` classifier
+    surface (Config.java:173-179 feeding ParseTagname.java:36-74).
+
+    Format::
+
+        {"patterns": [["type", "regex"], ...],
+         "discard": ["regex", ...],
+         "default_type": "other"}
+
+    Feed the result straight into :func:`classify_expr`.
+    """
+    with open(path) as f:
+        cfg = json.load(f)
+    patterns = [(str(t), str(p)) for t, p in cfg.get("patterns", [])]
+    discard = [str(d) for d in cfg.get("discard", [])]
+    return patterns, discard, cfg.get("default_type")
 
 
 def _anchor(pattern: str) -> str:

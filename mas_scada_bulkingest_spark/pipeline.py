@@ -13,11 +13,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.ids import name_uuid_expr
 from .functions.text import normalize_text
 from .lake.snapshot_table import MergeStats, SnapshotTable, compute_bucket_stats
+from .operators.classify import classify_expr
 from .operators.lww import collapse_lww
 from .operators.skew import hot_keys
-from .schemas import TRANSCRIPT_SCHEMA
+from .schemas import (
+    CONVERSATIONS_SCHEMA,
+    REGISTRY_KEY,
+    REGISTRY_ORDER,
+    TRANSCRIPT_SCHEMA,
+)
+
+#: default conversation classification (reference loads its (type, pattern)
+#: list + discards from connection.json, Config.java:173-179; override via
+#: the ``classify_patterns``/``classify_discard`` arguments or a config file
+#: through :func:`mas_scada_bulkingest_spark.operators.classify.load_classifier_config`).
+DEFAULT_CONV_PATTERNS = [
+    ("single", r"conv-\d"),
+    ("double", r"conv-\d\d"),
+    ("triple", r"conv-\d{3,}"),
+]
+DEFAULT_CONV_DISCARD = [r"conv-13"]
 
 
 def parse_changes(df: DataFrame, normalize: bool = False) -> DataFrame:
@@ -46,6 +64,8 @@ def apply_changes(
     normalize: bool = False,
     skew_salt: int | None = None,
     hot_key_threshold: int | None = None,
+    auto_compact_files: int | None = None,
+    registry: SnapshotTable | None = None,
 ) -> MergeStats:
     """Apply one micro-batch of change records to ``table`` exactly once.
 
@@ -53,11 +73,19 @@ def apply_changes(
     ``hot_key_threshold=K`` first detects conversations with >K events in the
     batch and salt-repartitions only those before the collapse (north_rule's
     explicit skew splitting); cold batches skip the extra pass.
+    ``auto_compact_files=K`` (merge-on-read tables) compacts any bucket that
+    exceeds K delta files after the commit.
+    ``registry``: a conversations dimension table to maintain alongside the
+    facts — first-seen registration runs BEFORE the fact merge (the
+    reference registers devices before upload, Connector.java:136-146),
+    guarded by its own epoch commit log.
     """
-    if str(epoch_id) in table.committed_epochs:
+    if table.is_epoch_committed(epoch_id):
         return table.merge_changes(batch.limit(0), epoch_id)  # cheap no-op path
 
     parsed = parse_changes(batch, normalize=normalize)
+    if registry is not None:
+        register_conversations(registry, parsed, epoch_id)
     # ONE shared pre-pass over the raw batch: per-bucket counts + max LSN.
     # It drives (a) the merge's bucket pruning and lineage watermark and
     # (b) the hot-key gate — a conversation can only be hot if its whole
@@ -95,10 +123,73 @@ def apply_changes(
             two_phase_salt=skew_salt,
             track_max_of=track,
         )
-    return table.merge_changes(collapsed, epoch_id, pre_stats=pre)
+    return table.merge_changes(
+        collapsed, epoch_id, pre_stats=pre, auto_compact_files=auto_compact_files
+    )
 
 
 def create_transcripts_table(
+    spark: SparkSession, path: str, n_buckets: int = 16, mode: str = "cow"
+) -> SnapshotTable:
+    return SnapshotTable.create(
+        spark, path, TRANSCRIPT_SCHEMA, n_buckets=n_buckets, mode=mode
+    )
+
+
+def create_conversations_registry(
     spark: SparkSession, path: str, n_buckets: int = 16
 ) -> SnapshotTable:
-    return SnapshotTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=n_buckets)
+    """The persistent entity registry — the analog of the reference's JCS
+    tagpath cache + REST device/dimension registration (Connector.java:
+    127-132, Device.java:112-195) as a MERGE-maintained dimension table."""
+    return SnapshotTable.create(
+        spark,
+        path,
+        CONVERSATIONS_SCHEMA,
+        n_buckets=n_buckets,
+        key=REGISTRY_KEY,
+        order=REGISTRY_ORDER,
+    )
+
+
+def register_conversations(
+    registry: SnapshotTable,
+    batch: DataFrame,
+    epoch_id: int | str,
+    patterns: list[tuple[str, str]] | None = None,
+    discard: list[str] | None = None,
+    default_type: str = "other",
+) -> MergeStats:
+    """First-seen registration MERGE for every conversation in ``batch``.
+
+    One map-side-combined aggregate collapses the batch to its earliest
+    sighting per ``conv_id`` (min ``(lsn, ts)``), derives the deterministic
+    UUIDv3 identity (reference ``UUID.nameUUIDFromBytes``,
+    DBConnector.java:476) and the regex classification (ParseTagname.java:
+    76-105), then MERGEs into the registry guarded by the same epoch commit
+    log. The registry's LWW order is ``-lsn`` (see CONVERSATIONS_SCHEMA), so
+    re-registration is a no-op — the cache's ``putSafe`` contract — while a
+    genuinely earlier sighting delivered late still corrects ``first_seen``.
+    """
+    from .lake.snapshot_table import _epoch_num
+
+    firsts = batch.groupBy("conv_id").agg(
+        F.min(F.struct("lsn", "ts")).alias("_first")
+    )
+    lsn = F.col("_first.lsn")
+    reg = firsts.select(
+        "conv_id",
+        name_uuid_expr(F.concat(F.lit("conv:"), F.col("conv_id"))).alias("conv_uuid"),
+        classify_expr(
+            "conv_id",
+            patterns if patterns is not None else DEFAULT_CONV_PATTERNS,
+            discard=discard if discard is not None else DEFAULT_CONV_DISCARD,
+            default_type=default_type,
+        ).alias("conv_type"),
+        F.col("_first.ts").alias("first_seen_ts"),
+        lsn.alias("first_seen_lsn"),
+        F.lit(_epoch_num(epoch_id)).cast("long").alias("first_seen_epoch"),
+        (-lsn).alias("neg_lsn"),
+        F.lit("insert").alias("op"),
+    )
+    return registry.merge_changes(reg, epoch_id)

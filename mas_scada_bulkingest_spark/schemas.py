@@ -63,9 +63,22 @@ CONVERSATIONS_SCHEMA = T.StructType(
         T.StructField("conv_uuid", T.StringType(), nullable=False),
         T.StructField("conv_type", T.StringType(), nullable=True),
         T.StructField("first_seen_ts", T.TimestampNTZType(), nullable=True),
+        T.StructField("first_seen_lsn", T.LongType(), nullable=True),
         T.StructField("first_seen_epoch", T.LongType(), nullable=True),
+        # LWW carrier for FIRST-writer-wins: the registry MERGE compares
+        # order tuples with max-struct semantics, so storing -first_seen_lsn
+        # makes the EARLIEST registration win and a re-registration of the
+        # same or a later sighting lose — exactly the reference cache's
+        # putSafe no-overwrite contract (TagData.java putSafe,
+        # TagDataTest.java:179-188), while a genuinely earlier sighting
+        # arriving late still corrects first_seen.
+        T.StructField("neg_lsn", T.LongType(), nullable=True),
     ]
 )
+
+#: MERGE key / order for the conversations registry table.
+REGISTRY_KEY = ("conv_id",)
+REGISTRY_ORDER = ("neg_lsn",)
 
 # ---------------------------------------------------------------------------
 # A4. _lineage — per-epoch per-partition lineage (north_rule requirement;
@@ -75,11 +88,19 @@ CONVERSATIONS_SCHEMA = T.StructType(
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("epoch_id", T.LongType(), nullable=False),
+        # Full namespaced epoch key ("<checkpoint-ns>:<batch>" for streaming
+        # lineages, the plain id otherwise): two different checkpoints both
+        # count batches 0,1,2…, so epoch_id alone would conflate them.
+        T.StructField("epoch_key", T.StringType(), nullable=True),
         T.StructField("partition_id", T.IntegerType(), nullable=False),
         T.StructField("applied", T.LongType(), nullable=False),
         T.StructField("skipped", T.LongType(), nullable=False),
         T.StructField("deleted", T.LongType(), nullable=False),
         T.StructField("max_lsn", T.LongType(), nullable=True),
+        # Wall seconds for the epoch's merge (same value on every partition
+        # row of the epoch) — makes throughput queryable, the reference's
+        # per-cycle rate (DBConnector.java:235-238, StatsServer.java:77).
+        T.StructField("wall_secs", T.DoubleType(), nullable=True),
         T.StructField("committed_ts", T.TimestampNTZType(), nullable=False),
     ]
 )

@@ -18,18 +18,24 @@ from .lake.snapshot_table import SnapshotTable
 def epoch_summary(table: SnapshotTable) -> DataFrame:
     """One row per epoch: totals + throughput inputs (applied/skipped/deleted,
     max LSN watermark, partitions touched)."""
+    rows = F.col("applied") + F.col("skipped") + F.col("deleted")
     return (
         table.lineage()
-        .groupBy("epoch_id")
+        # epoch_key disambiguates equal batch numbers from different
+        # checkpoint lineages (epoch_id alone would conflate them)
+        .groupBy(F.coalesce("epoch_key", F.col("epoch_id").cast("string")).alias("epoch_key"))
         .agg(
+            F.max("epoch_id").alias("epoch_id"),
             F.count(F.lit(1)).alias("n_partitions"),
             F.sum("applied").alias("applied"),
             F.sum("skipped").alias("skipped"),
             F.sum("deleted").alias("deleted"),
             F.max("max_lsn").alias("max_lsn"),
+            F.max("wall_secs").alias("wall_secs"),
+            (F.sum(rows).cast("double") / F.max("wall_secs")).alias("rows_per_sec"),
             F.max("committed_ts").alias("committed_ts"),
         )
-        .orderBy("epoch_id")
+        .orderBy("epoch_key")
     )
 
 
@@ -39,26 +45,34 @@ def status(table: SnapshotTable) -> dict:
     Returns totals across all committed epochs plus table-shape facts from
     the current snapshot (no full-table scan).
     """
-    lin = (
-        table.lineage()
-        .agg(
-            F.countDistinct("epoch_id").alias("epochs"),
-            F.sum("applied").alias("applied"),
-            F.sum("skipped").alias("skipped"),
-            F.sum("deleted").alias("deleted"),
-            F.max("max_lsn").alias("max_lsn"),
-            F.max("committed_ts").alias("last_commit_ts"),
-        )
-        .first()
-    )
+    per_epoch = epoch_summary(table)
+    lin = per_epoch.agg(
+        F.count(F.lit(1)).alias("epochs"),
+        F.sum("applied").alias("applied"),
+        F.sum("skipped").alias("skipped"),
+        F.sum("deleted").alias("deleted"),
+        F.max("max_lsn").alias("max_lsn"),
+        F.sum("wall_secs").alias("merge_secs"),
+        F.max("committed_ts").alias("last_commit_ts"),
+    ).first()
     snap = table._snapshot
     n_files = sum(len(v) for v in snap["buckets"].values())
+    total_rows = int(lin["applied"] or 0) + int(lin["skipped"] or 0) + int(
+        lin["deleted"] or 0
+    )
+    merge_secs = float(lin["merge_secs"]) if lin["merge_secs"] else None
     return {
         "epochs_committed": len(table.committed_epochs),
         "epochs_with_lineage": int(lin["epochs"] or 0),
         "rows_applied": int(lin["applied"] or 0),
         "rows_skipped": int(lin["skipped"] or 0),
         "rows_deleted": int(lin["deleted"] or 0),
+        # the reference's per-cycle rate (rowCount*1000/cycleMillis,
+        # DBConnector.java:235-238), here queryable over all epochs
+        "merge_secs": merge_secs,
+        "rows_per_sec": (
+            round(total_rows / merge_secs, 1) if merge_secs else None
+        ),
         "max_lsn": int(lin["max_lsn"]) if lin["max_lsn"] is not None else None,
         "last_commit_ts": str(lin["last_commit_ts"]) if lin["last_commit_ts"] else None,
         "snapshot_version": snap["version"],

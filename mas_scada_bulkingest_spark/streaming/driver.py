@@ -19,7 +19,6 @@ mid-stream additive schema evolution is exercised without a stream restart.
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 from collections.abc import Callable
 
@@ -66,6 +65,7 @@ def replay_batches(
     changes_dir: str,
     table: SnapshotTable,
     files_per_epoch: int = 1,
+    files_per_epoch_tail: int | None = None,
     start_epoch: int = 0,
     on_epoch: Callable[[MergeStats], None] | None = None,
     **apply_kwargs,
@@ -76,16 +76,29 @@ def replay_batches(
     the engine sees the ``metadata`` column appear exactly when the stream
     evolved — additive evolution flows through ``merge_changes`` which ALTERs
     the table schema in the same atomic snapshot commit.
+
+    ``files_per_epoch_tail`` enables the reference's adaptive cadence
+    (OffsetRecord.java:250-279: 14 400 s windows while catching up, ≤120 s at
+    the tail): epochs consume ``files_per_epoch`` files while the remaining
+    backlog exceeds one catch-up window, then shrink to
+    ``files_per_epoch_tail`` so tail latency (and per-epoch commit size)
+    drops once caught up.
     """
     files = sorted(
         os.path.join(changes_dir, f)
         for f in os.listdir(changes_dir)
         if f.endswith(".parquet")
     )
-    n_epochs = math.ceil(len(files) / files_per_epoch)
+    groups: list[list[str]] = []
+    i = 0
+    while i < len(files):
+        size = files_per_epoch
+        if files_per_epoch_tail is not None and len(files) - i <= files_per_epoch:
+            size = files_per_epoch_tail  # caught up: shrink the window
+        groups.append(files[i : i + size])
+        i += size
     stats: list[MergeStats] = []
-    for e in range(n_epochs):
-        group = files[e * files_per_epoch : (e + 1) * files_per_epoch]
+    for e, group in enumerate(groups):
         batch = spark.read.option("mergeSchema", "true").parquet(*group)
         st = apply_changes(table, batch, epoch_id=start_epoch + e, **apply_kwargs)
         stats.append(st)

@@ -1,0 +1,125 @@
+"""Merge-on-read tables: O(batch) epoch appends + read-time LWW resolution.
+
+The copy-on-write MERGE rewrites every affected bucket; under uniform hash
+bucketing any sizable batch touches all buckets, so per-epoch cost grows with
+table size — fatal at 10^10 events. The MoR mode appends per-bucket deltas
+(cost ∝ batch) and must still produce bit-identical final state, including
+tombstone semantics, compaction, and mid-stream schema evolution.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+
+from mas_scada_bulkingest_spark import oracle
+from mas_scada_bulkingest_spark.lake.snapshot_table import SnapshotTable
+from mas_scada_bulkingest_spark.pipeline import apply_changes, create_transcripts_table
+from mas_scada_bulkingest_spark.sources import generate_changelog
+from mas_scada_bulkingest_spark.streaming.driver import replay_batches
+
+from conftest import assert_frames_equal
+
+FINAL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn", "metadata"]
+
+CHANGE_COLS = (
+    "lsn long, op string, conv_id string, turn_idx int, role string,"
+    " text string, tool string, ts timestamp_ntz"
+)
+
+
+def _final(tbl: SnapshotTable) -> pd.DataFrame:
+    pdf = tbl.read().orderBy("conv_id", "turn_idx").toPandas()
+    cols = [c for c in FINAL_COLS if c in pdf.columns]
+    return pdf[cols].reset_index(drop=True)
+
+
+def test_mor_replay_matches_oracle_and_cow(spark, tmpdir_path):
+    generate_changelog(tmpdir_path + "/log", n_convs=60, mean_turns=6, seed=31)
+    ref = oracle.reduce_changelog_dir(tmpdir_path + "/log")
+    mor = create_transcripts_table(spark, tmpdir_path + "/mor", n_buckets=8, mode="mor")
+    cow = create_transcripts_table(spark, tmpdir_path + "/cow", n_buckets=8)
+    replay_batches(spark, tmpdir_path + "/log", mor, files_per_epoch=2)
+    replay_batches(spark, tmpdir_path + "/log", cow, files_per_epoch=2)
+    assert_frames_equal(_final(mor), ref[FINAL_COLS])
+    assert_frames_equal(_final(mor), _final(cow))
+    # MoR appended deltas: bucket file lists must have grown multi-file
+    assert any(len(v) > 1 for v in mor._snapshot["buckets"].values())
+
+
+def test_mor_delete_tombstone_blocks_stale_insert(spark, tmpdir_path):
+    tbl = SnapshotTable.create(
+        spark, tmpdir_path + "/t",
+        create_transcripts_table(spark, tmpdir_path + "/probe").schema,
+        n_buckets=4, mode="mor",
+    )
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    mk = lambda rows: spark.createDataFrame(rows, CHANGE_COLS)
+    apply_changes(tbl, mk([(1, "insert", "c", 0, "user", "x", None, t(1))]), 0)
+    apply_changes(tbl, mk([(2, "delete", "c", 0, None, None, None, t(2))]), 1)
+    assert tbl.read().count() == 0
+    # stale re-delivered insert in a later epoch: appended as a delta but the
+    # read-time LWW picks the tombstone — the row must NOT resurrect
+    apply_changes(tbl, mk([(1, "insert", "c", 0, "user", "x", None, t(1))]), 2)
+    assert tbl.read().count() == 0
+    # a genuinely newer insert wins at read
+    apply_changes(tbl, mk([(3, "insert", "c", 0, "user", "z", None, t(3))]), 3)
+    rows = tbl.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "z"
+
+
+def test_mor_compact_preserves_state_and_bounds_files(spark, tmpdir_path):
+    generate_changelog(tmpdir_path + "/log", n_convs=30, mean_turns=5, seed=32)
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4, mode="mor")
+    replay_batches(spark, tmpdir_path + "/log", tbl, files_per_epoch=1)  # 8 epochs
+    before = _final(tbl)
+    assert max(len(v) for v in tbl._snapshot["buckets"].values()) > 1
+    n = tbl.compact(max_files=1)
+    assert n > 0
+    assert max(len(v) for v in tbl._snapshot["buckets"].values()) == 1
+    assert_frames_equal(_final(tbl), before)
+    # idempotent: nothing left over the threshold
+    assert tbl.compact(max_files=1) == 0
+    # a reopened handle sees the compacted snapshot
+    assert_frames_equal(_final(SnapshotTable(spark, tmpdir_path + "/t")), before)
+
+
+def test_mor_auto_compact_during_replay(spark, tmpdir_path):
+    generate_changelog(tmpdir_path + "/log", n_convs=30, mean_turns=5, seed=33)
+    ref = oracle.reduce_changelog_dir(tmpdir_path + "/log")
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4, mode="mor")
+    replay_batches(
+        spark, tmpdir_path + "/log", tbl, files_per_epoch=1, auto_compact_files=2
+    )
+    assert max(len(v) for v in tbl._snapshot["buckets"].values()) <= 3
+    assert_frames_equal(_final(tbl), ref[FINAL_COLS])
+
+
+def test_mor_epoch_replay_is_noop(spark, tmpdir_path):
+    generate_changelog(tmpdir_path + "/log", n_convs=20, mean_turns=4, seed=34)
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4, mode="mor")
+    replay_batches(spark, tmpdir_path + "/log", tbl, files_per_epoch=4)
+    before = _final(tbl)
+    n_files_before = sum(len(v) for v in tbl._snapshot["buckets"].values())
+    again = replay_batches(spark, tmpdir_path + "/log", tbl, files_per_epoch=4)
+    assert all(s.was_noop for s in again)
+    assert sum(len(v) for v in tbl._snapshot["buckets"].values()) == n_files_before
+    assert_frames_equal(_final(tbl), before)
+
+
+def test_mor_purge_tombstones_no_resurrection(spark, tmpdir_path):
+    tbl = SnapshotTable.create(
+        spark, tmpdir_path + "/t",
+        create_transcripts_table(spark, tmpdir_path + "/probe").schema,
+        n_buckets=4, mode="mor",
+    )
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    mk = lambda rows: spark.createDataFrame(rows, CHANGE_COLS)
+    # older live version in an EARLIER delta file than the tombstone: a
+    # naive purge (drop dead rows from raw) would resurrect "x" at read
+    apply_changes(tbl, mk([(1, "insert", "c", 0, "user", "x", None, t(1))]), 0)
+    apply_changes(tbl, mk([(2, "delete", "c", 0, None, None, None, t(2))]), 1)
+    purged = tbl.purge_tombstones()
+    assert purged == 1
+    assert tbl.read().count() == 0

@@ -14,8 +14,11 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 
+from mas_scada_bulkingest_spark.cdc_queries import CDC_QUERIES  # noqa: E402
 from mas_scada_bulkingest_spark.queries import SQL_QUERIES  # noqa: E402
 from mas_scada_bulkingest_spark.streaming.driver import build_session  # noqa: E402
+
+ALL_QUERIES = {**SQL_QUERIES, **CDC_QUERIES}
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -41,7 +44,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
-    for name, (fn, sql) in SQL_QUERIES.items():
+    for name, (fn, sql) in ALL_QUERIES.items():
         if only and name not in only:
             continue
         try:
