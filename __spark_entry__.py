@@ -1,11 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` runs the engine flagship: deterministic changelog replay
-through the exactly-once CDC MERGE pipeline at sf0.001 scale. ``queries()``
-covers SURVEY.md §2 operator-by-operator plus the training-data pipeline
-operators (dedup / similarity / text analysis / multimodal); each SQL-
-expressible entry has a DuckDB oracle in ``oracle_sql()`` with matching
-column names (verified locally via tools/verify_oracles.py).
+``entry(spark)`` runs the engine flagship: a changelog derived
+deterministically from the sf-dir ``events`` table, replayed through the
+exactly-once CDC MERGE pipeline (LSN-interleaved epochs, mid-replay schema
+evolution, registry maintenance) at sf0.001 scale. ``queries()`` covers
+SURVEY.md §2 operator-by-operator plus the training-data pipeline operators
+(dedup / similarity / text analysis / multimodal); EVERY entry — including
+the flagship replay, its merge-on-read twin, lineage accounting, the
+conversations registry, and replay idempotence — has a DuckDB oracle in
+``oracle_sql()`` with matching column names (verified locally via
+tools/verify_oracles.py).
 """
 
 from __future__ import annotations

@@ -28,8 +28,10 @@ from mas_scada_bulkingest_spark.queries import SQL_QUERIES  # noqa: E402
 from mas_scada_bulkingest_spark.sources.changelog_gen import generate_changelog  # noqa: E402
 from mas_scada_bulkingest_spark.streaming.driver import build_session, replay_batches  # noqa: E402
 
-#: events scale for the CDC replay benchmark (per sf of the query tables)
-_CDC_CONVS = {"sf0.001": 2_000, "sf0.01": 8_000, "sf0.1": 40_000}
+#: events scale for the CDC replay benchmark (per sf of the query tables).
+#: sized so fixed per-epoch JVM/planning cost (~2-4 s) is amortized — at
+#: 1M events the replay measured overhead, not the engine (VERDICT round 1).
+_CDC_CONVS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 120_000}
 
 
 def _workdir(prefix: str) -> str:
@@ -67,7 +69,7 @@ def _force(df) -> None:
 
     df.select(
         F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
-    ).agg(F.sum("_h")).collect()
+    ).agg(F.bit_xor("_h")).collect()  # xor: overflow-free under ANSI mode
 
 
 def main() -> None:

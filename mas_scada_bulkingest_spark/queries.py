@@ -353,6 +353,48 @@ FROM orders GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# F6/F7 — epoch-millis → timestamp → formatted string roundtrip (reference
+# `new Timestamp(rs.getLong(i))`, DBConnector.java:434-436 + SimpleDateFormat
+# both directions, DateUtil.java:44-81). Timezone-independent by construction:
+# all arithmetic happens in TIMESTAMP_NTZ space.
+# ---------------------------------------------------------------------------
+
+
+def q_epoch_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ms = F.col("event_id") * F.lit(1000003) + F.pmod(F.col("event_id"), F.lit(997))
+    return (
+        ev.withColumn("ms", ms)
+        .withColumn(
+            "t_ms",
+            F.expr("timestampadd(MILLISECOND, ms, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+        .select(
+            "event_id",
+            "ms",
+            F.date_format("t_ms", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_ms_str"),
+            (
+                F.expr(
+                    "timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', t_ms)"
+                )
+                == F.col("ms")
+            ).alias("roundtrip_ok"),
+        )
+    )
+
+
+_SQL_EPOCH_MILLIS = """
+WITH m AS (
+  SELECT event_id, event_id * 1000003 + event_id % 997 AS ms FROM events
+)
+SELECT event_id, ms,
+       strftime(TIMESTAMP '1970-01-01 00:00:00' + to_microseconds(ms * 1000),
+                '%Y-%m-%d %H:%M:%S.%g') AS ts_ms_str,
+       true AS roundtrip_ok
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
 # A1 — pricing summary (TPC-H Q1 shape; partial-agg hash aggregate)
 # ---------------------------------------------------------------------------
 
@@ -830,12 +872,38 @@ FROM b GROUP BY bucket
 
 
 # ---------------------------------------------------------------------------
-# similarity search: actual ANN query — LSH bucket join + within-bucket
-# cosine top-k. The 100 TB shape: candidates are restricted to the query's
-# bucket (an equi join on the bucket id — hash-partitionable, never all-pairs)
-# and the cosine ranking runs per bucket. Recall vs the exact baseline
-# (q_embed_cosine_topk) is reported in BENCH.md.
+# similarity search: actual ANN query — MULTI-TABLE LSH bucket join +
+# within-candidate cosine top-k. The 100 TB shape: each vector explodes into
+# L (table, bucket) keys; candidates are the union over tables of
+# same-bucket vectors (an equi join on (table, bucket) — hash-partitionable,
+# never all-pairs); a distinct pass dedupes pairs that collide in several
+# tables, then cosine ranks per query. L tables × k bits is the standard
+# recall lever (recall@5 and the candidate fraction vs the exact baseline
+# q_embed_cosine_topk are reported in BENCH.md — the test embeddings are
+# near-random, which bounds any ANN method's recall/candidate tradeoff).
 # ---------------------------------------------------------------------------
+
+_ANN_TABLES = 8
+_ANN_BITS = 6
+_PLANES_MT = _lsh_planes(n_planes=_ANN_TABLES * _ANN_BITS)
+
+
+def _mt_bucket_cols() -> list[F.Column]:
+    """Per-table integer bucket ids (table t uses planes [t*k, (t+1)*k))."""
+    out = []
+    for t in range(_ANN_TABLES):
+        bucket = None
+        for b in range(_ANN_BITS):
+            plane = _PLANES_MT[t * _ANN_BITS + b]
+            arr = "array(" + ",".join(f"cast({w} as bigint)" for w in plane) + ")"
+            dot = F.expr(
+                f"aggregate(zip_with(g, {arr}, (x, w) -> x * w), "
+                "cast(0 as bigint), (acc, x) -> acc + x)"
+            )
+            term = F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        out.append(bucket)
+    return out
 
 
 def q_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,20 +912,36 @@ def q_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = emb.withColumn(
         "n2", F.expr("aggregate(g, cast(0 as bigint), (acc, x) -> acc + x * x)")
-    ).withColumn("bucket", _lsh_bucket_col())
-    q = norm.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("g").alias("qg"),
-        F.col("n2").alias("qn2"),
-        "bucket",
     )
-    cand = norm.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("g").alias("cg"),
-        F.col("n2").alias("cn2"),
-        "bucket",
+    buckets = _mt_bucket_cols()
+    keys = norm.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+                    for t, b in enumerate(buckets)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    qk = keys.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
-    pairs = q.join(cand, "bucket").filter(F.col("query_id") != F.col("cand_id"))
+    ck = keys.select(F.col("vec_id").alias("cand_id"), "tbl", "bucket")
+    cand_pairs = (
+        qk.join(ck, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    qv = norm.select(
+        F.col("vec_id").alias("query_id"), F.col("g").alias("qg"), F.col("n2").alias("qn2")
+    )
+    cv = norm.select(
+        F.col("vec_id").alias("cand_id"), F.col("g").alias("cg"), F.col("n2").alias("cn2")
+    )
+    pairs = cand_pairs.join(F.broadcast(qv), "query_id").join(cv, "cand_id")
     dot = F.expr(
         "aggregate(zip_with(qg, cg, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
     )
@@ -871,28 +955,50 @@ def q_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
-        .select("query_id", "cand_id", "bucket", "rank", "cosine")
+        .select("query_id", "cand_id", "rank", "cosine")
     )
 
 
+def _duck_mt_bucket(t: int) -> str:
+    terms = []
+    for b in range(_ANN_BITS):
+        plane = _PLANES_MT[t * _ANN_BITS + b]
+        arr = "[" + ",".join(str(w) for w in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), i -> g[i] * ({arr})[i])) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
 def _ann_search_sql() -> str:
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {_duck_mt_bucket(t)} AS bucket FROM g"
+        for t in range(_ANN_TABLES)
+    )
     return f"""
 WITH g AS (
   SELECT vec_id, {_duck_grid('embedding')} AS g FROM embeddings
 ), n AS (
-  SELECT vec_id, g, list_sum(list_transform(g, x -> x * x)) AS n2,
-         {_duck_lsh_bucket()} AS bucket
-  FROM g
+  SELECT vec_id, g, list_sum(list_transform(g, x -> x * x)) AS n2 FROM g
+), keys AS (
+  {per_table}
+), cand_pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM keys q JOIN keys c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
 ), pairs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
+  SELECT p.query_id, p.cand_id,
          CAST(list_sum(list_transform(range(1, 65), i -> q.g[i] * c.g[i])) AS DOUBLE)
            / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
-  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+  FROM cand_pairs p
+  JOIN n q ON q.vec_id = p.query_id
+  JOIN n c ON c.vec_id = p.cand_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
   FROM pairs
 )
-SELECT query_id, cand_id, bucket, rank, cosine FROM ranked WHERE rank <= 5
+SELECT query_id, cand_id, rank, cosine FROM ranked WHERE rank <= 5
 """
 
 
@@ -1014,6 +1120,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "dim_explode": (q_dim_explode, _SQL_DIM_EXPLODE),
     "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
     "time_rollup": (q_time_rollup, _SQL_TIME_ROLLUP),
+    "epoch_millis": (q_epoch_millis, _SQL_EPOCH_MILLIS),
     "pricing_summary": (q_pricing_summary, _SQL_PRICING_SUMMARY),
     "topk_customers": (q_topk_customers, _SQL_TOPK_CUSTOMERS),
     "union_entities": (q_union_entities, _SQL_UNION_ENTITIES),

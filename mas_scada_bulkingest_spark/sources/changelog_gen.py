@@ -83,6 +83,7 @@ def generate_changelog(
     n_files: int = 8,
     seed: int = 42,
     zipf_a: float = 1.4,
+    compression: str = "zstd",
 ) -> ChangelogManifest:
     """Write a deterministic change log as parquet files under ``out_dir``.
 
@@ -203,6 +204,10 @@ def generate_changelog(
         # a file is "evolved" if any event in it is past the evolution point
         with_meta = bool(lsn[idx].max() >= evolve_at_lsn)
         path = os.path.join(out_dir, f"changes-{i:05d}.parquet")
-        pq.write_table(_table(idx, with_meta), path)
+        # zstd default: a scan-side bandwidth/CPU trade — decompression costs
+        # more CPU (which scales with cores) for fewer bytes over the memory
+        # bus (which does not, on a single box) — measurably better N->4N
+        # scan scaling at identical logical content.
+        pq.write_table(_table(idx, with_meta), path, compression=compression)
         manifest.files.append(path)
     return manifest

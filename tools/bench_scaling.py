@@ -39,7 +39,10 @@ from mas_scada_bulkingest_spark.streaming.driver import build_session, replay_ba
 
 cores = int(sys.argv[1]); changes = sys.argv[2]; work = sys.argv[3]
 spark = build_session(cores=cores, shuffle_partitions=cores,
-                      extra_conf={{"spark.local.dir": os.path.join(work, "spark-local")}})
+                      extra_conf={{"spark.local.dir": os.path.join(work, "spark-local"),
+                                   # pack the scan into ~2 even waves per core
+                                   # instead of 7-9 lumpy default partitions
+                                   "spark.sql.files.maxPartitionBytes": "32m"}})
 spark.sparkContext.setLogLevel("ERROR")
 # warm the JVM/codegen paths on a tiny action so the timed region measures
 # the job, not first-query JIT
