@@ -1003,8 +1003,111 @@ SELECT query_id, cand_id, rank, cosine FROM ranked WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
-# text analysis: language-ID heuristic (marker-token scoring)
+# similarity search: IVF (inverted-file) ANN — the other scale path besides
+# LSH. Vectors are assigned to the cell of their nearest centroid (one
+# broadcast join against the small centroid set — at 100 TB this is the
+# classic partition-the-corpus-by-cell layout); a query probes its nprobe
+# nearest cells and ranks only those cells' members. Centroids here are a
+# deterministic subset of the corpus (vec_id < K) so the DuckDB oracle can
+# reproduce them exactly — a real deployment would k-means-train them; the
+# distributed shape (assign via broadcast, probe via equi-join on cell_id)
+# is identical either way.
 # ---------------------------------------------------------------------------
+
+_IVF_K = 16  # cells
+_IVF_NPROBE = 4
+
+
+def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_GRID.format(col="embedding")).alias("g")
+    )
+    norm = emb.withColumn(
+        "n2", F.expr("aggregate(g, cast(0 as bigint), (acc, x) -> acc + x * x)")
+    )
+    cent = norm.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("g").alias("centg"),
+        F.col("n2").alias("centn2"),
+    )
+    dot_c = F.expr(
+        "aggregate(zip_with(g, centg, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    cos_c = dot_c.cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("centn2").cast("double"))
+    )
+    scored = norm.crossJoin(F.broadcast(cent)).withColumn("ccos", cos_c)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "g", "n2", F.col("cent_id").alias("cell")
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("crank") <= _IVF_NPROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("g").alias("qg"),
+            F.col("n2").alias("qn2"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cand = assign.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("g").alias("cg"),
+        F.col("n2").alias("cn2"),
+        "cell",
+    )
+    pairs = probes.join(cand, "cell").filter(F.col("query_id") != F.col("cand_id"))
+    dot = F.expr(
+        "aggregate(zip_with(qg, cg, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", F.col("cell").alias("cell"), "rank", "cosine")
+    )
+
+
+def _ivf_search_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT vec_id, {_duck_grid('embedding')} AS g FROM embeddings
+), n AS (
+  SELECT vec_id, g, list_sum(list_transform(g, x -> x * x)) AS n2 FROM g
+), cent AS (
+  SELECT vec_id AS cent_id, g AS centg, n2 AS centn2 FROM n WHERE vec_id < {_IVF_K}
+), scored AS (
+  SELECT v.vec_id, v.g, v.n2, c.cent_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> v.g[i] * c.centg[i])) AS DOUBLE)
+           / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.centn2 AS DOUBLE))) AS ccos
+  FROM n v CROSS JOIN cent c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crank
+  FROM scored
+), assign AS (
+  SELECT vec_id, g, n2, cent_id AS cell FROM ranked WHERE crank = 1
+), probes AS (
+  SELECT vec_id AS query_id, g AS qg, n2 AS qn2, cent_id AS cell
+  FROM ranked WHERE vec_id < 10 AND crank <= {_IVF_NPROBE}
+), pairs AS (
+  SELECT p.query_id, a.vec_id AS cand_id, p.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> p.qg[i] * a.g[i])) AS DOUBLE)
+           / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cosine
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE p.query_id <> a.vec_id
+), topk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, cell, rank, cosine FROM topk WHERE rank <= 5
+"""
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,6 +1235,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "embed_cosine_topk": (q_embed_cosine_topk, _SQL_EMBED_COSINE_TOPK),
     "embed_ann_lsh": (q_embed_ann_lsh, _ann_lsh_sql()),
     "embed_ann_search": (q_embed_ann_search, _ann_search_sql()),
+    "embed_ivf_search": (q_embed_ivf_search, _ivf_search_sql()),
     "lang_id": (q_lang_id, _SQL_LANG_ID),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),

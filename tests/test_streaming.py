@@ -57,6 +57,37 @@ def test_stream_resume_after_checkpoint_loss_is_noop(spark, tmpdir_path):
     assert_frames_equal(_final(tbl2), ref[FINAL_COLS])
 
 
+def test_stream_mor_with_registry_matches_oracle(spark, tmpdir_path):
+    """Full streaming integration on the scale path: merge-on-read sink +
+    conversations registry maintained per micro-batch, auto-compaction on —
+    drained stream must equal the oracle and the registry must hold every
+    conversation exactly once."""
+    from mas_scada_bulkingest_spark.pipeline import create_conversations_registry
+
+    generate_changelog(tmpdir_path + "/log", n_convs=30, mean_turns=5, seed=34)
+    ref = oracle.reduce_changelog_dir(tmpdir_path + "/log")
+    create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4, mode="mor")
+    reg = create_conversations_registry(spark, tmpdir_path + "/reg", n_buckets=2)
+    q = run_stream(
+        spark,
+        tmpdir_path + "/log",
+        tmpdir_path + "/t",
+        tmpdir_path + "/ckpt",
+        max_files_per_trigger=2,
+        auto_compact_files=3,
+        registry=reg,
+    )
+    q.awaitTermination(120)
+    tbl = SnapshotTable(spark, tmpdir_path + "/t")
+    assert tbl.mode == "mor"
+    assert_frames_equal(_final(tbl), ref[FINAL_COLS])
+    got = reg.read().toPandas()
+    assert sorted(got.conv_id) == sorted(ref.conv_id.unique().tolist() + [
+        c for c in set("conv-%d" % i for i in range(30)) - set(ref.conv_id)
+    ])  # registry covers every conversation ever SEEN (even fully deleted ones)
+    assert got.conv_id.is_unique
+
+
 def test_stream_restart_with_checkpoint_skips_processed(spark, tmpdir_path):
     generate_changelog(tmpdir_path + "/log", n_convs=20, mean_turns=4, seed=33)
     create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4)
