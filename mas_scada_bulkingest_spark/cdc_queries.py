@@ -339,6 +339,40 @@ FROM h
 """
 
 
+def q_conversation_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``applyInPandasWithState`` per-conversation progress operator
+    (streaming/stateful.py) run over the events-derived changelog. In batch
+    mode the state store degenerates to a per-group fold, so the cumulative
+    row per conversation equals a plain GROUP BY — which is exactly the
+    DuckDB oracle. The streaming-specific behavior (state across
+    micro-batches, checkpoint restart) is covered by tests/test_stateful.py.
+    """
+    from .streaming.stateful import conversation_progress
+
+    changes = _events_changelog(spark, sf_dir)
+    prog = conversation_progress(changes)
+    return prog.select(
+        "conv_id",
+        "n_events",
+        "n_deletes",
+        "max_turn",
+        "max_lsn",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts_str"),
+    )
+
+
+_SQL_CONVERSATION_PROGRESS = f"""
+WITH {_SQL_CHANGES}
+SELECT conv_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       CAST(max(turn_idx) AS INT) AS max_turn,
+       max(lsn) AS max_lsn,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts_str
+FROM changes GROUP BY conv_id
+"""
+
+
 def q_cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay every committed epoch a second time; report that all were
     no-ops (exactly-once evidence as a driver-checkable result — the
@@ -432,6 +466,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_replay_state_mor": (q_cdc_replay_state_mor, _SQL_CDC_REPLAY_STATE),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),
+    "conversation_progress": (q_conversation_progress, _SQL_CONVERSATION_PROGRESS),
     "cdc_idempotent_replay": (q_cdc_idempotent_replay, _SQL_CDC_IDEMPOTENT_REPLAY),
     "multimodal_stub": (q_multimodal_stub, _SQL_MULTIMODAL_STUB),
 }

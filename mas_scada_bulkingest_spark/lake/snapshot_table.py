@@ -288,7 +288,9 @@ class SnapshotTable:
                 out.extend(os.path.join(self.path, f) for f in files)
         return out
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
         """Current *live* table state (tombstones hidden, bucket-prunable).
 
         Copy-on-write tables hold exactly one version per key, so the read is
@@ -297,7 +299,13 @@ class SnapshotTable:
         the merge key, the same skew-resistant shape as the write-side
         collapse (operators/lww.py); ``compact()`` keeps the number of files
         per bucket (and hence versions per key) bounded.
+
+        ``version=N`` time-travels to snapshot N (Iceberg ``VERSION AS OF``
+        analog): any snapshot not yet expired by ``vacuum(retain_versions=…)``
+        is readable — each snapshot's file list is immutable.
         """
+        if version is not None and version != self._snapshot["version"]:
+            return self.at_version(version).read(buckets)
         df = self._read_raw(buckets)
         if df is None:
             return self.spark.createDataFrame([], self.schema)
@@ -305,6 +313,23 @@ class SnapshotTable:
             df = collapse_lww(df, keys=self.key, order=self.order)
         return align_schemas(
             df.filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False))), self.schema
+        )
+
+    def at_version(self, version: int) -> "SnapshotTable":
+        """A read-only handle pinned to snapshot ``version`` (time travel).
+        Raises FileNotFoundError if the snapshot was expired by vacuum."""
+        snap_path = os.path.join(self.path, "snapshots", f"v{version:08d}.json")
+        with open(snap_path) as f:  # FileNotFoundError if expired
+            snap = json.load(f)
+        tbl = object.__new__(SnapshotTable)
+        tbl.spark, tbl.path, tbl._snapshot = self.spark, self.path, snap
+        return tbl
+
+    def versions(self) -> list[int]:
+        """Snapshot versions still readable (not expired by vacuum)."""
+        snap_dir = os.path.join(self.path, "snapshots")
+        return sorted(
+            int(f[1:9]) for f in os.listdir(snap_dir) if f.endswith(".json")
         )
 
     def _read_raw(self, buckets: list[int] | None = None) -> DataFrame | None:

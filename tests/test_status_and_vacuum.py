@@ -30,6 +30,29 @@ def test_status_totals_match_merge_stats(spark, tmpdir_path):
     assert list(summary.epoch_id) == sorted(int(s.epoch_id) for s in stats)
 
 
+def test_time_travel_read(spark, tmpdir_path):
+    """Iceberg VERSION-AS-OF analog: each retained snapshot stays readable
+    with its exact historical content until vacuum expires it."""
+    tbl, stats = _replayed(spark, tmpdir_path)
+    versions = tbl.versions()
+    assert versions[0] == 0 and versions[-1] == tbl._snapshot["version"]
+    v0 = tbl.read(version=0)
+    assert v0.count() == 0  # empty table at creation
+    # state after the FIRST epoch: rows == applied - deleted of epoch 0
+    v1 = tbl.read(version=1)
+    assert v1.count() == stats[0].applied
+    # current == explicit latest version
+    assert tbl.read(version=versions[-1]).count() == tbl.read().count()
+    # vacuum(retain_versions=1) expires history; old versions now raise
+    tbl.vacuum(retain_versions=1)
+    assert tbl.versions() == [versions[-1]]
+    try:
+        tbl.at_version(1)
+        raise AssertionError("expired snapshot must not be readable")
+    except FileNotFoundError:
+        pass
+
+
 def test_vacuum_removes_only_superseded_files(spark, tmpdir_path):
     tbl, _ = _replayed(spark, tmpdir_path)
     before = tbl.read().orderBy("conv_id", "turn_idx").toPandas()
