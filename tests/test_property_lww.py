@@ -56,6 +56,31 @@ def _changelog(draw):
     return rows, split
 
 
+def _run_case(spark, tmpdir: str, rows, split, mode: str) -> pd.DataFrame:
+    tbl = create_transcripts_table(spark, tmpdir + "/t", n_buckets=2, mode=mode)
+    cols = (
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp_ntz"
+    )
+
+    def to_df(rs):
+        return spark.createDataFrame([tuple(r.values()) for r in rs], cols)
+
+    epochs = [rows[:split], rows[split:]]
+    for i, ep in enumerate(epochs):
+        if ep:
+            apply_changes(
+                tbl, to_df(ep), i,
+                auto_compact_files=1 if mode == "mor" else None,
+            )
+    return (
+        tbl.read()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()[["conv_id", "turn_idx", "role", "text", "tool"]]
+        .reset_index(drop=True)
+    )
+
+
 @settings(
     max_examples=12,
     deadline=None,
@@ -65,28 +90,26 @@ def _changelog(draw):
 def test_engine_matches_oracle_on_random_logs(spark, tmp_path_factory, case):
     rows, split = case
     tmpdir = str(tmp_path_factory.mktemp("prop"))
-    tbl = create_transcripts_table(spark, tmpdir + "/t", n_buckets=2)
-    cols = (
-        "lsn long, op string, conv_id string, turn_idx int, role string,"
-        " text string, tool string, ts timestamp_ntz"
-    )
+    got = _run_case(spark, tmpdir, rows, split, mode="cow")
+    want_full = reduce_changelog(pd.DataFrame(rows))
+    want = want_full[["conv_id", "turn_idx", "role", "text", "tool"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
-    def to_df(rs):
-        return spark.createDataFrame(
-            [tuple(r.values()) for r in rs], cols
-        )
 
-    epochs = [rows[:split], rows[split:]]
-    for i, ep in enumerate(epochs):
-        if ep:
-            apply_changes(tbl, to_df(ep), i)
-
-    got = (
-        tbl.read()
-        .orderBy("conv_id", "turn_idx")
-        .toPandas()[["conv_id", "turn_idx", "role", "text", "tool"]]
-        .reset_index(drop=True)
-    )
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_changelog())
+def test_mor_matches_oracle_on_random_logs(spark, tmp_path_factory, case):
+    """Merge-on-read (delta appends + read-time LWW + aggressive
+    auto-compaction every epoch) must agree with the same oracle on the same
+    adversarial logs — dup deliveries, ts ties, deletes across the epoch
+    split included."""
+    rows, split = case
+    tmpdir = str(tmp_path_factory.mktemp("propm"))
+    got = _run_case(spark, tmpdir, rows, split, mode="mor")
     want_full = reduce_changelog(pd.DataFrame(rows))
     want = want_full[["conv_id", "turn_idx", "role", "text", "tool"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
