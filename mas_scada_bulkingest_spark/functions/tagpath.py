@@ -36,6 +36,44 @@ def ackby_from_alarm_source(col: Column | str) -> Column:
     return F.regexp_extract(_c(col), r"usr:(.*)$", 1)
 
 
+def apply_column_mapping(
+    df,
+    mapping: dict[str, str] | None = None,
+    constants: dict[str, object] | None = None,
+    discard: list[str] | None = None,
+    upper_passthrough: bool = True,
+):
+    """F2/P2/P3: the reference's ``getSourceMap`` column surface
+    (DBConnector.java:426-461 + the ``renameColumns``/``discardColumns``
+    config documented in mkdocs/docs/data.md:33-60) as one declarative
+    projection:
+
+    * ``mapping``: explicit source→dest renames (``tagpath``→``TAG`` style);
+    * ``discard``: source columns dropped entirely;
+    * every other column passes through with its name UPPERCASED (the
+      reference's dynamic-column behavior for newly appearing source
+      columns) unless ``upper_passthrough=False``;
+    * ``constants``: injected literal columns (``EVENTTYPE``/``FORMAT``
+      analog, DBConnector.java:422-424).
+    """
+    mapping = mapping or {}
+    constants = constants or {}
+    drop = set(discard or [])
+    cols = []
+    for name in df.columns:
+        if name in drop:
+            continue
+        if name in mapping:
+            cols.append(F.col(name).alias(mapping[name]))
+        else:
+            cols.append(
+                F.col(name).alias(name.upper() if upper_passthrough else name)
+            )
+    for cname, value in constants.items():
+        cols.append(F.lit(value).alias(cname))
+    return df.select(*cols)
+
+
 def path_levels(col: Column | str, n_levels: int = 8, sep: str = "/") -> list[Column]:
     """F4: dimension columns ``LEVEL_0..LEVEL_{n-1}`` from path segments.
 

@@ -112,3 +112,24 @@ def test_normalize_text_vectorized(spark):
     got = [r[0] for r in df.select(normalize_text("t")).collect()]
     assert got[0] == "á b c"  # NFC composes a+combining-acute, ws collapsed
     assert got[1] is None
+
+
+def test_apply_column_mapping(spark):
+    """F2/P2/P3: explicit renames + uppercase passthrough of unknown source
+    columns + constant injection + discard (reference getSourceMap surface,
+    DBConnector.java:426-461)."""
+    from mas_scada_bulkingest_spark.functions.tagpath import apply_column_mapping
+
+    df = spark.createDataFrame(
+        [("a/b", 1, 2.5, "x")], "tagpath string, tagid int, val double, junk string"
+    )
+    out = apply_column_mapping(
+        df,
+        mapping={"tagpath": "TAG", "tagid": "TAGID"},
+        constants={"EVENTTYPE": "device", "FORMAT": "JSON"},
+        discard=["junk"],
+    )
+    assert out.columns == ["TAG", "TAGID", "VAL", "EVENTTYPE", "FORMAT"]
+    row = out.collect()[0]
+    assert (row["TAG"], row["TAGID"], row["VAL"]) == ("a/b", 1, 2.5)
+    assert (row["EVENTTYPE"], row["FORMAT"]) == ("device", "JSON")
