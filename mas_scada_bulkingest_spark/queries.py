@@ -601,15 +601,21 @@ _SHINGLE_DF_CAP = 50
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
     raw_sh = _shingles(d)
-    keep = (
-        raw_sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # Document frequency via an unordered window count: ONE hash exchange of
+    # the shingle set (vs a groupBy+self-join formulation, which recomputes
+    # the shingle derivation for each branch), and it leaves the data
+    # hash-partitioned on `shingle` — exactly the partitioning the pair
+    # self-join below needs, so Catalyst plans no further exchange for it.
+    w_df = Window.partitionBy("shingle")
+    sh = (
+        raw_sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
         .filter(F.col("_df") <= _SHINGLE_DF_CAP)
-        .select("shingle")
+        .select("doc_id", "shingle")
     )
-    sh = raw_sh.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
