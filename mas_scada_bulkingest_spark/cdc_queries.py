@@ -128,7 +128,9 @@ def _replayed_table(
     key = f"{os.path.normpath(sf_dir)}::{mode}"
     if key in _REPLAY_CACHE:
         return SnapshotTable(spark, _REPLAY_CACHE[key])
-    work = tempfile.mkdtemp(prefix="cdc_replay_")
+    # tmpfs when available: the sandbox disk serializes concurrent writers
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_replay_", dir=base)
     table_path = os.path.join(work, "transcripts")
     table = SnapshotTable.create(
         spark, table_path, TRANSCRIPT_SCHEMA, n_buckets=8, mode=mode
