@@ -722,6 +722,94 @@ WHERE a.doc_id < b.doc_id
 """
 
 # ---------------------------------------------------------------------------
+# dedup: MinHash-LSH with exact-Jaccard refinement — the full two-stage
+# near-dup pipeline. Stage 1 (recall): banded minhash buckets propose
+# candidate pairs (never all-pairs). Stage 2 (precision): the TRUE Jaccard
+# is computed for candidates only — the exact check's cost is bounded by the
+# candidate count, which is what makes exact verification affordable at
+# 100 TB (the verification join keys on (pair, shingle), both sides pruned
+# to candidate docs first).
+# ---------------------------------------------------------------------------
+
+_LSH_VERIFY_THRESHOLD = 0.2
+
+
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    cand = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # prune the shingle sets to candidate docs BEFORE the intersection join
+    a_docs = cand.select(F.col("doc_a").alias("doc_id")).distinct()
+    b_docs = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    sh_a = sh.join(a_docs, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), "shingle"
+    )
+    sh_b = sh.join(b_docs, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "shingle"
+    )
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _LSH_VERIFY_THRESHOLD)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def _minhash_verified_sql() -> str:
+    return f"""
+WITH {_SQL_SHINGLES},
+  hashed AS (
+    SELECT doc_id, j, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+    FROM shingles, (SELECT unnest(range(0, {_N_HASHES})) AS j)
+  ),
+  sig AS (SELECT doc_id, j, min(h) AS minhash FROM hashed GROUP BY doc_id, j),
+  bandsig AS (
+    SELECT doc_id, CAST(j // {_BAND_R} AS INT) AS band,
+           string_agg(CAST(j AS VARCHAR) || ':' || minhash, '|' ORDER BY j) AS bandkey
+    FROM sig GROUP BY 1, 2
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bandkey = b.bandkey
+    WHERE a.doc_id < b.doc_id
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+  )
+SELECT doc_a, doc_b, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE)
+      >= {_LSH_VERIFY_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup: SimHash fingerprint (16-bit, md5-digit high-bit variant)
 # ---------------------------------------------------------------------------
 
@@ -1237,6 +1325,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _SQL_DEDUP_MINHASH_LSH),
+    "dedup_minhash_verified": (q_dedup_minhash_verified, _minhash_verified_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "embed_cosine_topk": (q_embed_cosine_topk, _SQL_EMBED_COSINE_TOPK),
     "embed_ann_lsh": (q_embed_ann_lsh, _ann_lsh_sql()),
