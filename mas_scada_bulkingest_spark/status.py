@@ -32,10 +32,18 @@ def epoch_summary(table: SnapshotTable) -> DataFrame:
             F.sum("deleted").alias("deleted"),
             F.max("max_lsn").alias("max_lsn"),
             F.max("wall_secs").alias("wall_secs"),
-            (F.sum(rows).cast("double") / F.max("wall_secs")).alias("rows_per_sec"),
+            # NULL (not a divide-by-zero or a NULL-poisoned rate) for lineage
+            # rows written before wall_secs existed, and for sub-millisecond
+            # merges whose wall rounds to 0.0.
+            F.when(
+                F.max("wall_secs") > 0,
+                F.sum(rows).cast("double") / F.max("wall_secs"),
+            ).alias("rows_per_sec"),
             F.max("committed_ts").alias("committed_ts"),
         )
-        .orderBy("epoch_key")
+        # numeric epoch order within a lineage (the string epoch_key alone
+        # would sort '10' before '2'), key as tiebreak across lineages
+        .orderBy(F.col("epoch_id"), F.col("epoch_key"))
     )
 
 
@@ -62,7 +70,9 @@ def status(table: SnapshotTable) -> dict:
     )
     merge_secs = float(lin["merge_secs"]) if lin["merge_secs"] else None
     return {
-        "epochs_committed": len(table.committed_epochs),
+        # arithmetic count from the folded (watermark + extras) form — the
+        # expanding committed_epochs property is O(total epochs) per call
+        "epochs_committed": table.committed_epoch_count,
         "epochs_with_lineage": int(lin["epochs"] or 0),
         "rows_applied": int(lin["applied"] or 0),
         "rows_skipped": int(lin["skipped"] or 0),
