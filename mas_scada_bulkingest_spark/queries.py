@@ -669,30 +669,87 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0
 _N_HASHES = 8
 _BAND_R = 2  # rows per band -> 4 bands
 
+#: band-bucket cap: an LSH bucket holding more than this many documents
+#: (boilerplate / near-empty docs sharing a band signature — guaranteed in a
+#: real 100 TB corpus) would emit k² candidate pairs from the band self-join,
+#: the same quadratic blowup the shingle path caps with ``_SHINGLE_DF_CAP``.
+#: Oversized buckets are dropped BEFORE the join, mirrored in the oracle.
+_BAND_BUCKET_CAP = 20
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(j) for j in range(_N_HASHES)])).alias("j"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "j",
-        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+
+def _doc_shingle_sets(d: DataFrame) -> DataFrame:
+    """doc_id → distinct shingle set as ONE array row per document.
+
+    The single shared shingle derivation for the whole MinHash pipeline:
+    minhash signatures are computed from the array with pure column
+    transforms (no per-(doc, hash) explode + re-aggregate), and the
+    exact-Jaccard verify stage intersects the same arrays — candidates,
+    set sizes, and intersections all hang off this one subtree. Its
+    ``groupBy(doc_id)`` exchange (and the distinct exchange inside
+    ``_shingles``) is byte-identical in every branch that references it, so
+    Spark's exchange reuse computes the expensive tokenize→explode→distinct
+    chain once per query instead of once per branch.
+    """
+    return _shingles(d).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shset")
     )
-    sig = hashed.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
-    band = sig.withColumn("band", F.floor(F.col("j") / F.lit(_BAND_R)).cast("int"))
-    bandsig = band.groupBy("doc_id", "band").agg(
-        F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("j").cast("string"), "minhash")))).alias("bandkey")
+
+
+def _band_signatures(docsh: DataFrame) -> DataFrame:
+    """doc_id → one (band, bandkey) row per band, derived entirely map-side
+    from the shingle-set array: ``sig_j = min over shingles of
+    md5(j:shingle)`` via an array transform — zero shuffles past the
+    shingle-set aggregate (the previous formulation exploded 8 hash rows per
+    shingle through two more groupBys)."""
+    def _hash_fn(j: int):
+        prefix = f"{j}:"
+        # single-arg lambda on purpose: F.transform treats a 2-arg callable
+        # as (element, index) and would rebind a default-arg j to the index
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sigs = [
+        F.array_min(F.transform(F.col("shset"), _hash_fn(j))).alias(f"_sig{j}")
+        for j in range(_N_HASHES)
+    ]
+    wide = docsh.select("doc_id", *sigs)
+    band_structs = []
+    for bnd in range(_N_HASHES // _BAND_R):
+        parts = [
+            F.concat(F.lit(f"{j}:"), F.col(f"_sig{j}"))
+            for j in range(bnd * _BAND_R, (bnd + 1) * _BAND_R)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(bnd).cast("int").alias("band"),
+                F.concat_ws("|", *parts).alias("bandkey"),
+            )
+        )
+    return wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("_bb")
+    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bandkey").alias("bandkey"))
+
+
+def _capped_band_pairs(docsh: DataFrame) -> DataFrame:
+    """Candidate pairs from size-capped LSH buckets. The cap's window count
+    leaves the data hash-partitioned on (band, bandkey) — exactly the
+    self-join key — so Catalyst plans no further exchange for the join, and
+    no bucket can contribute more than ``_BAND_BUCKET_CAP²/2`` pairs."""
+    from pyspark.sql import Window
+
+    bandsig = _band_signatures(docsh)
+    w = Window.partitionBy("band", "bandkey")
+    kept = (
+        bandsig.withColumn("_bs", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bs") <= _BAND_BUCKET_CAP)
+        .select("doc_id", "band", "bandkey")
     )
-    a = bandsig.alias("a")
-    b = bandsig.alias("b")
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.bandkey") == F.col("b.bandkey")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandkey") == F.col("b.bandkey")),
         )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -700,12 +757,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.band").alias("band"),
         )
-        .distinct()
     )
 
 
-_SQL_DEDUP_MINHASH_LSH = f"""
-WITH {_SQL_SHINGLES},
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return _capped_band_pairs(_doc_shingle_sets(d)).distinct()
+
+
+#: shared oracle CTE chain: shingles → minhash sigs → band keys → capped
+#: buckets (mirror of ``_band_signatures`` + ``_capped_band_pairs``).
+_SQL_BANDSIG_KEPT = f"""
   hashed AS (
     SELECT doc_id, j, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
     FROM shingles, (SELECT unnest(range(0, {_N_HASHES})) AS j)
@@ -715,9 +777,19 @@ WITH {_SQL_SHINGLES},
     SELECT doc_id, CAST(j // {_BAND_R} AS INT) AS band,
            string_agg(CAST(j AS VARCHAR) || ':' || minhash, '|' ORDER BY j) AS bandkey
     FROM sig GROUP BY 1, 2
+  ),
+  kept AS (
+    SELECT doc_id, band, bandkey FROM (
+      SELECT *, count(*) OVER (PARTITION BY band, bandkey) AS _bs FROM bandsig
+    ) WHERE _bs <= {_BAND_BUCKET_CAP}
   )
+"""
+
+_SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_BANDSIG_KEPT}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band AS band
-FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bandkey = b.bandkey
+FROM kept a JOIN kept b ON a.band = b.band AND a.bandkey = b.bandkey
 WHERE a.doc_id < b.doc_id
 """
 
@@ -736,38 +808,32 @@ _LSH_VERIFY_THRESHOLD = 0.2
 
 def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    cand = (
-        q_dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .distinct()
+    docsh = _doc_shingle_sets(d)
+    cand = _capped_band_pairs(docsh).select("doc_a", "doc_b").distinct()
+    # Exact verification straight off the shared shingle-set arrays: joining
+    # candidates to docsh prunes to candidate docs implicitly (inner join on
+    # doc id), and the intersection is a per-row array op — no (pair,
+    # shingle) blow-up join, and the exact check's cost stays bounded by the
+    # candidate count (which the band-bucket cap bounds in turn).
+    left = docsh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("_sa"))
+    right = docsh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("_sb"))
+    res = (
+        cand.join(left, "doc_a")
+        .join(right, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_inter"),
+            F.size("_sa").cast("long").alias("_na"),
+            F.size("_sb").cast("long").alias("_nb"),
+        )
     )
-    sh = _shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # prune the shingle sets to candidate docs BEFORE the intersection join
-    a_docs = cand.select(F.col("doc_a").alias("doc_id")).distinct()
-    b_docs = cand.select(F.col("doc_b").alias("doc_id")).distinct()
-    sh_a = sh.join(a_docs, "doc_id").select(
-        F.col("doc_id").alias("doc_a"), "shingle"
-    )
-    sh_b = sh.join(b_docs, "doc_id").select(
-        F.col("doc_id").alias("doc_b"), "shingle"
-    )
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = (
         F.col("n_inter").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        / (F.col("_na") + F.col("_nb") - F.col("n_inter")).cast("double")
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        res.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _LSH_VERIFY_THRESHOLD)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
@@ -776,19 +842,10 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_verified_sql() -> str:
     return f"""
 WITH {_SQL_SHINGLES},
-  hashed AS (
-    SELECT doc_id, j, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
-    FROM shingles, (SELECT unnest(range(0, {_N_HASHES})) AS j)
-  ),
-  sig AS (SELECT doc_id, j, min(h) AS minhash FROM hashed GROUP BY doc_id, j),
-  bandsig AS (
-    SELECT doc_id, CAST(j // {_BAND_R} AS INT) AS band,
-           string_agg(CAST(j AS VARCHAR) || ':' || minhash, '|' ORDER BY j) AS bandkey
-    FROM sig GROUP BY 1, 2
-  ),
+{_SQL_BANDSIG_KEPT},
   cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bandkey = b.bandkey
+    FROM kept a JOIN kept b ON a.band = b.band AND a.bandkey = b.bandkey
     WHERE a.doc_id < b.doc_id
   ),
   sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
