@@ -3,13 +3,15 @@
 ``entry(spark)`` runs the engine flagship: a changelog derived
 deterministically from the sf-dir ``events`` table, replayed through the
 exactly-once CDC MERGE pipeline (LSN-interleaved epochs, mid-replay schema
-evolution, registry maintenance) at sf0.001 scale. ``queries()`` covers
+evolution, registry maintenance) at sf0.001 scale — in the merge-on-read
+storage mode (O(batch) epoch appends + bucket-local read-time LWW), the
+mode whose asymptotics survive 10^10 events. ``queries()`` covers
 SURVEY.md §2 operator-by-operator plus the training-data pipeline operators
 (dedup / similarity / text analysis / multimodal); EVERY entry — including
-the flagship replay, its merge-on-read twin, lineage accounting, the
-conversations registry, and replay idempotence — has a DuckDB oracle in
-``oracle_sql()`` with matching column names (verified locally via
-tools/verify_oracles.py).
+the flagship replay, its copy-on-write twin, lineage accounting for both
+modes, the conversations registry (with dimension LEVEL columns), and
+replay idempotence — has a DuckDB oracle in ``oracle_sql()`` with matching
+column names (verified locally via tools/verify_oracles.py).
 """
 
 from __future__ import annotations

@@ -41,8 +41,13 @@ def _workdir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
-def bench_cdc_replay(spark, sf_name: str, mode: str = "cow") -> tuple[float, int]:
-    """Replay a freshly generated changelog; returns (seconds, n_events)."""
+def bench_cdc_replay(spark, sf_name: str, mode: str = "cow") -> tuple[float, int, float]:
+    """Replay a freshly generated changelog; returns
+    (replay_seconds, n_events, read_seconds) — the read pass materializes
+    the final state through ``table.read()`` (for MoR that's the
+    bucket-local LWW collapse; for CoW a plain scan)."""
+    from pyspark.sql import functions as F
+
     work = _workdir(f"bench_cdc_{mode}_")
     changes = os.path.join(work, "changes")
     n_convs = _CDC_CONVS.get(sf_name, 40_000)
@@ -56,7 +61,13 @@ def bench_cdc_replay(spark, sf_name: str, mode: str = "cow") -> tuple[float, int
         auto_compact_files=8 if mode == "mor" else None,
     )
     dt = time.perf_counter() - t0
-    return dt, man.n_events
+    t0 = time.perf_counter()
+    df = table.read()
+    df.select(
+        F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
+    ).agg(F.bit_xor("_h")).collect()
+    read_dt = time.perf_counter() - t0
+    return dt, man.n_events, read_dt
 
 
 def _force(df) -> None:
@@ -91,12 +102,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: CDC replay throughput, both storage modes (CoW reconciling
-    # merge vs MoR O(batch) delta appends + auto-compaction)
-    cdc_sec, n_events = bench_cdc_replay(spark, sf_name, mode="cow")
-    timings["cdc_replay"] = round(cdc_sec, 3)
-    mor_sec, _ = bench_cdc_replay(spark, sf_name, mode="mor")
+    # headline: CDC replay throughput, MoR (the flagship scale mode:
+    # O(batch) delta appends + auto-compaction + bucket-local read collapse)
+    # first, CoW reconciling merge as the secondary mode
+    mor_sec, n_events, mor_read_sec = bench_cdc_replay(spark, sf_name, mode="mor")
     timings["cdc_replay_mor"] = round(mor_sec, 3)
+    timings["cdc_mor_read_collapse"] = round(mor_read_sec, 3)
+    cow_sec, _, _ = bench_cdc_replay(spark, sf_name, mode="cow")
+    timings["cdc_replay_cow"] = round(cow_sec, 3)
 
     # operator suite at sf_dir (full-column hash agg forces real execution
     # of every output column without driver materialization)
@@ -113,8 +126,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cdc_events": n_events,
-        "cdc_events_per_sec": round(n_events / cdc_sec, 1),
-        "cdc_events_per_sec_mor": round(n_events / mor_sec, 1),
+        # headline = the flagship (merge-on-read) mode
+        "cdc_events_per_sec": round(n_events / mor_sec, 1),
+        "cdc_events_per_sec_cow": round(n_events / cow_sec, 1),
         "cores": cpus,
     }
     spark.stop()

@@ -55,6 +55,11 @@ from .schemas import TRANSCRIPT_SCHEMA
 _N_EPOCHS = 4
 #: epochs >= this carry the additive ``metadata`` column (schema evolution)
 _EVOLVE_EPOCH = 2
+#: flagship storage mode: merge-on-read — per-epoch cost O(batch) (delta
+#: appends + bucket-local read-time LWW), the only asymptotic that survives
+#: 10^10 events (BENCH.md: CoW write phase grows with table size, MoR stays
+#: flat). Copy-on-write remains for read-heavy dimension tables (registry).
+_DEFAULT_MODE = "mor"
 
 # One replay per (process, sf_dir): the derived changelog and final table are
 # deterministic, so memoizing is purely a speed optimization.
@@ -114,15 +119,16 @@ _SQL_CHANGES = """
 
 
 def _replayed_table(
-    spark: SparkSession, sf_dir: str, mode: str = "cow"
+    spark: SparkSession, sf_dir: str, mode: str = _DEFAULT_MODE
 ) -> SnapshotTable:
     """Replay the events-derived changelog through the real engine once per
     (process, sf, mode): 4 LSN-interleaved epochs via ``apply_changes``
     (collapse → exactly-once MERGE), with the ``metadata`` column appearing
     only in the batch schema of epochs >= 2 (additive evolution mid-replay).
 
-    ``mode="mor"`` runs the merge-on-read path (O(batch) delta appends +
-    read-time LWW + auto-compaction) — same final state, proven against the
+    The default is the merge-on-read scale mode (O(batch) delta appends +
+    bucket-local read-time LWW + auto-compaction); ``mode="cow"`` runs the
+    copy-on-write reconciling merge — same final state, proven against the
     same oracle.
     """
     key = f"{os.path.normpath(sf_dir)}::{mode}"
@@ -164,12 +170,14 @@ def _replayed_table(
 
 
 def q_cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final transcripts table after full changelog replay (engine flagship).
+    """Final transcripts table after full changelog replay (engine flagship,
+    merge-on-read storage — the mode whose per-epoch cost survives 10^10
+    events; the read here exercises the bucket-local LWW resolution).
 
     The oracle is the textbook CDC reduction over the same parquet: global
     (ts, lsn) last-writer-wins per (conv_id, turn_idx), minus keys whose
     winner is a delete — per-turn text equality under stable turn ordering
-    (BASELINE.json input_hint invariant), now hash-checked by the driver.
+    (BASELINE.json input_hint invariant), hash-checked by the driver.
     """
     table = _replayed_table(spark, sf_dir)
     df = table.read()
@@ -201,12 +209,12 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
-def q_cdc_replay_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same replay through the merge-on-read storage path (per-epoch cost
-    O(batch): delta appends, read-time LWW resolution, auto-compaction) —
-    checked against the IDENTICAL oracle as the copy-on-write flagship, so
-    the driver proves MoR ≡ CoW on final state."""
-    table = _replayed_table(spark, sf_dir, mode="mor")
+def q_cdc_replay_state_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay through the copy-on-write storage path (reconciling
+    per-bucket rewrite; exact applied/skipped lineage verdicts) — checked
+    against the IDENTICAL oracle as the merge-on-read flagship, so the
+    driver proves CoW ≡ MoR on final state."""
+    table = _replayed_table(spark, sf_dir, mode="cow")
     df = table.read()
     return df.select(
         "conv_id",
@@ -221,7 +229,9 @@ def q_cdc_replay_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-epoch lineage rollup (north_rule resumability evidence).
+    """Per-epoch lineage rollup (north_rule resumability evidence) — CoW
+    mode, whose MERGE reconciles against existing state and therefore
+    records EXACT applied/skipped/deleted verdicts per epoch.
 
     applied/skipped/deleted come from the engine's per-bucket lineage rows
     (written by the MERGE's CollectMetrics pass); the oracle recomputes them
@@ -229,7 +239,7 @@ def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a prefix-max scan over epochs decides whether each epoch's winner
     beat the state left by all earlier epochs (including tombstones).
     """
-    table = _replayed_table(spark, sf_dir)
+    table = _replayed_table(spark, sf_dir, mode="cow")
     return (
         table.lineage()
         .groupBy("epoch_id")
@@ -242,9 +252,34 @@ def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ord packs (ts, lsn) into one comparable BIGINT: the second offset is
-# < 2^18+10^5 and lsn < 10^7, so ord = s_off * 10^7 + lsn is collision-free
-# and orders exactly like the lexicographic (ts, lsn) comparison.
+def q_cdc_lineage_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch lineage rollup for the merge-on-read flagship mode.
+
+    MoR appends each epoch's collapsed delta without reading existing state,
+    so its lineage records the per-BATCH winner counts: ``applied`` = batch
+    winners that are not deletes, ``deleted`` = batch winners that are
+    deletes, ``skipped`` = 0 (stale losers are resolved lazily by the
+    bucket-local read collapse). The oracle recomputes exactly that from the
+    raw changelog: per (key, epoch) winner by max (ts, lsn) ord, counted per
+    epoch by op.
+    """
+    table = _replayed_table(spark, sf_dir, mode="mor")
+    return (
+        table.lineage()
+        .groupBy("epoch_id")
+        .agg(
+            F.sum("applied").alias("applied"),
+            F.sum("skipped").alias("skipped"),
+            F.sum("deleted").alias("deleted"),
+            F.max("max_lsn").alias("max_lsn"),
+        )
+    )
+
+
+# ord packs (ts, lsn) into one comparable BIGINT: ord = s_off * 10^7 + lsn
+# is collision-free and orders exactly like the lexicographic (ts, lsn)
+# comparison for ANY lsn < 10^7 regardless of s_off magnitude (the invariant
+# to re-check on scale bumps is the lsn bound, not the offset's).
 _SQL_CDC_LINEAGE = f"""
 WITH {_SQL_CHANGES},
   o AS (
@@ -276,6 +311,28 @@ SELECT epoch AS epoch_id,
 FROM p GROUP BY epoch
 """
 
+# MoR lineage: per-batch winner counts (no reconciliation at write time, so
+# no skip verdicts — see q_cdc_lineage_mor docstring).
+_SQL_CDC_LINEAGE_MOR = f"""
+WITH {_SQL_CHANGES},
+  o AS (
+    SELECT *, (lsn + (lsn * 2654435761) % 100000) * 10000000 + lsn AS ord
+    FROM changes
+  ),
+  w AS (
+    SELECT conv_id, turn_idx, epoch,
+           arg_max(op, ord) AS wop,
+           max(lsn) AS max_lsn_key
+    FROM o GROUP BY 1, 2, 3
+  )
+SELECT epoch AS epoch_id,
+       CAST(sum(CASE WHEN wop <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS applied,
+       CAST(0 AS BIGINT) AS skipped,
+       CAST(sum(CASE WHEN wop = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+       max(max_lsn_key) AS max_lsn
+FROM w GROUP BY epoch
+"""
+
 
 def q_conversations_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persistent conversations dimension table as maintained BY the
@@ -285,7 +342,7 @@ def q_conversations_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     must converge to the global min-lsn sighting per conversation, with the
     deterministic UUIDv3 identity and regex classification."""
     _replayed_table(spark, sf_dir)  # ensures the registry was maintained
-    key = f"{os.path.normpath(sf_dir)}::cow"
+    key = f"{os.path.normpath(sf_dir)}::{_DEFAULT_MODE}"
     registry = SnapshotTable(
         spark,
         os.path.join(os.path.dirname(_REPLAY_CACHE[key]), "conversations"),
@@ -298,6 +355,10 @@ def q_conversations_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("first_seen_ts", "yyyy-MM-dd HH:mm:ss").alias("first_seen_ts"),
         "first_seen_lsn",
         "first_seen_epoch",
+        "LEVEL_0",
+        "LEVEL_1",
+        "LEVEL_2",
+        "LEVEL_3",
     )
 
 
@@ -336,7 +397,11 @@ SELECT conv_id,
        {_SQL_CONV_TYPE} AS conv_type,
        strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_seen_ts,
        first_seen_lsn,
-       CAST(first_seen_lsn % 4 AS BIGINT) AS first_seen_epoch
+       CAST(first_seen_lsn % 4 AS BIGINT) AS first_seen_epoch,
+       list_extract(string_split(conv_id, '-'), 1) AS LEVEL_0,
+       list_extract(string_split(conv_id, '-'), 2) AS LEVEL_1,
+       list_extract(string_split(conv_id, '-'), 3) AS LEVEL_2,
+       list_extract(string_split(conv_id, '-'), 4) AS LEVEL_3
 FROM h
 """
 
@@ -465,8 +530,9 @@ FROM documents
 #: name -> (spark_fn, oracle_sql | None)
 CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
-    "cdc_replay_state_mor": (q_cdc_replay_state_mor, _SQL_CDC_REPLAY_STATE),
+    "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
+    "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),
     "conversation_progress": (q_conversation_progress, _SQL_CONVERSATION_PROGRESS),
     "cdc_idempotent_replay": (q_cdc_idempotent_replay, _SQL_CDC_IDEMPOTENT_REPLAY),

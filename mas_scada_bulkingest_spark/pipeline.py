@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.ids import name_uuid_expr
+from .functions.tagpath import path_levels
 from .functions.text import normalize_text
 from .lake.snapshot_table import MergeStats, SnapshotTable, compute_bucket_stats
 from .operators.classify import classify_expr
@@ -159,6 +160,8 @@ def register_conversations(
     patterns: list[tuple[str, str]] | None = None,
     discard: list[str] | None = None,
     default_type: str = "other",
+    level_sep: str = "-",
+    n_levels: int = 4,
 ) -> MergeStats:
     """First-seen registration MERGE for every conversation in ``batch``.
 
@@ -170,6 +173,10 @@ def register_conversations(
     log. The registry's LWW order is ``-lsn`` (see CONVERSATIONS_SCHEMA), so
     re-registration is a no-op — the cache's ``putSafe`` contract — while a
     genuinely earlier sighting delivered late still corrects ``first_seen``.
+
+    ``LEVEL_0..LEVEL_{n_levels-1}`` carry the id's path segments (split on
+    ``level_sep``, sparse NULLs beyond the depth) — the reference registers
+    every tagpath segment as a device dimension (Dimension.java:142-148).
     """
     from .lake.snapshot_table import _epoch_num
 
@@ -189,6 +196,7 @@ def register_conversations(
         F.col("_first.ts").alias("first_seen_ts"),
         lsn.alias("first_seen_lsn"),
         F.lit(_epoch_num(epoch_id)).cast("long").alias("first_seen_epoch"),
+        *path_levels(F.col("conv_id"), n_levels=n_levels, sep=level_sep),
         (-lsn).alias("neg_lsn"),
         F.lit("insert").alias("op"),
     )

@@ -65,6 +65,14 @@ CONVERSATIONS_SCHEMA = T.StructType(
         T.StructField("first_seen_ts", T.TimestampNTZType(), nullable=True),
         T.StructField("first_seen_lsn", T.LongType(), nullable=True),
         T.StructField("first_seen_epoch", T.LongType(), nullable=True),
+        # Dimension levels: one column per id path segment, sparse NULLs
+        # beyond the id's depth — the reference registers each tagpath
+        # segment as a dimension LEVEL_i on the device (Dimension.java:
+        # 142-148; EntityType.java:111-118 caps at LEVEL_7).
+        T.StructField("LEVEL_0", T.StringType(), nullable=True),
+        T.StructField("LEVEL_1", T.StringType(), nullable=True),
+        T.StructField("LEVEL_2", T.StringType(), nullable=True),
+        T.StructField("LEVEL_3", T.StringType(), nullable=True),
         # LWW carrier for FIRST-writer-wins: the registry MERGE compares
         # order tuples with max-struct semantics, so storing -first_seen_lsn
         # makes the EARLIEST registration win and a re-registration of the
