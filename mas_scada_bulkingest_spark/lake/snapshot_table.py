@@ -56,6 +56,7 @@ from pyspark.sql import types as T
 from ..operators.lww import collapse_lww
 from ..operators.schema_evolution import align_schemas, merge_schemas
 from ..schemas import LINEAGE_SCHEMA, LWW_ORDER, MERGE_KEY
+from .base import LakeTable
 
 _CURRENT = "_CURRENT"
 
@@ -155,8 +156,12 @@ def compute_bucket_stats(
     )
 
 
-class SnapshotTable:
-    """Single-writer, snapshot-isolated parquet table (see module docstring)."""
+class SnapshotTable(LakeTable):
+    """Single-writer, snapshot-isolated parquet table (see module docstring).
+
+    The bundled :class:`~.base.LakeTable` implementation (also exported as
+    ``ParquetSnapshotTable``); :class:`~.iceberg.IcebergTable` is the
+    catalog-backed drop-in where the Iceberg runtime is available."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark

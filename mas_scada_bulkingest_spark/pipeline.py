@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .functions.ids import name_uuid_expr
 from .functions.tagpath import path_levels
 from .functions.text import normalize_text
+from .lake.base import LakeTable
 from .lake.snapshot_table import MergeStats, SnapshotTable, compute_bucket_stats
 from .operators.classify import classify_expr
 from .operators.lww import collapse_lww
@@ -59,14 +60,14 @@ def parse_changes(df: DataFrame, normalize: bool = False) -> DataFrame:
 
 
 def apply_changes(
-    table: SnapshotTable,
+    table: LakeTable,
     batch: DataFrame,
     epoch_id: int | str,
     normalize: bool = False,
     skew_salt: int | None = None,
     hot_key_threshold: int | None = None,
     auto_compact_files: int | None = None,
-    registry: SnapshotTable | None = None,
+    registry: LakeTable | None = None,
 ) -> MergeStats:
     """Apply one micro-batch of change records to ``table`` exactly once.
 
@@ -154,7 +155,7 @@ def create_conversations_registry(
 
 
 def register_conversations(
-    registry: SnapshotTable,
+    registry: LakeTable,
     batch: DataFrame,
     epoch_id: int | str,
     patterns: list[tuple[str, str]] | None = None,

