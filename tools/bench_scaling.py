@@ -34,10 +34,12 @@ import tempfile
 _CHILD = """
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from mas_scada_bulkingest_spark.pipeline import create_transcripts_table
 from mas_scada_bulkingest_spark.streaming.driver import build_session, replay_batches
 
 cores = int(sys.argv[1]); changes = sys.argv[2]; work = sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "mor"
 spark = build_session(cores=cores, shuffle_partitions=cores,
                       extra_conf={{"spark.local.dir": os.path.join(work, "spark-local"),
                                    # pack the scan into ~2 even waves per core
@@ -47,24 +49,31 @@ spark.sparkContext.setLogLevel("ERROR")
 # warm the JVM/codegen paths on a tiny action so the timed region measures
 # the job, not first-query JIT
 spark.read.parquet(changes).limit(100).count()
-table = create_transcripts_table(spark, os.path.join(work, f"t{{cores}}"), n_buckets=64)
+table = create_transcripts_table(spark, os.path.join(work, f"t{{cores}}"),
+                                 n_buckets=64, mode=mode)
 t0 = time.perf_counter()
-stats = replay_batches(spark, changes, table, files_per_epoch=64, hot_key_threshold=500_000)
+stats = replay_batches(spark, changes, table, files_per_epoch=64, hot_key_threshold=500_000,
+                       auto_compact_files=8 if mode == "mor" else None)
 dt = time.perf_counter() - t0
-n_rows = table.read().count()
+# read-path scaling: materialize the final state through table.read()
+# (for MoR that's the bucket-local exchange-free LWW collapse)
+t0 = time.perf_counter()
+df = table.read()
+n_rows = df.count()
+read_dt = time.perf_counter() - t0
 spark.stop()
-print(json.dumps({{"cores": cores, "sec": dt, "rows": n_rows}}))
+print(json.dumps({{"cores": cores, "sec": dt, "read_sec": read_dt, "rows": n_rows}}))
 """
 
 
-def run_level(cores: int, changes: str, repo: str, trials: int) -> dict:
+def run_level(cores: int, changes: str, repo: str, trials: int, mode: str) -> dict:
     script = _CHILD.format(repo=repo)
     best = None
     for _ in range(trials):
         work = tempfile.mkdtemp(prefix=f"scale{cores}_", dir="/dev/shm")
         try:
             out = subprocess.run(
-                [sys.executable, "-c", script, str(cores), changes, work],
+                [sys.executable, "-c", script, str(cores), changes, work, mode],
                 capture_output=True, text=True, timeout=1800,
                 env={**os.environ, "SPARK_DRIVER_MEMORY": "24g"},
             )
@@ -90,6 +99,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 160_000
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    mode = sys.argv[4] if len(sys.argv) > 4 else "mor"
     reuse = os.environ.get("SCALING_CHANGES_DIR")
     gen_dir = None
     if reuse and os.path.isdir(reuse):
@@ -112,16 +122,18 @@ def main() -> None:
         man = generate_changelog(changes, n_convs=n_convs, mean_turns=8, n_files=64, seed=7)
     print(f"changelog: {man.n_events} events, {len(man.files)} files", file=sys.stderr)
 
-    lo = run_level(n, changes, repo, trials)
-    hi = run_level(4 * n, changes, repo, trials)
+    lo = run_level(n, changes, repo, trials, mode)
+    hi = run_level(4 * n, changes, repo, trials, mode)
     if gen_dir:
         shutil.rmtree(gen_dir, ignore_errors=True)
     thr_lo = man.n_events / lo["sec"]
     thr_hi = man.n_events / hi["sec"]
     eff = (thr_hi / thr_lo) / 4.0
+    read_eff = (lo["read_sec"] / hi["read_sec"]) / 4.0
     print(
         json.dumps(
             {
+                "mode": mode,
                 "n_events": man.n_events,
                 "rows_final": hi["rows"],
                 f"local[{n}]_sec": round(lo["sec"], 2),
@@ -129,6 +141,9 @@ def main() -> None:
                 f"events_per_sec_{n}": round(thr_lo, 1),
                 f"events_per_sec_{4*n}": round(thr_hi, 1),
                 "scaling_efficiency_N_to_4N": round(eff, 3),
+                f"read_sec_{n}": round(lo["read_sec"], 2),
+                f"read_sec_{4*n}": round(hi["read_sec"], 2),
+                "read_scaling_efficiency_N_to_4N": round(read_eff, 3),
                 "trials": trials,
             }
         )
