@@ -102,6 +102,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # untimed warm-up: a small replay absorbs the first-run JVM/codegen cost
+    # (~20-40 s) so the headline measures the engine, not JIT warmup — the
+    # round-2 bench charged that cost to whichever mode happened to run first
+    bench_cdc_replay(spark, "sf0.001", mode="mor")
+
     # headline: CDC replay throughput, MoR (the flagship scale mode:
     # O(batch) delta appends + auto-compaction + bucket-local read collapse)
     # first, CoW reconciling merge as the secondary mode
