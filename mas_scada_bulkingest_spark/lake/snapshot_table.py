@@ -413,11 +413,37 @@ class SnapshotTable(LakeTable):
         for p in branches[1:]:
             out = out.union(p)
         out = out.union(pad)
+        out = self._freeze_interpreted(out)
         # Memoize per (snapshot version, bucket set): the plan only changes
         # when a commit flips the snapshot, and rebuilding it costs
         # O(n_buckets) driver time.
         self._collapsed_plan_cache = (cache_key, out)
         return out
+
+    def _freeze_interpreted(self, df: DataFrame) -> DataFrame:
+        """Materialize ``df``'s physical plan with whole-stage codegen OFF
+        and re-wrap the (lazy) InternalRow RDD as a DataFrame.
+
+        The branch union generates one distinct codegen class per bucket
+        (expr ids differ per branch), so a cold N-bucket read pays N Janino
+        compilations — measured 17.4 s cold / 7.8 s warm for a 64-bucket
+        5M-row read at 4 cores, vs 3.7 / 3.3 s interpreted (the sort-based
+        max-struct aggregate also *executes* faster interpreted). Freezing
+        the plan here bakes the interpreted mode into the RDD without
+        touching the session conf seen by any other query, and downstream
+        operators (tombstone filter, user projections) still plan normally
+        on top. Falls back to the unfrozen DataFrame on any incompatibility
+        (``internalCreateDataFrame`` is JVM-public but not a stable API).
+        """
+        try:
+            with self._conf_overrides({"spark.sql.codegen.wholeStage": "false"}):
+                rdd = df._jdf.queryExecution().toRdd()
+            jdf = self.spark._jsparkSession.internalCreateDataFrame(
+                rdd, df._jdf.schema(), False
+            )
+            return DataFrame(jdf, self.spark)
+        except Exception:
+            return df
 
     def read(
         self, buckets: list[int] | None = None, version: int | None = None

@@ -116,10 +116,23 @@ def test_mor_read_plan_is_exchange_free(spark, tmpdir_path):
     generate_changelog(tmpdir_path + "/log", n_convs=30, mean_turns=5, seed=35)
     tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4, mode="mor")
     replay_batches(spark, tmpdir_path + "/log", tbl, files_per_epoch=2)
+    # the full read plan (collapse frozen interpreted + tombstone filter):
+    # nothing may introduce an Exchange
     plan = tbl.read()._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
-    # max-of-struct plans as SortAggregate; the point is it's partition-local
-    assert "Aggregate" in plan and "Union" in plan and "Coalesce 1" in plan
+    # and the collapse plan itself must be the per-bucket union shape:
+    # scan -> Coalesce 1 -> partition-local (Sort)Aggregate per branch
+    # (build it unfrozen so the shape is visible to explain)
+    tbl._collapsed_plan_cache = None
+    freeze = tbl._freeze_interpreted
+    tbl._freeze_interpreted = lambda df: df
+    try:
+        inner = tbl._read_collapsed_local()._jdf.queryExecution().executedPlan().toString()
+    finally:
+        tbl._freeze_interpreted = freeze
+        tbl._collapsed_plan_cache = None
+    assert "Exchange" not in inner
+    assert "Aggregate" in inner and "Union" in inner and "Coalesce 1" in inner
 
 
 def test_mor_purge_tombstones_no_resurrection(spark, tmpdir_path):
