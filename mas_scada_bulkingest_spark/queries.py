@@ -867,6 +867,122 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE)
 
 
 # ---------------------------------------------------------------------------
+# dedup: near-dup CLUSTERING — connected components over the verified pairs
+# (the final stage of a real dedup pipeline: each component keeps ONE
+# canonical document; pairs alone over-delete when A~B and B~C but A!~C).
+# ---------------------------------------------------------------------------
+
+#: iteration cap for min-label propagation — each round halves the distance
+#: a component's min label still has to travel, so this bounds component
+#: diameter at 2^k-ish; near-dup graphs are shallow (dense cliques + short
+#: chains). The loop exits early on convergence.
+_CC_MAX_ITERS = 20
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via iterative min-label propagation: every doc
+    starts labeled with itself; each round takes the min label over itself
+    and its neighbors; at fixpoint every member of a component carries the
+    component's min doc_id (→ ``cluster_id``; the canonical keeper is the
+    row with ``doc_id == cluster_id``).
+
+    Scale notes (100 TB): each round is one equi-join on doc id + one
+    map-side-combined min aggregate — both shuffle O(edges) hash-partitioned
+    on doc id, never materializing components as rows (the recursive-CTE
+    closure the oracle runs would be O(sum of component²) — fine for an
+    oracle, wrong for an engine). ``localCheckpoint`` truncates the plan per
+    round so the lineage doesn't grow with iterations; convergence is
+    detected with a bounded ``limit(1).count`` probe. For graphs with
+    continent-sized diameters use the alternating large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce"); near-dup
+    graphs never need it.
+    """
+    # checkpoint the verified pairs BEFORE the symmetric union: the union's
+    # two branches would otherwise each re-run the whole minhash+verify
+    # pipeline (measured 10.6 s vs 3.5 s for one materialization)
+    pairs = (
+        q_dedup_minhash_verified(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        # min label among neighbors …
+        nbr_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc"])
+            .groupBy(edges["doc_a"].alias("doc"))
+            .agg(F.min("lbl").alias("_nbr"))
+        )
+        # … plus pointer jumping (my label's own label) — doubles the
+        # distance a component's min travels per round, so rounds ≈
+        # log2(diameter) instead of diameter
+        parent = labels.select(
+            F.col("doc").alias("_pdoc"), F.col("lbl").alias("_plbl")
+        )
+        best = F.least(
+            F.col("lbl"),
+            F.coalesce(F.col("_nbr"), F.col("lbl")),
+            F.coalesce(F.col("_plbl"), F.col("lbl")),
+        )
+        # ONE action per round: the checkpoint materializes the new labels
+        # (and truncates lineage); the convergence probe then reads the
+        # materialized blocks instead of re-running the round's joins
+        new_labels = (
+            labels.join(nbr_min, "doc", "left")
+            .join(parent, labels["lbl"] == F.col("_pdoc"), "left")
+            .select(
+                "doc",
+                best.alias("_new"),
+                (best < F.col("lbl")).alias("_changed"),
+            )
+            .select("doc", F.col("_new").alias("lbl"), "_changed")
+            .localCheckpoint()
+        )
+        labels = new_labels.select("doc", "lbl")
+        if new_labels.filter("_changed").limit(1).count() == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    """Oracle: transitive closure by recursive CTE (reach(doc, lbl) = label
+    lbl reaches doc), then min label per doc — the fixpoint is unique, so
+    the iterative engine and the closure-based oracle must agree exactly."""
+    verified = _minhash_verified_sql()
+    return f"""
+WITH RECURSIVE
+  vpairs AS ({verified}),
+  edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM vpairs
+    UNION
+    SELECT doc_b, doc_a FROM vpairs
+  ),
+  verts AS (SELECT DISTINCT u AS doc FROM edges),
+  reach(doc, lbl) AS (
+    SELECT doc, doc FROM verts
+    UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc
+  )
+SELECT doc AS doc_id,
+       min(lbl) AS cluster_id,
+       (doc = min(lbl)) AS is_canonical
+FROM reach GROUP BY doc
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup: SimHash fingerprint (16-bit, md5-digit high-bit variant)
 # ---------------------------------------------------------------------------
 
@@ -1383,6 +1499,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _SQL_DEDUP_MINHASH_LSH),
     "dedup_minhash_verified": (q_dedup_minhash_verified, _minhash_verified_sql()),
+    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "embed_cosine_topk": (q_embed_cosine_topk, _SQL_EMBED_COSINE_TOPK),
     "embed_ann_lsh": (q_embed_ann_lsh, _ann_lsh_sql()),
