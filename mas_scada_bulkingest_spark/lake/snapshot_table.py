@@ -331,7 +331,10 @@ class SnapshotTable(LakeTable):
         )
 
     def _read_collapsed_local(
-        self, buckets: list[int] | None = None, with_bucket_col: bool = False
+        self,
+        buckets: list[int] | None = None,
+        with_bucket_col: bool = False,
+        max_branches: int | None = None,
     ) -> DataFrame | None:
         """Merge-on-read LWW resolution WITHOUT a table-wide exchange.
 
@@ -356,14 +359,30 @@ class SnapshotTable(LakeTable):
         (callers filter); ``with_bucket_col`` tags each branch with its
         bucket id so maintenance writes can ``partitionBy`` with no
         repartition pass.
+
+        ``max_branches`` groups several buckets into one branch (their file
+        lists concatenated) to bound plan size and driver plan-build cost at
+        very large bucket counts (thousands at 100 TB): a key's files all
+        live in ONE bucket, so any bucket-preserving grouping keeps the
+        partition-local reduce exact — only task granularity changes.
         """
         groups = self._bucket_file_groups(buckets)
         if not groups:
             return None
+        if max_branches is not None and len(groups) > max(int(max_branches), 1):
+            nb = max(int(max_branches), 1)
+            merged: list[tuple[int, list[str]]] = []
+            per = (len(groups) + nb - 1) // nb
+            for i in range(0, len(groups), per):
+                chunk = groups[i : i + per]
+                files = [f for _, fs in chunk for f in fs]
+                merged.append((chunk[0][0], files))  # id only labels the branch
+            groups = merged
         cache_key = (
             self._snapshot["version"],
             tuple(b for b, _ in groups),
             with_bucket_col,
+            max_branches,
         )
         cached = getattr(self, "_collapsed_plan_cache", None)
         if cached is not None and cached[0] == cache_key:
@@ -389,7 +408,11 @@ class SnapshotTable(LakeTable):
                 order=self.order,
             )
             if with_bucket_col:
-                collapsed = collapsed.withColumn("_bucket", F.lit(b).cast("int"))
+                # recompute from the key (not a branch literal) so a branch
+                # holding several grouped buckets still tags rows correctly
+                collapsed = collapsed.withColumn(
+                    "_bucket", _bucket_expr(list(self.key)[0], self.n_buckets)
+                )
             return collapsed
 
         # Branch construction is pure driver-side plan building (~0.1 s per
@@ -446,7 +469,10 @@ class SnapshotTable(LakeTable):
             return df
 
     def read(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        max_branches: int | None = None,
     ) -> DataFrame:
         """Current *live* table state (tombstones hidden, bucket-prunable).
 
@@ -463,9 +489,9 @@ class SnapshotTable(LakeTable):
         is readable — each snapshot's file list is immutable.
         """
         if version is not None and version != self._snapshot["version"]:
-            return self.at_version(version).read(buckets)
+            return self.at_version(version).read(buckets, max_branches=max_branches)
         if self.mode == "mor":
-            df = self._read_collapsed_local(buckets)
+            df = self._read_collapsed_local(buckets, max_branches=max_branches)
         else:
             df = self._read_raw(buckets)
         if df is None:

@@ -135,6 +135,22 @@ def test_mor_read_plan_is_exchange_free(spark, tmpdir_path):
     assert "Aggregate" in inner and "Union" in inner and "Coalesce 1" in inner
 
 
+def test_mor_grouped_branch_read_equals_per_bucket(spark, tmpdir_path):
+    """max_branches groups several buckets into one branch (the 100 TB
+    plan-size bound): a key's files all live in one bucket, so grouping must
+    not change the collapse result — and the grouped plan must still be
+    exchange-free."""
+    generate_changelog(tmpdir_path + "/log", n_convs=40, mean_turns=5, seed=36)
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=8, mode="mor")
+    replay_batches(spark, tmpdir_path + "/log", tbl, files_per_epoch=2)
+    per_bucket = _final(tbl)
+    tbl._collapsed_plan_cache = None
+    grouped = tbl.read(max_branches=3)
+    assert "Exchange" not in grouped._jdf.queryExecution().executedPlan().toString()
+    gdf = grouped.orderBy("conv_id", "turn_idx").toPandas()
+    assert_frames_equal(gdf[[c for c in FINAL_COLS if c in gdf.columns]], per_bucket)
+
+
 def test_mor_purge_tombstones_no_resurrection(spark, tmpdir_path):
     tbl = SnapshotTable.create(
         spark, tmpdir_path + "/t",
