@@ -8,15 +8,24 @@ bullet names the bundled-parquet analog it replaces:
   MERGE touches only the buckets present in the batch (runtime partition
   pruning on the join key).
 * **Exactly-once**: the epoch commit log rides snapshot *summary metadata*
-  (``snapshot.summary['engine.epoch-id']``, set via the commit's
-  ``snapshot-property``) — replacing the snapshot JSON's
+  (``snapshot.summary['engine.epoch-id']``), stamped on the MERGE's **own**
+  commit via the Iceberg session conf
+  ``spark.sql.iceberg.snapshot-property.engine.epoch-id`` (scoped around the
+  MERGE by :meth:`merge_changes`) — one atomic statement carries both the
+  data and the marker, replacing the snapshot JSON's
   ``committed_epochs``/watermark fold; ``is_epoch_committed`` scans the
-  metadata-only ``<table>.snapshots`` table (no data scan).
+  metadata-only ``<table>.snapshots`` table (no data scan) for the SAME key.
 * **MERGE**: one atomic ``MERGE INTO`` per epoch (:meth:`merge_sql`) with
   the LWW guard in the ``WHEN MATCHED AND <incoming order> > <target
-  order>`` predicate, deletes as ``WHEN MATCHED ... THEN DELETE``; Iceberg's
-  snapshot commit gives the same all-or-nothing visibility as the pointer
-  rename.
+  order>`` predicate. Deletes become **tombstone rows** (``_tombstone=true``
+  carrying the delete's (ts, lsn)) exactly like the parquet backend — a
+  physical ``THEN DELETE`` would lose the delete's LWW watermark, letting a
+  stale same-key update re-delivered in a later epoch hit ``WHEN NOT
+  MATCHED`` and resurrect the row (Iceberg sequence numbers order commits,
+  not cross-epoch re-deliveries). ``read()`` hides tombstones;
+  :meth:`purge_tombstones_sql` ≙ ``SnapshotTable.purge_tombstones``.
+  Iceberg's snapshot commit gives the same all-or-nothing visibility as the
+  pointer rename.
 * **Schema evolution**: ``ALTER TABLE ... ADD COLUMNS`` (additive only)
   before the MERGE, in the same transaction where the catalog supports it —
   replacing ``merge_schemas`` + the snapshot's stored schema.
@@ -92,6 +101,10 @@ class IcebergTable(LakeTable):
     ) -> str:
         """CREATE TABLE IF NOT EXISTS with the engine's bucket layout."""
         mode = "merge-on-read" if merge_on_read else "copy-on-write"
+        if "_tombstone" not in columns_ddl:
+            # deletes persist as tombstone rows (module docstring) — the
+            # flag column is part of the physical schema, hidden by read()
+            columns_ddl = columns_ddl.rstrip() + ", _tombstone boolean"
         return (
             f"CREATE TABLE IF NOT EXISTS {identifier} ({columns_ddl})\n"
             f"USING iceberg\n"
@@ -104,10 +117,14 @@ class IcebergTable(LakeTable):
 
     def merge_sql(self, source_view: str, value_cols: list[str]) -> str:
         """The per-epoch LWW MERGE: incoming wins only if its order tuple is
-        lexicographically greater (NULL target = unseen key → insert);
-        deletes become Iceberg row deletes instead of engine tombstones —
-        Iceberg's sequence-number ordering gives stale re-deliveries to the
-        MERGE's own guard, which skips them."""
+        lexicographically greater (NULL target = unseen key → insert).
+        Deletes write ``_tombstone=true`` rows carrying the delete's order
+        tuple instead of a physical ``THEN DELETE`` — see module docstring
+        (late stale updates must lose against the tombstone, mirroring
+        ``SnapshotTable.merge_changes``). Underscore-prefixed helper columns
+        (``_max_lsn`` from ``collapse_lww(track_max_of=...)``) are stripped:
+        the table does not carry them."""
+        value_cols = [c for c in value_cols if not c.startswith("_")]
         on = " AND ".join(f"t.{k} = s.{k}" for k in self._key)
         o = list(self._order)
         in_newer = (
@@ -120,34 +137,51 @@ class IcebergTable(LakeTable):
             )
             + ")"
         )
-        sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
-        cols = ", ".join([*self._key, *value_cols])
-        svals = ", ".join(f"s.{c}" for c in [*self._key, *value_cols])
+        ts = "(s.op = 'delete')"
+        sets = ", ".join(
+            [f"t.{c} = s.{c}" for c in value_cols] + [f"t._tombstone = {ts}"]
+        )
+        cols = ", ".join([*self._key, *value_cols, "_tombstone"])
+        svals = ", ".join([f"s.{c}" for c in [*self._key, *value_cols]] + [ts])
         return (
             f"MERGE INTO {self.identifier} t\n"
             f"USING {source_view} s\n"
             f"ON {on}\n"
-            f"WHEN MATCHED AND s.op = 'delete' AND {in_newer} THEN DELETE\n"
-            f"WHEN MATCHED AND s.op <> 'delete' AND {in_newer} THEN "
-            f"UPDATE SET {sets}\n"
-            f"WHEN NOT MATCHED AND s.op <> 'delete' THEN "
-            f"INSERT ({cols}) VALUES ({svals})"
+            f"WHEN MATCHED AND {in_newer} THEN UPDATE SET {sets}\n"
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({svals})"
         )
 
-    def commit_epoch_sql(self, epoch_id: int | str) -> str:
-        """Stamp the epoch id into the commit's snapshot summary (the
-        exactly-once marker ``is_epoch_committed`` queries back)."""
-        return (
-            f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-            f"('engine.last-epoch'='{epoch_id}')"
-        )
+    _EPOCH_PROP = "engine.epoch-id"
+    _EPOCH_CONF = "spark.sql.iceberg.snapshot-property." + _EPOCH_PROP
+
+    @classmethod
+    def epoch_commit_conf(cls, epoch_id: int | str) -> tuple[str, str]:
+        """(conf key, value) that stamps the epoch id into the MERGE's own
+        snapshot summary — Iceberg's SparkWrite copies every
+        ``spark.sql.iceberg.snapshot-property.*`` session conf into the
+        commit summary, so marker and data land in ONE atomic commit.
+        :meth:`merge_changes` scopes it around the MERGE; the probe reads
+        back the SAME key (``summary['engine.epoch-id']``)."""
+        return cls._EPOCH_CONF, str(epoch_id)
 
     def epoch_committed_sql(self, epoch_id: int | str) -> str:
-        """Metadata-only membership probe over the snapshots table."""
+        """Metadata-only membership probe over the snapshots table (same
+        summary key :meth:`epoch_commit_conf` writes)."""
         return (
             f"SELECT count(*) AS n FROM {self.identifier}.snapshots "
-            f"WHERE summary['engine.epoch-id'] = '{epoch_id}'"
+            f"WHERE summary['{self._EPOCH_PROP}'] = '{epoch_id}'"
         )
+
+    def purge_tombstones_sql(self, before_lsn: int | None = None) -> str:
+        """≙ ``SnapshotTable.purge_tombstones``: physically drop tombstone
+        rows once the changelog retention horizon guarantees no staler
+        delivery can arrive (NULL-lsn tombstones are retained, mirroring the
+        parquet backend's null-safe guard)."""
+        lsn = self._order[-1]
+        horizon = (
+            "" if before_lsn is None else f" AND {lsn} IS NOT NULL AND {lsn} < {before_lsn}"
+        )
+        return f"DELETE FROM {self.identifier} WHERE _tombstone{horizon}"
 
     # ---- LakeTable surface (thin wrappers over the SQL above) ------------
     @property
@@ -178,16 +212,30 @@ class IcebergTable(LakeTable):
         view = f"_changes_{abs(hash(str(epoch_id))) % 10**8}"
         batch.createOrReplaceTempView(view)
         value_cols = [
-            c for c in batch.columns if c not in self._key and c != "op"
+            c
+            for c in batch.columns
+            if c not in self._key and c != "op" and not c.startswith("_")
         ]
-        self.spark.sql(self.merge_sql(view, value_cols))
-        self.spark.sql(self.commit_epoch_sql(epoch_id))
+        conf_key, conf_val = self.epoch_commit_conf(epoch_id)
+        self.spark.conf.set(conf_key, conf_val)
+        try:
+            # marker rides the MERGE's own snapshot commit (atomic with data)
+            self.spark.sql(self.merge_sql(view, value_cols))
+        finally:
+            self.spark.conf.unset(conf_key)
         from .snapshot_table import MergeStats
 
         return MergeStats(epoch_id, -1, -1, -1, None, was_noop=False)
 
     def read(self, buckets=None):
-        return self.spark.table(self.identifier)
+        df = self.spark.table(self.identifier)
+        if "_tombstone" in df.columns:
+            from pyspark.sql import functions as F
+
+            df = df.where(
+                ~F.coalesce(F.col("_tombstone"), F.lit(False))
+            ).drop("_tombstone")
+        return df
 
     def lineage(self):
         raise NotImplementedError(

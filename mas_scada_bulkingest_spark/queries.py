@@ -914,6 +914,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("doc"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(_CC_MAX_ITERS):
         # min label among neighbors …
         nbr_min = (
@@ -948,7 +949,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels.select("doc", "lbl")
         if new_labels.filter("_changed").limit(1).count() == 0:
+            converged = True
             break
+    if not converged:
+        # labels still moving at the cap → cluster_ids would be WRONG
+        # (split components). Fail loudly rather than return silently-bad
+        # data; a graph this deep needs the large-star/small-star variant.
+        raise RuntimeError(
+            f"q_dedup_clusters: label propagation did not converge within "
+            f"{_CC_MAX_ITERS} pointer-jumping rounds (component diameter "
+            f"> ~2^{_CC_MAX_ITERS}); returned labels would split components."
+        )
     return labels.select(
         F.col("doc").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),

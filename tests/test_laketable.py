@@ -38,22 +38,38 @@ def test_iceberg_sql_builders_encode_the_contract():
     t._order = ("ts", "lsn")
     t._n_buckets = 16
 
-    sql = t.merge_sql("chg", ["role", "text", "tool", "ts", "lsn"])
+    sql = t.merge_sql("chg", ["role", "text", "tool", "ts", "lsn", "_max_lsn"])
     assert "MERGE INTO cat.db.transcripts t" in sql
     assert "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in sql
     # the lexicographic (ts, lsn) LWW guard
     assert "(s.ts > t.ts OR t.ts = s.ts AND s.lsn > t.lsn)" in sql
-    assert "WHEN MATCHED AND s.op = 'delete'" in sql and "THEN DELETE" in sql
-    assert "WHEN NOT MATCHED AND s.op <> 'delete' THEN INSERT" in sql
+    # deletes persist as tombstone rows carrying the delete's (ts, lsn) —
+    # a physical DELETE would let a stale late update resurrect the row
+    assert "THEN DELETE" not in sql
+    assert "t._tombstone = (s.op = 'delete')" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql and "_tombstone" in sql
+    # helper columns from collapse_lww(track_max_of=...) never reach the table
+    assert "_max_lsn" not in sql
 
     create = IcebergTable.create_sql(
         "cat.db.transcripts", "conv_id string, turn_idx int", n_buckets=8
     )
     assert "PARTITIONED BY (bucket(8, conv_id))" in create
     assert "'write.merge.mode'='merge-on-read'" in create
+    assert "_tombstone boolean" in create
 
+    # exactly-once marker: the conf key the MERGE commit stamps and the key
+    # the probe reads back MUST be the same summary property
+    conf_key, conf_val = IcebergTable.epoch_commit_conf(7)
+    assert conf_key == "spark.sql.iceberg.snapshot-property.engine.epoch-id"
+    assert conf_val == "7"
     probe = t.epoch_committed_sql(7)
     assert "cat.db.transcripts.snapshots" in probe  # metadata-only, no scan
+    assert "summary['engine.epoch-id'] = '7'" in probe
+
+    purge = t.purge_tombstones_sql(before_lsn=100)
+    assert purge.startswith("DELETE FROM cat.db.transcripts WHERE _tombstone")
+    assert "lsn IS NOT NULL AND lsn < 100" in purge
 
 
 def test_negative_epoch_ids_never_silently_committed(spark, tmpdir_path):
