@@ -57,7 +57,7 @@ def bench_cdc_replay(spark, sf_name: str, mode: str = "cow") -> tuple[float, int
     )
     t0 = time.perf_counter()
     replay_batches(
-        spark, changes, table, files_per_epoch=16, hot_key_threshold=200_000,
+        spark, changes, table, files_per_epoch=16,
         auto_compact_files=8 if mode == "mor" else None,
     )
     dt = time.perf_counter() - t0

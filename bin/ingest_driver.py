@@ -54,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cores", type=int, default=None, help="local[N] when not on a cluster")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--files-per-epoch", type=int, default=4)
-    p.add_argument("--hot-key-threshold", type=int, default=100_000)
+    p.add_argument("--hot-key-threshold", type=int, default=None,
+                   help="force the salted two-phase collapse when a conversation exceeds this event count (default: plain collapse — map-side partial agg absorbs skew)")
     p.add_argument("--normalize", action="store_true", help="NFC/whitespace text normalization")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--vacuum", action="store_true", help="clean superseded epoch files after run")

@@ -161,7 +161,6 @@ def _replayed_table(
             table,
             batch,
             epoch_id=e,
-            hot_key_threshold=100_000,
             auto_compact_files=8 if mode == "mor" else None,
             registry=registry,
         )

@@ -835,19 +835,30 @@ class SnapshotTable(LakeTable):
         new_schema = merge_schemas(self.schema, incoming_schema)
         value_cols = [f.name for f in new_schema.fields if f.name not in key]
 
-        b = batch.withColumn("_bucket", _bucket_expr(bucket_col, nb))
+        mor = self.mode == "mor"
+        # Merge-on-read never reads the existing side, so nothing about the
+        # write PLAN depends on which buckets the batch touches — the
+        # affected-bucket set and per-bucket max LSN can ride the write job's
+        # CollectMetrics instead of a separate pre-scan + collect barrier.
+        # One full pass over the batch, not two. CoW cannot defer: it must
+        # know the affected buckets BEFORE the write to prune which existing
+        # files to read and rewrite.
+        defer_stats = mor and pre_stats is None and stats_source is None
 
         # ---- pre-pass: affected buckets + per-bucket incoming max lsn -----
         # One map-side-combined aggregate over the collapsed batch; drives
         # bucket pruning (which existing files to read / rewrite) and the
         # resume watermark (max LSN seen per partition) for lineage.
         _t0 = time.perf_counter()
-        if pre_stats is not None:
+        if defer_stats:
+            pre = None
+        elif pre_stats is not None:
             # caller already ran compute_bucket_stats on the raw batch
             pre = pre_stats
         elif stats_source is not None:
             pre = compute_bucket_stats(stats_source, bucket_col, nb)
         else:
+            b = batch.withColumn("_bucket", _bucket_expr(bucket_col, nb))
             lsn_col = "_max_lsn" if has_max_lsn else "lsn"
             lsn_src = (
                 F.col(lsn_col) if lsn_col in batch.columns else F.lit(None).cast("long")
@@ -858,10 +869,15 @@ class SnapshotTable(LakeTable):
                 .collect()
             )
         _timings = {"pre_pass": round(time.perf_counter() - _t0, 3)}
-        affected = sorted(r["_bucket"] for r in pre)
-        max_lsn_by_bucket = {r["_bucket"]: r["max_lsn"] for r in pre}
-        max_lsn_vals = [v for v in max_lsn_by_bucket.values() if v is not None]
-        max_lsn = int(max(max_lsn_vals)) if max_lsn_vals else None
+        if defer_stats:
+            affected: list[int] | None = None  # resolved from write metrics
+            max_lsn_by_bucket: dict[int, int | None] = {}
+            max_lsn = None
+        else:
+            affected = sorted(r["_bucket"] for r in pre)
+            max_lsn_by_bucket = {r["_bucket"]: r["max_lsn"] for r in pre}
+            max_lsn_vals = [v for v in max_lsn_by_bucket.values() if v is not None]
+            max_lsn = int(max(max_lsn_vals)) if max_lsn_vals else None
 
         have = set(batch.columns)
         field_type = {f.name: f.dataType for f in new_schema.fields}
@@ -876,9 +892,27 @@ class SnapshotTable(LakeTable):
                 for c in value_cols
             ],
             F.col("op").alias("_in_op"),
+            *(
+                # deferred stats need max-LSN-SEEN per bucket (incl. collapsed
+                # losers — a loser can carry a higher lsn than the LWW winner
+                # when ts and lsn interleave), so carry the collapse's
+                # _max_lsn through to the write job's CollectMetrics.
+                [
+                    (
+                        F.col("_max_lsn")
+                        if has_max_lsn
+                        else (
+                            F.col("lsn")
+                            if "lsn" in batch.columns
+                            else F.lit(None).cast("long")
+                        )
+                    ).alias("_stat_lsn")
+                ]
+                if mor
+                else []
+            ),
         ).withColumn("_bucket", _bucket_expr(bucket_col, nb))
 
-        mor = self.mode == "mor"
         # Merge-on-read: NEVER read the existing side — the collapsed batch
         # is appended as per-bucket delta files (deletes as tombstones
         # carrying their LWW watermark) and stale losers are resolved by the
@@ -941,41 +975,70 @@ class SnapshotTable(LakeTable):
                 verdict.alias("_verdict"),
                 *[F.col(f"_in_{c}").alias(c) for c in value_cols],
                 (F.col("_in_op") == "delete").alias(_TOMBSTONE),
+                *(["_stat_lsn"] if mor else []),
             )
 
         applied = skipped = deleted = 0
         lin_by_bucket: dict[int, tuple[int, int, int]] = {}
         rel_dir = os.path.join("data", f"epoch={_epoch_num(epoch_id)}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
-        if affected:
-            # ---- lineage rides the write pass via CollectMetrics (observe):
-            # map-side conditional sums, no extra job, no persist of the wide
-            # join output (a cache would spill at scale; SURVEY.md §4).
-            per_bucket = len(affected) <= int(
-                os.environ.get("SNAPSHOT_LINEAGE_BUCKET_LIMIT", "128")
-            )
-            obs = Observation()
-            exprs = []
-            if per_bucket:
-                for bk in affected:
-                    m = F.col("_bucket") == bk
+        if affected is None or affected:
+            obs = None
+            per_bucket = False
+            if mor:
+                # ---- MoR: NO CollectMetrics on the write. Per-row
+                # evaluation of O(n_buckets) conditional-sum metric exprs
+                # measured 19 s of a 48 s epoch at 4 cores (and scaled at
+                # ~0.65, dominating the N->4N efficiency loss). Instead the
+                # delta files carry a ``_max_lsn`` helper column (max LSN
+                # SEEN per key incl. collapsed losers) next to ``_tombstone``,
+                # and per-bucket lineage comes from one column-pruned stats
+                # job over the just-written epoch delta (page-cache hot,
+                # O(batch) narrow columns) after the write — same exact
+                # numbers, a fraction of the cost. read()/compact() use the
+                # explicit storage schema, so the helper column is invisible
+                # downstream.
+                survivors = resolved.select(
+                    *key,
+                    "_bucket",
+                    *value_cols,
+                    _TOMBSTONE,
+                    F.col("_stat_lsn").alias("_max_lsn"),
+                )
+            else:
+                # ---- CoW: lineage rides the write pass via CollectMetrics
+                # (observe): map-side conditional sums, no extra job, no
+                # persist of the wide join output (a cache would spill at
+                # scale; SURVEY.md §4). The written files hold every
+                # surviving row of each affected bucket (not just this
+                # epoch's changes), so applied/skipped cannot be recovered
+                # from the files afterwards the way MoR does it.
+                per_bucket = len(affected) <= int(
+                    os.environ.get("SNAPSHOT_LINEAGE_BUCKET_LIMIT", "128")
+                )
+                obs = Observation()
+                exprs = []
+                if per_bucket:
+                    for bk in affected:
+                        m = F.col("_bucket") == bk
+                        for vname, tag in (("apply", "a"), ("skip", "s"), ("delete", "d")):
+                            exprs.append(
+                                F.sum(
+                                    F.when(m & (F.col("_verdict") == vname), 1).otherwise(0)
+                                ).alias(f"{tag}_{bk}")
+                            )
+                else:
                     for vname, tag in (("apply", "a"), ("skip", "s"), ("delete", "d")):
                         exprs.append(
-                            F.sum(
-                                F.when(m & (F.col("_verdict") == vname), 1).otherwise(0)
-                            ).alias(f"{tag}_{bk}")
+                            F.sum(F.when(F.col("_verdict") == vname, 1).otherwise(0)).alias(
+                                f"{tag}_all"
+                            )
                         )
-            else:
-                for vname, tag in (("apply", "a"), ("skip", "s"), ("delete", "d")):
-                    exprs.append(
-                        F.sum(F.when(F.col("_verdict") == vname, 1).otherwise(0)).alias(
-                            f"{tag}_all"
-                        )
-                    )
-            observed = resolved.observe(obs, *exprs)
-            # tombstones are WRITTEN (not dropped): they carry the delete's
-            # LWW watermark; read() hides them, vacuum can purge them later
-            survivors = observed.select(*key, "_bucket", *value_cols, _TOMBSTONE)
+                observed = resolved.observe(obs, *exprs)
+                # tombstones are WRITTEN (not dropped): they carry the
+                # delete's LWW watermark; read() hides them, vacuum can
+                # purge them later
+                survivors = observed.select(*key, "_bucket", *value_cols, _TOMBSTONE)
             # Two scoped AQE overrides for the write job only:
             # * empty-relation propagation would collapse an all-deleted
             #   epoch's plan before CollectMetrics runs, losing the
@@ -995,18 +1058,57 @@ class SnapshotTable(LakeTable):
                 }
             ):
                 (
-                    survivors.repartition(max(len(affected), 1), F.col("_bucket"))
+                    survivors.repartition(
+                        nb if affected is None else max(len(affected), 1),
+                        F.col("_bucket"),
+                    )
                     .write.partitionBy("_bucket")
                     .mode("overwrite")
                     .parquet(out_dir)
                 )
-            metrics = obs.get
             _timings["write"] = round(time.perf_counter() - _t0, 3)
-            if per_bucket:
+            if mor:
+                # ---- per-bucket lineage from the epoch delta just written:
+                # one pruned scan of (_bucket, _tombstone, _max_lsn) —
+                # MoR appends are insert-only (verdict is apply|delete,
+                # never skip), so applied = rows - deletes exactly.
+                _t0 = time.perf_counter()
+                wrote_any = os.path.isdir(out_dir) and any(
+                    e.startswith("_bucket=") for e in os.listdir(out_dir)
+                )
+                if wrote_any:
+                    srows = (
+                        self.spark.read.parquet(out_dir)
+                        .groupBy("_bucket")
+                        .agg(
+                            F.count(F.lit(1)).alias("_n"),
+                            F.sum(
+                                F.when(F.col(_TOMBSTONE), 1).otherwise(0)
+                            ).alias("_d"),
+                            F.max("_max_lsn").alias("_l"),
+                        )
+                        .collect()
+                    )
+                    for r in srows:
+                        bk = int(r["_bucket"])
+                        dl = int(r["_d"])
+                        lin_by_bucket[bk] = (int(r["_n"]) - dl, 0, dl)
+                        max_lsn_by_bucket[bk] = (
+                            int(r["_l"]) if r["_l"] is not None else None
+                        )
+                if defer_stats:
+                    affected = sorted(lin_by_bucket)
+                vals = [v for v in max_lsn_by_bucket.values() if v is not None]
+                if vals:
+                    max_lsn = int(max(vals))
+                _timings["lineage_stats"] = round(time.perf_counter() - _t0, 3)
+            elif per_bucket:
+                metrics = obs.get
                 for bk in affected:
                     a, sk, dl = metrics[f"a_{bk}"], metrics[f"s_{bk}"], metrics[f"d_{bk}"]
                     lin_by_bucket[bk] = (int(a), int(sk), int(dl))
             else:
+                metrics = obs.get
                 lin_by_bucket[-1] = (
                     int(metrics["a_all"]),
                     int(metrics["s_all"]),

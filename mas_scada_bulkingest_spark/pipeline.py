@@ -66,15 +66,30 @@ def apply_changes(
     normalize: bool = False,
     skew_salt: int | None = None,
     hot_key_threshold: int | None = None,
+    skew_strategy: str | None = None,
     auto_compact_files: int | None = None,
     registry: LakeTable | None = None,
 ) -> MergeStats:
     """Apply one micro-batch of change records to ``table`` exactly once.
 
-    ``skew_salt=N`` forces the explicit two-phase salted LWW collapse.
-    ``hot_key_threshold=K`` first detects conversations with >K events in the
-    batch and salt-repartitions only those before the collapse (north_rule's
-    explicit skew splitting); cold batches skip the extra pass.
+    Skew handling (north_rule's explicit skew splitting for hot
+    conversations): the DEFAULT collapse is the max-struct aggregate, whose
+    map-side partial aggregation is itself the skew mechanism — a hot
+    conversation's million events collapse to ONE row per map task before a
+    single byte shuffles, so each reducer sees at most #map-tasks rows per
+    key regardless of hotness. An explicit two-phase salted reduce on top of
+    an algebraic aggregate only adds a third full exchange (measured: +1
+    shuffle + 1 SortAggregate pass per epoch for zero reducer relief); it
+    matters for NON-algebraic per-key work — window/sort formulations,
+    stateful pandas ops — which is what ``operators/skew.py`` and
+    ``collapse_lww(two_phase_salt=…)`` remain for.
+
+    ``skew_strategy``: ``"plain"`` (default) uses the single-aggregate
+    collapse; ``"salted"`` detects hot conversations (>``hot_key_threshold``
+    events, sampled scan, gated by a per-bucket count) and forces the
+    explicit two-phase salted collapse when one is found. Passing
+    ``hot_key_threshold`` without a strategy implies ``"salted"``
+    (back-compat). ``skew_salt=N`` always forces two-phase with N salts.
     ``auto_compact_files=K`` (merge-on-read tables) compacts any bucket that
     exceeds K delta files after the commit.
     ``registry``: a conversations dimension table to maintain alongside the
@@ -85,46 +100,40 @@ def apply_changes(
     if table.is_epoch_committed(epoch_id):
         return table.merge_changes(batch.limit(0), epoch_id)  # cheap no-op path
 
+    strategy = skew_strategy or ("salted" if hot_key_threshold is not None else "plain")
     parsed = parse_changes(batch, normalize=normalize)
     if registry is not None:
         register_conversations(registry, parsed, epoch_id)
-    # ONE shared pre-pass over the raw batch: per-bucket counts + max LSN.
-    # It drives (a) the merge's bucket pruning and lineage watermark and
-    # (b) the hot-key gate — a conversation can only be hot if its whole
-    # BUCKET exceeds the threshold, so the per-conversation detection scan
-    # runs only when some bucket count crosses it (rare, by construction).
     bucket_col = table.key[0]
     track = "lsn" if "lsn" in parsed.columns else None
-    pre = compute_bucket_stats(parsed, bucket_col, table.n_buckets)
-    some_bucket_hot = hot_key_threshold is not None and any(
-        r["n_in"] > hot_key_threshold for r in pre
+    mor = getattr(table, "mode", None) == "mor"
+
+    two_phase = skew_salt
+    pre = None
+    if strategy == "salted" or not mor:
+        # ONE shared pre-pass over the raw batch: per-bucket counts + max
+        # LSN. CoW needs it regardless (bucket pruning: which existing files
+        # to read and rewrite); the salted strategy reuses it as the hot-key
+        # gate — a conversation can only be hot if its whole BUCKET exceeds
+        # the threshold, so the per-conversation detection scan runs only
+        # when some bucket count crosses it. Merge-on-read with the plain
+        # strategy skips the pre-pass entirely: bucket stats ride the write
+        # job's CollectMetrics (SnapshotTable.merge_changes defer_stats).
+        pre = compute_bucket_stats(parsed, bucket_col, table.n_buckets)
+    if strategy == "salted" and two_phase is None:
+        threshold = hot_key_threshold or 100_000
+        some_bucket_hot = any(r["n_in"] > threshold for r in pre)
+        if some_bucket_hot and hot_keys(
+            parsed, keys=(bucket_col,), min_count=threshold
+        ):
+            two_phase = 16
+    collapsed = collapse_lww(
+        parsed,
+        keys=table.key,
+        order=table.order,
+        two_phase_salt=two_phase,
+        track_max_of=track,
     )
-    if some_bucket_hot and hot_keys(
-        parsed, keys=(bucket_col,), min_count=hot_key_threshold
-    ):
-        # Hot key confirmed: force the explicit two-phase salted collapse.
-        # No standalone salted_repartition here — the collapse's groupBy plans
-        # its own exchange, so a prior full shuffle of the raw batch would be
-        # pure wasted I/O before a hash aggregate (map-side partial agg
-        # already absorbs hot keys; salting-before-shuffle only pays off
-        # ahead of window/sort operators — see operators/skew.py for that
-        # path). The two-phase salt splits the reduce of a pathological
-        # single key across `skew_salt` reducers.
-        collapsed = collapse_lww(
-            parsed,
-            keys=table.key,
-            order=table.order,
-            two_phase_salt=skew_salt or 16,
-            track_max_of=track,
-        )
-    else:
-        collapsed = collapse_lww(
-            parsed,
-            keys=table.key,
-            order=table.order,
-            two_phase_salt=skew_salt,
-            track_max_of=track,
-        )
     return table.merge_changes(
         collapsed, epoch_id, pre_stats=pre, auto_compact_files=auto_compact_files
     )
