@@ -68,6 +68,14 @@ _CURRENT = "_CURRENT"
 _TOMBSTONE = "_tombstone"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A concurrent writer committed the snapshot version this commit was
+    built on. The caller must reload the current snapshot and rebuild the
+    commit on top of it (MoR merges do this automatically — their epoch
+    deltas are append-only and rebase cleanly; CoW rewrites are built
+    against a specific file set and must re-run the merge)."""
+
+
 @dataclass
 class MergeStats:
     epoch_id: int | str
@@ -238,6 +246,31 @@ class SnapshotTable(LakeTable):
             return json.load(f)
 
     def _write_snapshot(self, snap: dict) -> None:
+        """Optimistic-concurrency snapshot commit (version CAS + helping).
+
+        Two writers racing on the same parent must not silently last-write-
+        win (the pre-round-4 unconditional ``_CURRENT`` rename would lose
+        one commit's file list entirely). Protocol, same shape as Iceberg's
+        atomic version-file swap against a catalog:
+
+        1. Write the snapshot JSON to a private tmp file (fsync'd).
+        2. **CAS on the version number**: ``os.link(tmp, vN.json)`` — a hard
+           link is an atomic create-EXCLUSIVE whose target appears fully
+           formed. Exactly one writer per version N can win; the loser gets
+           ``EEXIST`` and raises :class:`ConcurrentCommitError` (reload the
+           new current snapshot and rebuild/retry the commit — MoR merges do
+           this automatically, see ``merge_changes``).
+        3. Flip the ``_CURRENT`` pointer to vN — serialized under an
+           ``flock`` and only ever FORWARD (a stalled winner of v5 must not
+           regress the pointer after someone advanced it to v6).
+
+        Crash between 2 and 3 leaves an orphaned-but-valid ``vN.json``; the
+        next conflicting writer **helps**: when the pointer still names a
+        version < N, it flips the pointer to the fully-formed vN on the
+        crashed winner's behalf before raising, so one crash can never wedge
+        the version sequence (lock-free helping; the slow winner's own later
+        flip is idempotent — same name, forward-only).
+        """
         # Persist per-file byte sizes alongside the file lists: the MoR read
         # groups buckets into branch tasks by CUMULATIVE BYTES (not bucket
         # count), and at 100 TB a stat() per file per read would be an
@@ -259,18 +292,54 @@ class SnapshotTable(LakeTable):
         snap["file_sizes"] = sizes
         name = f"v{snap['version']:08d}.json"
         snap_path = os.path.join(self.path, "snapshots", name)
-        tmp = snap_path + ".tmp"
+        tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, snap_path)
-        cur_tmp = os.path.join(self.path, _CURRENT + ".tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(cur_tmp, os.path.join(self.path, _CURRENT))  # atomic commit
+        try:
+            os.link(tmp, snap_path)  # atomic version CAS
+        except FileExistsError:
+            os.unlink(tmp)
+            # another writer owns version N; help a crashed winner forward
+            self._flip_current_forward(name, snap["version"], help_only=True)
+            raise ConcurrentCommitError(
+                f"snapshot version {snap['version']} was committed by a "
+                f"concurrent writer; reload the current snapshot and retry"
+            ) from None
+        os.unlink(tmp)
+        self._flip_current_forward(name, snap["version"])
+
+    def _flip_current_forward(
+        self, name: str, version: int, help_only: bool = False
+    ) -> None:
+        """Advance ``_CURRENT`` to ``name`` iff it still points below
+        ``version`` (forward-only), serialized by an flock so a stalled
+        writer cannot regress the pointer. ``help_only`` tolerates a missing
+        target (nothing to help with)."""
+        import fcntl
+
+        if help_only and not os.path.exists(
+            os.path.join(self.path, "snapshots", name)
+        ):
+            return
+        lock_path = os.path.join(self.path, _CURRENT + ".lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                with open(os.path.join(self.path, _CURRENT)) as f:
+                    cur = f.read().strip()
+                cur_version = int(cur[1:].split(".")[0]) if cur else -1
+            except (OSError, ValueError):
+                cur_version = -1
+            if cur_version >= version:
+                return  # already at/past this version (helped, or stalled)
+            cur_tmp = os.path.join(self.path, _CURRENT + f".tmp-{uuid.uuid4().hex[:8]}")
+            with open(cur_tmp, "w") as f:
+                f.write(name)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(cur_tmp, os.path.join(self.path, _CURRENT))  # atomic
 
     # ----------------------------------------------------------- public API
     @property
@@ -1132,6 +1201,7 @@ class SnapshotTable(LakeTable):
                 if int(b_) not in affected
             }
         affected_set = set(affected)
+        epoch_files: dict[str, list[str]] = {}  # this epoch's files per bucket
         for entry in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
             if not entry.startswith("_bucket="):
                 continue
@@ -1153,6 +1223,7 @@ class SnapshotTable(LakeTable):
                 if fn.endswith(".parquet")
             ]
             if files:
+                epoch_files[bval] = files
                 if mor:
                     new_buckets[bval] = new_buckets.get(bval, []) + files
                 else:
@@ -1218,22 +1289,53 @@ class SnapshotTable(LakeTable):
         # a snapshot that silently drops "key"/"order" would merge on the
         # wrong columns from epoch 2 onward (regression-tested in
         # tests/test_merge_exactly_once.py::test_custom_key_survives_commits).
-        extras = {str(e) for e in self._snapshot["committed_epochs"]}
-        extras.add(_epoch_key(epoch_id))
-        folded, watermarks = _fold_epochs(
-            extras, self._snapshot.get("epoch_watermarks", {})
-        )
-        snap = {
-            **self._snapshot,
-            "version": self._snapshot["version"] + 1,
-            "schema": new_schema.jsonValue(),
-            "buckets": new_buckets,
-            "committed_epochs": folded,
-            "epoch_watermarks": watermarks,
-            "parent": self._snapshot["version"],
-        }
+        # On a ConcurrentCommitError (another writer won this version's CAS,
+        # see _write_snapshot), MoR merges REBASE and retry: the epoch's
+        # delta files are pure appends, so they graft onto the winner's
+        # bucket lists unchanged (schema re-merged, epoch set re-folded).
+        # CoW must re-raise — its rewrite was computed against a file set
+        # the winner may have replaced.
+        def _build_commit() -> dict:
+            extras = {str(e) for e in self._snapshot["committed_epochs"]}
+            extras.add(_epoch_key(epoch_id))
+            folded, watermarks = _fold_epochs(
+                extras, self._snapshot.get("epoch_watermarks", {})
+            )
+            return {
+                **self._snapshot,
+                "version": self._snapshot["version"] + 1,
+                "schema": merge_schemas(self.schema, new_schema).jsonValue(),
+                "buckets": new_buckets,
+                "committed_epochs": folded,
+                "epoch_watermarks": watermarks,
+                "parent": self._snapshot["version"],
+            }
+
         _t0 = time.perf_counter()
-        self._write_snapshot(snap)
+        snap = _build_commit()
+        for _attempt in range(10):
+            try:
+                self._write_snapshot(snap)
+                break
+            except ConcurrentCommitError:
+                self._snapshot = self._read_current_snapshot()
+                if self.is_epoch_committed(epoch_id):
+                    # the concurrent writer committed THIS epoch (dueling
+                    # replays of the same batch): ours is a no-op; the
+                    # orphaned duplicate delta files are vacuum's to reap
+                    return MergeStats(epoch_id, 0, 0, 0, None, was_noop=True)
+                if not mor:
+                    raise
+                new_buckets = {
+                    b_: list(fs) for b_, fs in self._snapshot["buckets"].items()
+                }
+                for bval, files in epoch_files.items():
+                    new_buckets[bval] = new_buckets.get(bval, []) + files
+                snap = _build_commit()
+        else:
+            raise ConcurrentCommitError(
+                f"gave up committing epoch {epoch_id} after 10 rebase attempts"
+            )
         self._snapshot = snap
         _timings["commit"] = round(time.perf_counter() - _t0, 3)
         if mor and auto_compact_files:

@@ -107,6 +107,8 @@ def serve_status(
 
     * ``GET /status`` → :func:`status` as JSON
     * ``GET /epochs`` → :func:`epoch_summary` rows as a JSON array
+    * ``POST /loglevel?level=DEBUG`` → flips the Spark log level live
+      (the reference CLIServer's setDebug/unsetDebug, CLIServer.java:50-60)
     * ``POST /stop``  → sets the server's ``stop_event``; pass
       ``stop_check=server.stop_event.is_set`` to
       :func:`~mas_scada_bulkingest_spark.streaming.driver.await_or_stop` for
@@ -140,7 +142,7 @@ def serve_status(
                 else:
                     self._send(
                         404,
-                        {"error": "not found", "endpoints": ["/status", "/epochs"]},
+                        {"error": "not found", "endpoints": ["/status", "/epochs", "POST /stop", "POST /loglevel"]},
                     )
             except Exception as e:  # surface, don't kill the server thread
                 self._send(500, {"error": str(e)})
@@ -149,6 +151,41 @@ def serve_status(
             if self.path == "/stop":
                 stop_event.set()
                 self._send(200, {"stopping": True})
+            elif self.path.startswith("/loglevel"):
+                # runtime log-level toggle — the reference's CLIServer
+                # setDebug/unsetDebug commands (CLIServer.java:50-60,79-82)
+                # as an HTTP verb: POST /loglevel?level=DEBUG (or a JSON
+                # body {"level": "DEBUG"}). Applies live via
+                # SparkContext.setLogLevel; no restart, no new config.
+                level = None
+                if "?" in self.path:
+                    from urllib.parse import parse_qs, urlsplit
+
+                    level = parse_qs(urlsplit(self.path).query).get(
+                        "level", [None]
+                    )[0]
+                if level is None:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    if n:
+                        try:
+                            level = json.loads(self.rfile.read(n)).get("level")
+                        except Exception:
+                            level = None
+                valid = {"ALL", "DEBUG", "ERROR", "FATAL", "INFO", "OFF",
+                         "TRACE", "WARN"}
+                if not level or level.upper() not in valid:
+                    self._send(
+                        400,
+                        {"error": "pass ?level= or body {'level': ...}",
+                         "valid": sorted(valid)},
+                    )
+                    return
+                try:
+                    table.spark.sparkContext.setLogLevel(level.upper())
+                    server.log_level = level.upper()
+                    self._send(200, {"log_level": level.upper()})
+                except Exception as e:
+                    self._send(500, {"error": str(e)})
             else:
                 self._send(404, {"error": "not found"})
 
@@ -157,6 +194,7 @@ def serve_status(
 
     server = ThreadingHTTPServer((host, port), _Handler)
     server.stop_event = stop_event
+    server.log_level = None
     threading.Thread(
         target=server.serve_forever, daemon=True, name="status-http"
     ).start()

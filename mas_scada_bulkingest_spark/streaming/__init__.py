@@ -4,4 +4,5 @@ from .driver import (  # noqa: F401
     replay_batches,
     run_stream,
     run_stream_adaptive,
+    supervise,
 )

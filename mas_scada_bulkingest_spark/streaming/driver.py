@@ -277,3 +277,70 @@ def await_or_stop(
             query.stop()
             query.awaitTermination()
             return False
+
+
+def supervise(
+    start_query,
+    backoff_secs: float = 30.0,
+    max_restarts: int | None = None,
+    stop_file: str | None = None,
+    stop_check=None,
+    poll_secs: float = 2.0,
+    on_restart=None,
+    sleep=None,
+) -> dict:
+    """Crash-restart supervisor around a streaming query (SURVEY.md T4).
+
+    The reference wraps its whole extract loop in a catch-all restart loop
+    with a fixed 30 s backoff (ProcessTagData.java:47-65: log, sleep, retry
+    forever). Here ``start_query`` is a zero-arg factory that (re)starts the
+    stream FROM ITS CHECKPOINT — a relaunch after a crash re-delivers at
+    most the in-flight batch, which the epoch commit log turns into a no-op,
+    so supervision never breaks exactly-once (the property a 24/7 deployment
+    actually needs from this wrapper).
+
+    Stops when: the query terminates cleanly (drain/availableNow), a stop
+    signal fires (``stop_file`` on disk / ``stop_check()`` truthy — same
+    contract as :func:`await_or_stop`), or ``max_restarts`` relaunches were
+    already consumed (then the last failure re-raises: a permanently
+    poisoned stream must fail loudly, not flap forever silently).
+    ``on_restart(attempt, exc)`` is the observability hook (log/alert).
+    Backoff sleeps are interrupted early by a stop signal.
+
+    Returns ``{"restarts": n, "clean": bool, "stopped": bool}``.
+    """
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    restarts = 0
+
+    def _stop_signalled() -> bool:
+        return bool(
+            (stop_file and os.path.exists(stop_file))
+            or (stop_check is not None and stop_check())
+        )
+
+    while True:
+        query = start_query()
+        try:
+            clean = await_or_stop(
+                query, stop_file=stop_file, poll_secs=poll_secs,
+                stop_check=stop_check,
+            )
+            return {"restarts": restarts, "clean": clean, "stopped": not clean}
+        except Exception as exc:  # query died (StreamingQueryException et al.)
+            if max_restarts is not None and restarts >= max_restarts:
+                raise
+            restarts += 1
+            if on_restart is not None:
+                on_restart(restarts, exc)
+            # interruptible backoff: a stop request during the sleep wins
+            waited = 0.0
+            step = min(poll_secs, backoff_secs) or backoff_secs
+            while waited < backoff_secs:
+                if _stop_signalled():
+                    return {"restarts": restarts, "clean": False, "stopped": True}
+                sleep(min(step, backoff_secs - waited))
+                waited += step
+            if _stop_signalled():
+                return {"restarts": restarts, "clean": False, "stopped": True}

@@ -73,3 +73,45 @@ def test_status_server_scrape_and_remote_stop(spark, tmpdir_path):
         assert not q.isActive
     finally:
         srv.shutdown()
+
+
+def _post(port: int, path: str, body: bytes = b""):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_loglevel_endpoint_flips_live(spark, tmpdir_path):
+    """POST /loglevel — the reference CLIServer's setDebug/unsetDebug
+    (CLIServer.java:50-60) as an HTTP verb: the JVM root logger level must
+    actually change, bad levels must 400."""
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=2)
+    srv = serve_status(tbl)
+    try:
+        port = srv.server_port
+
+        def jvm_level() -> str:
+            jvm = spark.sparkContext._jvm
+            return (
+                jvm.org.apache.logging.log4j.LogManager.getRootLogger()
+                .getLevel()
+                .toString()
+            )
+
+        assert _post(port, "/loglevel?level=DEBUG") == {"log_level": "DEBUG"}
+        assert srv.log_level == "DEBUG"
+        assert jvm_level() == "DEBUG"
+        # JSON-body form, back to quiet
+        assert _post(
+            port, "/loglevel", json.dumps({"level": "error"}).encode()
+        ) == {"log_level": "ERROR"}
+        assert jvm_level() == "ERROR"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(port, "/loglevel?level=LOUD")
+        assert ei.value.code == 400
+        assert jvm_level() == "ERROR"  # unchanged on a rejected level
+    finally:
+        srv.shutdown()
+        spark.sparkContext.setLogLevel("ERROR")

@@ -3,6 +3,7 @@ and epoch-guard protection against checkpoint/sink divergence (SURVEY.md T1/T2).
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from mas_scada_bulkingest_spark import oracle
@@ -100,3 +101,73 @@ def test_stream_restart_with_checkpoint_skips_processed(spark, tmpdir_path):
     q2.awaitTermination(120)
     tbl2 = SnapshotTable(spark, tmpdir_path + "/t")
     assert len(tbl2.committed_epochs) == n_epochs
+
+
+def test_supervise_restarts_crashed_stream_exactly_once(spark, tmpdir_path):
+    """supervise() — the reference's restart-forever-with-backoff loop
+    (ProcessTagData.java:47-65) around a checkpointed stream. A transient
+    failure kills the query mid-run; the supervisor relaunches from the
+    SAME checkpoint after backoff and the final table still equals the
+    oracle exactly once (the re-delivered in-flight batch is a no-op or
+    loses LWW)."""
+    import hashlib as _hl
+
+    from mas_scada_bulkingest_spark.pipeline import apply_changes
+    from mas_scada_bulkingest_spark.schemas import CHANGE_SCHEMA_EVOLVED
+    from mas_scada_bulkingest_spark.streaming.driver import supervise
+
+    generate_changelog(tmpdir_path + "/log", n_convs=40, mean_turns=5, seed=31)
+    ref = oracle.reduce_changelog_dir(tmpdir_path + "/log")
+    create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4)
+    poison = tmpdir_path + "/POISON"
+    open(poison, "w").close()
+    ns = _hl.md5(os.path.abspath(tmpdir_path + "/ckpt").encode()).hexdigest()[:8]
+    tbl = SnapshotTable(spark, tmpdir_path + "/t")
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_id >= 1 and os.path.exists(poison):
+            os.remove(poison)  # transient: fails once, succeeds on retry
+            raise RuntimeError("injected transient sink failure")
+        apply_changes(tbl, batch_df, f"{ns}:{batch_id}")
+
+    def start():
+        return (
+            spark.readStream.schema(CHANGE_SCHEMA_EVOLVED)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(tmpdir_path + "/log")
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", tmpdir_path + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    restarts = []
+    out = supervise(
+        start,
+        backoff_secs=0.5,
+        max_restarts=3,
+        poll_secs=0.5,
+        on_restart=lambda n, e: restarts.append(str(e)),
+    )
+    assert out["restarts"] == 1 and out["clean"]
+    assert len(restarts) == 1 and "transient" in restarts[0]
+    assert_frames_equal(_final(tbl), ref[FINAL_COLS])
+
+    # permanently poisoned: max_restarts exhausts and the failure re-raises
+    def always_fail():
+        def _boom(batch_df, batch_id):
+            raise RuntimeError("permanent")
+
+        return (
+            spark.readStream.schema(CHANGE_SCHEMA_EVOLVED)
+            .parquet(tmpdir_path + "/log")
+            .writeStream.foreachBatch(_boom)
+            .option("checkpointLocation", tmpdir_path + "/ckpt_bad")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="permanent"):
+        supervise(always_fail, backoff_secs=0.2, max_restarts=1, poll_secs=0.2)
