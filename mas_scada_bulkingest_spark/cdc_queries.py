@@ -526,6 +526,202 @@ SELECT doc_id,
 FROM documents
 """
 
+
+
+# ---------------------------------------------------------------- watermark
+#: event-time watermark delay for the streaming rollup (minutes)
+_WM_DELAY_MIN = 45
+#: the stream is split into this many arrival-ordered micro-batch files
+_WM_BATCHES = 8
+#: every event_id divisible by this arrives ~3 batches late (a genuine
+#: straggler, dropped at the documented bound); everyone else gets a bounded
+#: +-48-position arrival jitter ("late within the watermark": aggregated)
+_WM_STRAGGLER_MOD = 211
+
+_WM_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed rollup through a REAL Structured-Streaming
+    ``withWatermark`` pipeline (SURVEY.md T3 as an explicit streaming
+    primitive; previously argued only via cross-epoch LWW semantics).
+
+    The ``events`` table is re-serialized as an arrival-ordered stream of
+    ``_WM_BATCHES`` parquet micro-batch files (arrival = ``event_id``
+    displaced by a bounded multiplicative-hash jitter, plus deterministic
+    stragglers delivered ~3 batches late), then tailed with
+    ``readStream ... withWatermark(ts, 45 min)`` into an append-mode 1-hour
+    ``window()`` count. Two far-future sentinel batches push the final
+    watermark past every real window so the append sink flushes ALL of them
+    (their own window stays open and is never emitted, so they vanish from
+    the result by construction).
+
+    Late-drop bound (measured on this Spark version and pinned by
+    ``tests/test_watermark_semantics.py``): a row delivered in batch ``b``
+    is DROPPED iff its window end <= (max event time through batch
+    ``b - 2``) - delay — i.e. a window accepts late rows until the end of
+    the first batch whose in-effect watermark passes the window end (state
+    eviction), and rows for an evicted window are discarded. The DuckDB
+    oracle (``_SQL_STREAM_WATERMARK``) replicates exactly this rule, so the
+    comparison verifies Spark's actual watermark semantics value-by-value.
+
+    Determinism guard: one file per micro-batch is enforced via
+    ``maxFilesPerTrigger=1`` and VERIFIED from the query progress (batch
+    count + per-batch row counts); a mismatched run is retried once and
+    then fails loudly rather than hash-diverging. The global row_number
+    used to assign arrival ranks is harness scaffolding (single-partition
+    sort over one narrow column), not part of the measured operator.
+    """
+    key = os.path.normpath(sf_dir)
+    if key not in _WM_CACHE:
+        _WM_CACHE[key] = _run_watermark_stream(spark, sf_dir)
+    pdf = _WM_CACHE[key]
+    return spark.createDataFrame(pdf, "wstart timestamp_ntz, n_events long")
+
+
+def _run_watermark_stream(spark: SparkSession, sf_dir: str) -> pd.DataFrame:
+    import math
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql import Window as _W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    rows_per = math.ceil(n / _WM_BATCHES)
+    jitter = (F.col("event_id") * F.lit(2654435761)) % 97 - 48
+    straggle = F.lit(3 * rows_per)
+    arrival = F.col("event_id") + F.when(
+        F.col("event_id") % _WM_STRAGGLER_MOD == 0, straggle
+    ).otherwise(jitter)
+    w = _W.orderBy(arrival, "event_id")
+    arr = (
+        ev.select("event_id", "ts")
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_batch", F.floor(F.col("_rn") / rows_per))
+    )
+    batches = (
+        arr.groupBy("_batch")
+        .agg(F.collect_list("ts").alias("tss"))
+        .orderBy("_batch")
+        .collect()
+    )
+    max_ts = arr.agg(F.max("ts")).first()[0]
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    for attempt in range(2):
+        src = tempfile.mkdtemp(prefix="wm_stream_", dir=base)
+        expect = []
+        i = 0
+        for r in batches:
+            tss = sorted(r["tss"])
+            f = os.path.join(src, f"{i:05d}.parquet")
+            _pq.write_table(_pa.table({"ts": _pa.array(tss, _pa.timestamp("us"))}), f)
+            os.utime(f, (1_000_000 + i, 1_000_000 + i))
+            expect.append(len(tss))
+            i += 1
+        from datetime import timedelta as _td
+
+        for s_ts in (max_ts + _td(days=30), max_ts + _td(days=30, seconds=1)):
+            f = os.path.join(src, f"{i:05d}.parquet")
+            _pq.write_table(_pa.table({"ts": _pa.array([s_ts], _pa.timestamp("us"))}), f)
+            os.utime(f, (1_000_000 + i, 1_000_000 + i))
+            expect.append(1)
+            i += 1
+
+        qn = f"wm_{_uuid.uuid4().hex[:8]}"
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            q = (
+                spark.readStream.schema(
+                    T.StructType([T.StructField("ts", T.TimestampNTZType())])
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withWatermark("ts", f"{_WM_DELAY_MIN} minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .writeStream.format("memory")
+                .queryName(qn)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("watermark stream did not drain in 600 s")
+            got = [
+                p["numInputRows"]
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ]
+            out = (
+                spark.table(qn)
+                .select(
+                    F.col("w.start").cast("timestamp_ntz").alias("wstart"),
+                    F.col("n_events").cast("long").alias("n_events"),
+                )
+                .orderBy("wstart")
+                .toPandas()
+            )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        if got == expect:
+            return out
+        if attempt == 1:
+            raise RuntimeError(
+                f"file-per-batch structure violated (got {got}, expected "
+                f"{expect}); the watermark oracle is only valid under "
+                f"one-file-per-micro-batch delivery"
+            )
+    raise AssertionError("unreachable")
+
+
+_SQL_STREAM_WATERMARK = f"""
+WITH params AS (
+  SELECT CAST(ceil(count(*) / {_WM_BATCHES}.0) AS BIGINT) AS rows_per FROM events
+), arr AS (
+  SELECT ts,
+         row_number() OVER (
+           ORDER BY event_id + CASE WHEN event_id % {_WM_STRAGGLER_MOD} = 0
+                                    THEN 3 * (SELECT rows_per FROM params)
+                                    ELSE (event_id * 2654435761) % 97 - 48
+                               END,
+                    event_id
+         ) - 1 AS rn
+  FROM events
+), b AS (
+  SELECT ts,
+         rn // (SELECT rows_per FROM params) AS batch,
+         time_bucket(INTERVAL '1 hour', ts) AS wstart
+  FROM arr
+), bmax AS (
+  SELECT batch, max(ts) AS mx FROM b GROUP BY batch
+), wmk AS (
+  -- watermark in effect for the PREVIOUS batch: state for a window is
+  -- evicted at the end of the first batch whose watermark passes the
+  -- window end, so a row in batch b is dropped iff its window end <=
+  -- (max event time through batch b-2) - delay (measured Spark semantics,
+  -- pinned by tests/test_watermark_semantics.py)
+  SELECT batch,
+         max(mx) OVER (
+           ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING
+         ) - INTERVAL '{_WM_DELAY_MIN} minutes' AS wm_prev
+  FROM bmax
+), kept AS (
+  SELECT b.wstart
+  FROM b JOIN wmk USING (batch)
+  WHERE wmk.wm_prev IS NULL OR b.wstart + INTERVAL '1 hour' > wmk.wm_prev
+)
+SELECT wstart, count(*) AS n_events
+FROM kept
+GROUP BY wstart
+"""
+
+
 #: name -> (spark_fn, oracle_sql | None)
 CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
@@ -536,4 +732,5 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "conversation_progress": (q_conversation_progress, _SQL_CONVERSATION_PROGRESS),
     "cdc_idempotent_replay": (q_cdc_idempotent_replay, _SQL_CDC_IDEMPOTENT_REPLAY),
     "multimodal_stub": (q_multimodal_stub, _SQL_MULTIMODAL_STUB),
+    "stream_watermark_rollup": (q_stream_watermark, _SQL_STREAM_WATERMARK),
 }
