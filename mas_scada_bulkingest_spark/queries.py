@@ -1285,15 +1285,81 @@ SELECT query_id, cand_id, rank, cosine FROM ranked WHERE rank <= 5
 # LSH. Vectors are assigned to the cell of their nearest centroid (one
 # broadcast join against the small centroid set — at 100 TB this is the
 # classic partition-the-corpus-by-cell layout); a query probes its nprobe
-# nearest cells and ranks only those cells' members. Centroids here are a
-# deterministic subset of the corpus (vec_id < K) so the DuckDB oracle can
-# reproduce them exactly — a real deployment would k-means-train them; the
-# distributed shape (assign via broadcast, probe via equi-join on cell_id)
-# is identical either way.
+# nearest cells and ranks only those cells' members. Centroids are k-means-
+# TRAINED (fixed-iteration Lloyd, seeded deterministically from vec_id < K)
+# with a trick that keeps the DuckDB oracle bit-exact: cosine is scale-
+# invariant, so each centroid is represented by the per-dimension integer
+# SUM of its assigned grid vectors instead of their float mean — every
+# training update is exact bigint arithmetic in both engines, and doubles
+# appear only in the final (identical) cosine expression. Distributed
+# shape per iteration: broadcast K centroids -> argmax assign (one window)
+# -> map-side per-dimension sums -> K tiny rows collected to the driver.
 # ---------------------------------------------------------------------------
 
 _IVF_K = 16  # cells
 _IVF_NPROBE = 4
+_IVF_TRAIN_ITERS = 2  # fixed Lloyd iterations (mirrored in the oracle)
+
+
+def _ivf_trained_centroids(spark: SparkSession, norm: DataFrame) -> DataFrame:
+    """Fixed-iteration Lloyd over integer grid vectors; returns the trained
+    centroid set as (cent_id, centg, centn2). Each iteration collects only
+    K 64-int rows to the driver (bounded), never data-sized sets."""
+    from pyspark.sql import Window
+
+    seeds = (
+        norm.filter(F.col("vec_id") < _IVF_K)
+        .orderBy("vec_id")
+        .select("vec_id", "g")
+        .collect()
+    )
+    cents: list[tuple[int, list[int]]] = [
+        (int(r["vec_id"]), [int(x) for x in r["g"]]) for r in seeds
+    ]
+    dims = len(cents[0][1]) if cents else 0
+    for _ in range(_IVF_TRAIN_ITERS):
+        cent_df = spark.createDataFrame(
+            cents, "cent_id long, centg array<bigint>"
+        ).withColumn(
+            "centn2",
+            F.expr("aggregate(centg, cast(0 as bigint), (acc, x) -> acc + x * x)"),
+        )
+        dot_c = F.expr(
+            "aggregate(zip_with(g, centg, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        ccos = dot_c.cast("double") / (
+            F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("centn2").cast("double"))
+        )
+        scored = norm.crossJoin(F.broadcast(cent_df)).withColumn("ccos", ccos)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+        assign = (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") == 1)
+            .select(F.col("cent_id").alias("cell"), "g")
+        )
+        sums = (
+            assign.select("cell", F.posexplode("g").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st["s"],
+                ).alias("sumg")
+            )
+            .collect()
+        )
+        new = {int(r["cell"]): [int(x) for x in r["sumg"]] for r in sums}
+        # an empty cell keeps its previous centroid (deterministic, mirrored)
+        cents = [(cid, new.get(cid, prev)) for cid, prev in cents]
+        assert all(len(g) == dims for _, g in cents)
+    return spark.createDataFrame(
+        cents, "cent_id long, centg array<bigint>"
+    ).withColumn(
+        "centn2",
+        F.expr("aggregate(centg, cast(0 as bigint), (acc, x) -> acc + x * x)"),
+    )
 
 
 def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,11 +1371,7 @@ def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = emb.withColumn(
         "n2", F.expr("aggregate(g, cast(0 as bigint), (acc, x) -> acc + x * x)")
     )
-    cent = norm.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("g").alias("centg"),
-        F.col("n2").alias("centn2"),
-    )
+    cent = _ivf_trained_centroids(spark, norm)
     dot_c = F.expr(
         "aggregate(zip_with(g, centg, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
     )
@@ -1354,13 +1416,46 @@ def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_search_sql() -> str:
+    # fixed-iteration Lloyd as chained CTEs, mirroring _ivf_trained_centroids
+    # exactly: centroids are per-dimension bigint SUMS (scale-invariant under
+    # cosine), so training is exact integer arithmetic in both engines
+    lloyd = ["cent0 AS (\n  SELECT vec_id AS cent_id, g AS centg FROM n WHERE vec_id < %d\n)" % _IVF_K]
+    for it in range(_IVF_TRAIN_ITERS):
+        lloyd.append(f"""a{it} AS (
+  SELECT v.vec_id, v.g, c.cent_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY CAST(list_sum(list_transform(range(1, 65), i -> v.g[i] * c.centg[i])) AS DOUBLE)
+                      / (sqrt(CAST(v.n2 AS DOUBLE))
+                         * sqrt(CAST(list_sum(list_transform(c.centg, x -> x * x)) AS DOUBLE))) DESC,
+                    c.cent_id ASC
+         ) AS crank
+  FROM n v CROSS JOIN cent{it} c
+)""")
+        lloyd.append(f"""s{it} AS (
+  SELECT cent_id, i AS pos, sum(g[i]) AS s
+  FROM (SELECT cent_id, g FROM a{it} WHERE crank = 1) a
+  CROSS JOIN range(1, 65) t(i)
+  GROUP BY cent_id, i
+)""")
+        lloyd.append(f"""cent{it + 1} AS (
+  SELECT c.cent_id,
+         CASE WHEN count(s.s) = 0 THEN c.centg
+              ELSE list(s.s ORDER BY s.pos) END AS centg
+  FROM cent{it} c LEFT JOIN s{it} s ON s.cent_id = c.cent_id
+  GROUP BY c.cent_id, c.centg
+)""")
+    lloyd_sql = ",\n".join(lloyd)
     return f"""
 WITH g AS (
   SELECT vec_id, {_duck_grid('embedding')} AS g FROM embeddings
 ), n AS (
   SELECT vec_id, g, list_sum(list_transform(g, x -> x * x)) AS n2 FROM g
-), cent AS (
-  SELECT vec_id AS cent_id, g AS centg, n2 AS centn2 FROM n WHERE vec_id < {_IVF_K}
+),
+{lloyd_sql},
+cent AS (
+  SELECT cent_id, centg, list_sum(list_transform(centg, x -> x * x)) AS centn2
+  FROM cent{_IVF_TRAIN_ITERS}
 ), scored AS (
   SELECT v.vec_id, v.g, v.n2, c.cent_id,
          CAST(list_sum(list_transform(range(1, 65), i -> v.g[i] * c.centg[i])) AS DOUBLE)
