@@ -68,6 +68,12 @@ _CURRENT = "_CURRENT"
 _TOMBSTONE = "_tombstone"
 
 
+#: verdict codes carried per row through the merge plan (ints, not strings:
+#: the CoW lineage observe evaluates O(buckets x verdicts) comparisons per
+#: row, and integer equality is what keeps that map-side pass cheap)
+_V_APPLY, _V_SKIP, _V_DELETE, _V_KEEP = 0, 1, 2, 3
+
+
 class ConcurrentCommitError(RuntimeError):
     """A concurrent writer committed the snapshot version this commit was
     built on. The caller must reload the current snapshot and rebuild the
@@ -1007,16 +1013,19 @@ class SnapshotTable(LakeTable):
             )
             is_delete = F.col("i._in_op") == "delete"
 
+            # verdict as a TINYINT code (_V_APPLY/_V_SKIP/_V_DELETE/_V_KEEP):
+            # the lineage observe evaluates one conditional per (bucket,
+            # verdict) pair per row — integer compares, not string compares
             verdict = (
-                F.when(in_newer & is_delete, F.lit("delete"))
-                .when(in_newer & ~is_delete, F.lit("apply"))
-                .when(F.col("i._in_op").isNotNull(), F.lit("skip"))
-                .otherwise(F.lit("keep"))
+                F.when(in_newer & is_delete, F.lit(_V_DELETE))
+                .when(in_newer & ~is_delete, F.lit(_V_APPLY))
+                .when(F.col("i._in_op").isNotNull(), F.lit(_V_SKIP))
+                .otherwise(F.lit(_V_KEEP))
             )
             # apply AND delete both take the incoming row's values: a
             # tombstone stores the delete's (ts, lsn) watermark (payload is
             # null on delete events by contract).
-            takes_incoming = verdict.isin("apply", "delete")
+            takes_incoming = verdict.isin(_V_APPLY, _V_DELETE)
             resolved = joined.select(
                 *key,
                 F.coalesce(F.col("e._bucket"), F.col("i._bucket")).alias("_bucket"),
@@ -1027,17 +1036,17 @@ class SnapshotTable(LakeTable):
                     .alias(c)
                     for c in value_cols
                 ],
-                F.when(verdict == "delete", F.lit(True))
-                .when(verdict == "apply", F.lit(False))
+                F.when(verdict == _V_DELETE, F.lit(True))
+                .when(verdict == _V_APPLY, F.lit(False))
                 .otherwise(F.coalesce(F.col(f"e.{_TOMBSTONE}"), F.lit(False)))
                 .alias(_TOMBSTONE),
             )
         else:
             # Insert-only fast path: nothing to reconcile against (first epoch,
             # or the batch only touches empty buckets) — skip the join wholesale.
-            verdict = F.when(F.col("_in_op") == "delete", F.lit("delete")).otherwise(
-                F.lit("apply")
-            )
+            verdict = F.when(
+                F.col("_in_op") == "delete", F.lit(_V_DELETE)
+            ).otherwise(F.lit(_V_APPLY))
             resolved = inc.select(
                 *key,
                 "_bucket",
@@ -1087,23 +1096,29 @@ class SnapshotTable(LakeTable):
                 )
                 obs = Observation()
                 exprs = []
+                codes = ((_V_APPLY, "a"), (_V_SKIP, "s"), (_V_DELETE, "d"))
                 if per_bucket:
+                    # one packed int per row; each metric is a single
+                    # integer-equality conditional sum
+                    packed = resolved.withColumn(
+                        "_vb", F.col("_bucket") * 4 + F.col("_verdict")
+                    )
                     for bk in affected:
-                        m = F.col("_bucket") == bk
-                        for vname, tag in (("apply", "a"), ("skip", "s"), ("delete", "d")):
+                        for vcode, tag in codes:
                             exprs.append(
                                 F.sum(
-                                    F.when(m & (F.col("_verdict") == vname), 1).otherwise(0)
+                                    F.when(F.col("_vb") == bk * 4 + vcode, 1).otherwise(0)
                                 ).alias(f"{tag}_{bk}")
                             )
+                    observed = packed.observe(obs, *exprs)
                 else:
-                    for vname, tag in (("apply", "a"), ("skip", "s"), ("delete", "d")):
+                    for vcode, tag in codes:
                         exprs.append(
-                            F.sum(F.when(F.col("_verdict") == vname, 1).otherwise(0)).alias(
+                            F.sum(F.when(F.col("_verdict") == vcode, 1).otherwise(0)).alias(
                                 f"{tag}_all"
                             )
                         )
-                observed = resolved.observe(obs, *exprs)
+                    observed = resolved.observe(obs, *exprs)
                 # tombstones are WRITTEN (not dropped): they carry the
                 # delete's LWW watermark; read() hides them, vacuum can
                 # purge them later
