@@ -169,6 +169,12 @@ def main() -> None:
     hi_secs = [r["sec"] for r in hi_runs]
     lo_min, hi_min = min(lo_secs), min(hi_secs)
     lo_med, hi_med = statistics.median(lo_secs), statistics.median(hi_secs)
+    # paired per-trial ratios: the estimator interleaving exists FOR —
+    # ambient interference during trial t hits that trial's lo and hi
+    # measurements under the same conditions
+    trial_effs = [
+        round((lo / hi) / 4.0, 3) for lo, hi in zip(lo_secs, hi_secs)
+    ]
     lo_reads = [r["read_sec"] for r in lo_runs]
     hi_reads = [r["read_sec"] for r in hi_runs]
     print(
@@ -189,6 +195,10 @@ def main() -> None:
                 f"events_per_sec_{4 * n}": round(man.n_events / hi_min, 1),
                 "scaling_efficiency_min": round((lo_min / hi_min) / 4.0, 3),
                 "scaling_efficiency_median": round((lo_med / hi_med) / 4.0, 3),
+                "trial_efficiencies": trial_effs,
+                "scaling_efficiency_paired_median": round(
+                    statistics.median(trial_effs), 3
+                ),
                 "read_sec_lo_min": round(min(lo_reads), 2),
                 "read_sec_hi_min": round(min(hi_reads), 2),
                 "read_scaling_efficiency_min": round(
