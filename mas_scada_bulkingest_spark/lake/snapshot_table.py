@@ -813,8 +813,18 @@ class SnapshotTable(LakeTable):
         O(bucket bytes) but amortizes over the epochs since the last
         compaction, keeping the *per-epoch* amortized cost O(batch). The
         analog of Iceberg's ``rewrite_data_files`` minor compaction.
-        Single-writer: do not run concurrently with a merge. Returns the
-        number of buckets compacted.
+
+        Concurrency (round 4): compaction may race an ingest writer — the
+        exact pattern a 100 TB deployment runs (background maintenance vs
+        foreground epochs). On a commit conflict it REBASES per bucket:
+        the compacted input files are swapped for the compacted output
+        while delta files appended by the concurrent writer are kept (LWW
+        is associative, so collapsing a subset of a bucket's files and
+        re-collapsing with newer deltas at read time yields identical
+        winners). A bucket whose input set was itself rewritten in the
+        meantime (another compaction, a vacuum) is skipped — its rewrite
+        simply didn't happen; the next pass picks it up. Returns the number
+        of buckets whose compaction committed.
         """
         targets = sorted(
             int(b)
@@ -823,6 +833,9 @@ class SnapshotTable(LakeTable):
         )
         if not targets:
             return 0
+        inputs_by_bucket = {
+            str(t): set(self._snapshot["buckets"].get(str(t), [])) for t in targets
+        }
         # Bucket-local collapse: each target bucket's branch is one task that
         # scans its file group, reduces in place (no Exchange — see
         # ``_read_collapsed_local``), and writes its own partition directory,
@@ -831,29 +844,48 @@ class SnapshotTable(LakeTable):
         rel_dir = os.path.join("data", f"compact-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         collapsed.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
-        new_buckets = {b: list(f) for b, f in self._snapshot["buckets"].items()}
-        for t in targets:  # a target bucket with only empty files vanishes
-            new_buckets.pop(str(t), None)
+        outputs_by_bucket: dict[str, list[str]] = {str(t): [] for t in targets}
         for entry in os.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             bval = entry.split("=", 1)[1]
-            files = [
+            outputs_by_bucket[bval] = [
                 os.path.join(rel_dir, entry, fn)
                 for fn in os.listdir(os.path.join(out_dir, entry))
                 if fn.endswith(".parquet")
             ]
-            if files:
-                new_buckets[bval] = files
-        snap = {
-            **self._snapshot,
-            "version": self._snapshot["version"] + 1,
-            "buckets": new_buckets,
-            "parent": self._snapshot["version"],
-        }
-        self._write_snapshot(snap)
-        self._snapshot = snap
-        return len(targets)
+        for _attempt in range(10):
+            new_buckets = {b: list(f) for b, f in self._snapshot["buckets"].items()}
+            applied = 0
+            for bval, inputs in inputs_by_bucket.items():
+                cur = new_buckets.get(bval, [])
+                if not inputs <= set(cur):
+                    continue  # rewritten concurrently: skip, don't clobber
+                rest = [f for f in cur if f not in inputs]
+                merged = rest + outputs_by_bucket[bval]
+                if merged:
+                    new_buckets[bval] = merged
+                else:  # bucket held only empty files: it vanishes
+                    new_buckets.pop(bval, None)
+                applied += 1
+            if applied == 0:
+                return 0  # every target was rewritten under us
+            snap = {
+                **self._snapshot,
+                "version": self._snapshot["version"] + 1,
+                "buckets": new_buckets,
+                "parent": self._snapshot["version"],
+            }
+            try:
+                self._write_snapshot(snap)
+            except ConcurrentCommitError:
+                self._snapshot = self._read_current_snapshot()
+                continue
+            self._snapshot = snap
+            return applied
+        raise ConcurrentCommitError(
+            "gave up committing compaction after 10 rebase attempts"
+        )
 
     # ------------------------------------------------------------ conf scope
     @contextmanager

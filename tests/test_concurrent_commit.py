@@ -108,3 +108,43 @@ def test_orphaned_winner_is_helped_forward(spark, tmpdir_path):
     assert fresh.is_epoch_committed(99)  # the orphan's commit survived
     assert fresh.is_epoch_committed(0) and fresh.is_epoch_committed(1)
     assert sorted(fresh.read().toPandas().conv_id.unique()) == ["conv_a", "conv_b"]
+
+
+def test_compaction_rebases_over_concurrent_append(spark, tmpdir_path):
+    """Background compaction racing an ingest writer: the compactor loaded
+    an older snapshot, so its commit CAS-fails; the rebase must swap ONLY
+    its compacted input files for the compacted output while keeping the
+    delta files the concurrent epoch appended — no data from either side
+    lost (LWW is associative, so read-time collapse over output+new deltas
+    yields identical winners)."""
+    path = tmpdir_path + "/t"
+    create_transcripts_table(spark, path, n_buckets=2, mode="mor")
+    compactor = SnapshotTable(spark, path)
+    writer = SnapshotTable(spark, path)
+    # several epochs so buckets exceed the compaction threshold
+    for e in range(4):
+        apply_changes(compactor, _batch(spark, f"conv{e}", 100 * e, 4), epoch_id=e)
+    writer._snapshot = writer._read_current_snapshot()
+    compactor._snapshot = compactor._read_current_snapshot()
+    # the ingest writer lands one more epoch AFTER the compactor's snapshot
+    apply_changes(writer, _batch(spark, "conv_late", 900, 4), epoch_id=9)
+    n = compactor.compact(max_files=1)
+    assert n > 0  # rebase committed, not skipped
+    fresh = SnapshotTable(spark, path)
+    final = fresh.read().orderBy("conv_id", "turn_idx").toPandas()
+    assert sorted(final.conv_id.unique()) == [
+        "conv0", "conv1", "conv2", "conv3", "conv_late",
+    ]
+    assert len(final) == 20  # 5 convs x 4 turns, nothing lost
+    # the concurrent epoch's delta files survived the rebase: every file
+    # the writer's commit added (absent from the compactor's snapshot) is
+    # still referenced
+    ref_files = {f for v in fresh._snapshot["buckets"].values() for f in v}
+    compactor_files = {
+        f for v in compactor._snapshot["buckets"].values() for f in v
+    }
+    late_files = {
+        f for v in writer._snapshot["buckets"].values() for f in v
+    } - compactor_files
+    assert late_files and late_files <= ref_files
+    assert fresh.is_epoch_committed(9)
