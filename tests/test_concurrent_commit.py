@@ -127,6 +127,9 @@ def test_compaction_rebases_over_concurrent_append(spark, tmpdir_path):
     writer._snapshot = writer._read_current_snapshot()
     compactor._snapshot = compactor._read_current_snapshot()
     # the ingest writer lands one more epoch AFTER the compactor's snapshot
+    pre_compact_files = {
+        f for v in compactor._snapshot["buckets"].values() for f in v
+    }
     apply_changes(writer, _batch(spark, "conv_late", 900, 4), epoch_id=9)
     n = compactor.compact(max_files=1)
     assert n > 0  # rebase committed, not skipped
@@ -140,11 +143,8 @@ def test_compaction_rebases_over_concurrent_append(spark, tmpdir_path):
     # the writer's commit added (absent from the compactor's snapshot) is
     # still referenced
     ref_files = {f for v in fresh._snapshot["buckets"].values() for f in v}
-    compactor_files = {
-        f for v in compactor._snapshot["buckets"].values() for f in v
-    }
     late_files = {
         f for v in writer._snapshot["buckets"].values() for f in v
-    } - compactor_files
+    } - pre_compact_files
     assert late_files and late_files <= ref_files
     assert fresh.is_epoch_committed(9)
