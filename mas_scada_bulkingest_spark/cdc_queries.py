@@ -208,6 +208,47 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+#: lower window bound for the data-skipping read entry — mid-range of the
+#: derived changelog's event-time spread at every sf, so both sides of the
+#: bound are populated
+_WINDOW_MIN_TS = "2024-01-01 12:00:00"
+
+
+def q_cdc_windowed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed read of the replayed MoR table: live state with event
+    time >= a fixed bound, served by ``read(min_event_time=…)`` — the
+    manifest-stats data-skipping path (per-file [min, max] footer bounds
+    recorded at commit; files provably below the bound are never opened,
+    the rest get the residual filter). The oracle is the flagship LWW
+    reduction with the same window predicate on the winner's event time,
+    so the driver hash-checks the skipping read's exactness.
+
+    Reference analog: the monthly-table routing that scopes each extraction
+    to one month's table (dbutils.py month-advance logic) — here the scope
+    falls out of file-level stats instead of a table-naming convention.
+    """
+    table = _replayed_table(spark, sf_dir)
+    df = table.read(min_event_time=_WINDOW_MIN_TS)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+    )
+
+
+# the flagship reduction, windowed on the WINNER's event time (read() filters
+# live state, not pre-collapse changes — a key whose winner sits below the
+# bound disappears even if some stale loser sat above it)
+_SQL_CDC_WINDOWED_STATE = (
+    _SQL_CDC_REPLAY_STATE + f" AND ts >= TIMESTAMP '{_WINDOW_MIN_TS}'"
+)
+
+
 def q_cdc_replay_state_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same replay through the copy-on-write storage path (reconciling
     per-bucket rewrite; exact applied/skipped lineage verdicts) — checked
@@ -726,6 +767,7 @@ GROUP BY wstart
 CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
+    "cdc_windowed_state": (q_cdc_windowed_state, _SQL_CDC_WINDOWED_STATE),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),

@@ -170,6 +170,62 @@ def compute_bucket_stats(
     )
 
 
+def _enc_stat(v):
+    """JSON-encodable, ORDER-PRESERVING encoding of a file-stat bound.
+
+    Timestamps become fixed-width ISO strings (``YYYY-MM-DD HH:MM:SS.ffffff``
+    — lexicographic order equals chronological order), numbers stay numbers,
+    strings stay strings. Returns None for any type whose ordering the
+    manifest cannot faithfully represent (never pruned on)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+        return None
+    return v
+
+
+def _stat_lt(a, b) -> bool:
+    """``a < b`` on encoded stat values, ONLY when the types are comparable
+    (both strings or both numbers) — mixed/unknown types never prune."""
+    if isinstance(a, str) and isinstance(b, str):
+        return a < b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not (
+        isinstance(a, bool) or isinstance(b, bool)
+    ):
+        return a < b
+    return False
+
+
+def _file_order_stats(abs_path: str, col: str) -> list | None:
+    """[min, max] of ``col`` from the parquet footer of one data file
+    (encoded via :func:`_enc_stat`), or None when any row group lacks
+    usable statistics. Footer-only: no data pages are read."""
+    try:
+        md = pq.ParquetFile(abs_path).metadata
+    except Exception:
+        return None
+    idx = next(
+        (i for i in range(md.num_columns) if md.schema.column(i).name == col),
+        None,
+    )
+    if idx is None:
+        return None
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mn = st.min if mn is None or st.min < mn else mn
+        mx = st.max if mx is None or st.max > mx else mx
+    emn = _enc_stat(mn)
+    emx = _enc_stat(mx)
+    if emn is None or emx is None:
+        return None
+    return [emn, emx]
+
+
 class SnapshotTable(LakeTable):
     """Single-writer, snapshot-isolated parquet table (see module docstring).
 
@@ -181,6 +237,10 @@ class SnapshotTable(LakeTable):
     #: of the interpreted freeze (None = freeze succeeded or flag off);
     #: pinned by tests so private-API drift on a Spark upgrade fails loudly.
     last_freeze_fallback: str | None = None
+
+    #: files skipped by manifest stats since this handle was opened
+    #: (data-skipping evidence for tests/bench; monotonic counter).
+    last_read_pruned_files: int = 0
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -283,11 +343,29 @@ class SnapshotTable(LakeTable):
         # object-store metadata storm — the commit already knows the sizes
         # (files are immutable; carry forward the parent snapshot's entries,
         # stat only files new in this snapshot).
+        # Likewise persist per-file [min, max] of the first LWW-order column
+        # (the event-time column) — the manifest-level column bounds Iceberg
+        # keeps per data file — so time-windowed reads can SKIP whole files
+        # without opening them (see ``read(min_event_time=…)``). Stats are
+        # read from the parquet FOOTER of files new in this snapshot only
+        # (bounded per commit: the epoch's own delta / rewrite output; on a
+        # real cluster the write tasks would report these with the commit,
+        # exactly as Iceberg manifests do). A file without usable stats maps
+        # to None and is never pruned.
         prev = getattr(self, "_snapshot", None)
         prev_sizes: dict[str, int] = (prev or {}).get("file_sizes", {})
+        prev_stats: dict = (prev or {}).get("file_stats", {})
+        order_col = (snap.get("order") or [None])[0]
         sizes: dict[str, int] = {}
+        stats: dict[str, list | None] = {}
         for files in snap["buckets"].values():
             for f in files:
+                if f in prev_stats:
+                    stats[f] = prev_stats[f]
+                elif order_col is not None:
+                    stats[f] = _file_order_stats(
+                        os.path.join(self.path, f), order_col
+                    )
                 sz = prev_sizes.get(f)
                 if sz is None:
                     try:
@@ -296,6 +374,7 @@ class SnapshotTable(LakeTable):
                         continue
                 sizes[f] = sz
         snap["file_sizes"] = sizes
+        snap["file_stats"] = stats
         name = f"v{snap['version']:08d}.json"
         snap_path = os.path.join(self.path, "snapshots", name)
         tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -404,24 +483,61 @@ class SnapshotTable(LakeTable):
         ns, n = sp
         return n <= self._snapshot.get("epoch_watermarks", {}).get(ns, -1)
 
-    def _all_files(self, buckets: list[int] | None = None) -> list[str]:
+    def _skip_files(
+        self,
+        files: list[str],
+        min_enc=None,
+        max_enc=None,
+    ) -> list[str]:
+        """Manifest-level data skipping: drop files whose [min, max] bounds
+        for the event-time column prove they cannot contribute to the
+        window. A file with no stats is always kept; increments
+        ``last_read_pruned_files`` per file skipped."""
+        if min_enc is None and max_enc is None:
+            return files
+        stats = self._snapshot.get("file_stats", {})
+        kept = []
+        for f in files:
+            st = stats.get(f)
+            if st is not None:
+                mn, mx = st
+                if (min_enc is not None and _stat_lt(mx, min_enc)) or (
+                    max_enc is not None and _stat_lt(max_enc, mn)
+                ):
+                    self.last_read_pruned_files += 1
+                    continue
+            kept.append(f)
+        return kept
+
+    def _all_files(
+        self, buckets: list[int] | None = None, min_enc=None, max_enc=None
+    ) -> list[str]:
         out = []
         for b, files in self._snapshot["buckets"].items():
             if buckets is None or int(b) in buckets:
-                out.extend(os.path.join(self.path, f) for f in files)
+                out.extend(
+                    os.path.join(self.path, f)
+                    for f in self._skip_files(files, min_enc, max_enc)
+                )
         return out
 
     def _bucket_file_groups(
-        self, buckets: list[int] | None = None
+        self, buckets: list[int] | None = None, min_enc=None
     ) -> list[tuple[int, list[str]]]:
-        """(bucket_id, absolute file paths) per non-empty bucket, id-sorted."""
+        """(bucket_id, absolute file paths) per non-empty bucket, id-sorted.
+        ``min_enc`` applies lower-bound-only file skipping (the only bound
+        that is sound under merge-on-read LWW — see ``read``)."""
         sel = None if buckets is None else {int(b) for b in buckets}
         out = []
         for b, files in sorted(
             self._snapshot["buckets"].items(), key=lambda kv: int(kv[0])
         ):
             if (sel is None or int(b) in sel) and files:
-                out.append((int(b), [os.path.join(self.path, f) for f in files]))
+                kept = self._skip_files(files, min_enc)
+                if kept:
+                    out.append(
+                        (int(b), [os.path.join(self.path, f) for f in kept])
+                    )
         return out
 
     def _storage_schema(self) -> T.StructType:
@@ -434,6 +550,7 @@ class SnapshotTable(LakeTable):
         buckets: list[int] | None = None,
         with_bucket_col: bool = False,
         max_branches: int | None = None,
+        min_enc=None,
     ) -> DataFrame | None:
         """Merge-on-read LWW resolution WITHOUT a table-wide exchange.
 
@@ -465,7 +582,7 @@ class SnapshotTable(LakeTable):
         live in ONE bucket, so any bucket-preserving grouping keeps the
         partition-local reduce exact — only task granularity changes.
         """
-        groups = self._bucket_file_groups(buckets)
+        groups = self._bucket_file_groups(buckets, min_enc=min_enc)
         if not groups:
             return None
         if max_branches is not None and len(groups) > max(int(max_branches), 1):
@@ -475,6 +592,7 @@ class SnapshotTable(LakeTable):
             tuple(b for b, _ in groups),
             with_bucket_col,
             max_branches,
+            min_enc,
         )
         cached = getattr(self, "_collapsed_plan_cache", None)
         if cached is not None and cached[0] == cache_key:
@@ -634,11 +752,41 @@ class SnapshotTable(LakeTable):
             )
             return df
 
+    def _norm_bound(self, v):
+        """(spark-filter value, encoded stat bound) for a user window bound.
+        ISO strings are parsed to datetimes when the event-time column is a
+        timestamp so they compare against footer stats type-consistently."""
+        if v is None:
+            return None, None
+        if isinstance(v, str):
+            o0 = list(self.order)[0]
+            f = self.schema[o0] if o0 in self.schema.fieldNames() else None
+            if f is not None and isinstance(
+                f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+            ):
+                try:
+                    v = datetime.fromisoformat(v)
+                except ValueError:
+                    pass
+        return v, _enc_stat(v)
+
+    def _bound_lit(self, v):
+        """Literal for the post-collapse window filter, cast via STRING for
+        datetimes so a TimestampNTZ column never round-trips through the
+        session timezone."""
+        o0 = list(self.order)[0]
+        dtype = self.schema[o0].dataType
+        if isinstance(v, datetime):
+            return F.lit(v.isoformat(sep=" ")).cast(dtype)
+        return F.lit(v).cast(dtype)
+
     def read(
         self,
         buckets: list[int] | None = None,
         version: int | None = None,
         max_branches: int | None = None,
+        min_event_time=None,
+        max_event_time=None,
     ) -> DataFrame:
         """Current *live* table state (tombstones hidden, bucket-prunable).
 
@@ -650,21 +798,54 @@ class SnapshotTable(LakeTable):
         ``compact()`` keeps the number of files per bucket (and hence
         versions per key) bounded.
 
+        ``min_event_time``/``max_event_time`` window the LIVE state on the
+        first LWW-order column (inclusive bounds; rows with NULL event time
+        are excluded, as in any range predicate). Beyond the residual
+        filter, the manifest's per-file [min, max] column bounds SKIP whole
+        data files (Iceberg-style data skipping — at 100 TB a "last day"
+        read over a month of time-ordered epochs opens ~1/30th of the
+        files). Soundness under merge-on-read LWW:
+
+        * LOWER bound: pruning a file with ``max < lo`` only removes rows
+          whose event time is below ``lo``. If such a row was a key's LWW
+          winner, lexicographic order (event time first) means EVERY version
+          of that key sits below ``lo`` — the key is outside the window
+          whichever version "wins" after pruning, and the residual filter
+          drops it. If it was a loser, the winner is unaffected. Tombstones
+          carry their own order tuple and follow the same argument.
+        * UPPER bound: NOT used for skipping under MoR — pruning a winner
+          above ``hi`` would resurrect a stale loser below it. CoW holds one
+          version per key, so both bounds prune there; MoR applies the upper
+          bound as a residual filter only.
+
         ``version=N`` time-travels to snapshot N (Iceberg ``VERSION AS OF``
         analog): any snapshot not yet expired by ``vacuum(retain_versions=…)``
         is readable — each snapshot's file list is immutable.
         """
         if version is not None and version != self._snapshot["version"]:
-            return self.at_version(version).read(buckets, max_branches=max_branches)
+            return self.at_version(version).read(
+                buckets,
+                max_branches=max_branches,
+                min_event_time=min_event_time,
+                max_event_time=max_event_time,
+            )
+        lo, lo_enc = self._norm_bound(min_event_time)
+        hi, hi_enc = self._norm_bound(max_event_time)
         if self.mode == "mor":
-            df = self._read_collapsed_local(buckets, max_branches=max_branches)
+            df = self._read_collapsed_local(
+                buckets, max_branches=max_branches, min_enc=lo_enc
+            )
         else:
-            df = self._read_raw(buckets)
+            df = self._read_raw(buckets, min_enc=lo_enc, max_enc=hi_enc)
         if df is None:
             return self.spark.createDataFrame([], self.schema)
-        return align_schemas(
-            df.filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False))), self.schema
-        )
+        df = df.filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
+        o0 = list(self.order)[0]
+        if lo is not None:
+            df = df.filter(F.col(o0) >= self._bound_lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(o0) <= self._bound_lit(hi))
+        return align_schemas(df, self.schema)
 
     def at_version(self, version: int) -> "SnapshotTable":
         """A read-only handle pinned to snapshot ``version`` (time travel).
@@ -683,10 +864,12 @@ class SnapshotTable(LakeTable):
             int(f[1:9]) for f in os.listdir(snap_dir) if f.endswith(".json")
         )
 
-    def _read_raw(self, buckets: list[int] | None = None) -> DataFrame | None:
+    def _read_raw(
+        self, buckets: list[int] | None = None, min_enc=None, max_enc=None
+    ) -> DataFrame | None:
         """All stored rows incl. tombstones, with the ``_tombstone`` flag
         normalized to a non-null boolean; None when no files exist."""
-        files = self._all_files(buckets)
+        files = self._all_files(buckets, min_enc=min_enc, max_enc=max_enc)
         if not files:
             return None
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
