@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .lake.snapshot_table import SnapshotTable
+from .operators.lww import collapse_lww
 from .pipeline import apply_changes, create_conversations_registry
 from .schemas import TRANSCRIPT_SCHEMA
 
@@ -247,6 +248,101 @@ def q_cdc_windowed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CDC_WINDOWED_STATE = (
     _SQL_CDC_REPLAY_STATE + f" AND ts >= TIMESTAMP '{_WINDOW_MIN_TS}'"
 )
+
+
+def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope ingestion end-to-end: render each ``events`` row as
+    a Debezium JSON envelope (``before``/``after``/``op``/``ts_ms``/
+    ``source.lsn`` — exactly what a Kafka Connect binlog tail delivers),
+    parse it back with the REAL parser (:func:`~..sources.debezium.
+    parse_debezium`, pure ``from_json`` column exprs), and LWW-collapse to
+    the final per-key state. The oracle derives the same state directly from
+    the ``events`` columns — so the driver hash-proves
+    ``collapse(parse(render(x))) == collapse(derive(x))``: the parser's op
+    mapping (c/u/r→update, d→delete with before-image key), its integer
+    epoch-millis→timestamp conversion, and null-payload deletes are all
+    value-checked.
+
+    ~1/7 of envelopes are rendered MALFORMED (truncated JSON) and must be
+    dropped by the parser; the oracle applies the same modulus filter.
+    """
+    from .sources.debezium import parse_debezium
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    is_del = F.col("event_type") == "error"
+    is_create = F.pmod(F.col("event_id"), F.lit(3)) == 0
+    s_off = F.col("event_id") + F.pmod(
+        F.col("event_id") * F.lit(2654435761), F.lit(100000)
+    )
+    payload = F.struct(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.col("props"), F.lit(" v"), F.col("event_id").cast("string")).alias(
+            "text"
+        ),
+        F.when(F.col("event_type") == "click", F.lit("search")).alias("tool"),
+    )
+    env = F.to_json(
+        F.struct(
+            F.when(is_del, payload).alias("before"),
+            F.when(~is_del, payload).alias("after"),
+            F.when(is_del, F.lit("d"))
+            .when(is_create, F.lit("c"))
+            .otherwise(F.lit("u"))
+            .alias("op"),
+            ((F.lit(1704067200) + s_off) * 1000).cast("long").alias("ts_ms"),
+            F.struct(F.col("event_id").alias("lsn")).alias("source"),
+        )
+    )
+    # every 7th envelope arrives truncated (mid-stream producer crash) and
+    # must be DROPPED by the parser, not crash it or leak a null-key row
+    env = F.when(
+        F.pmod(F.col("event_id"), F.lit(7)) == 3, F.substring(env, 1, 10)
+    ).otherwise(env)
+    payload_schema = T.StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name not in ("ts", "lsn")])
+    changes = parse_debezium(
+        ev.select(env.alias("value")), "value", payload_schema
+    )
+    winners = collapse_lww(changes, keys=("conv_id", "turn_idx"), order=("ts", "lsn"))
+    return winners.filter(F.col("op") != "delete").select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+    )
+
+
+# direct derivation of the same final state (no JSON roundtrip): ts_ms/1000
+# epoch seconds == 2024-01-01 UTC base + offset, identical to the envelope's
+_SQL_DEBEZIUM_PARSE = """
+WITH changes AS (
+    SELECT event_id AS lsn,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+           'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 8 AS INT) AS turn_idx,
+           CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS role,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE props || ' v' || CAST(event_id AS VARCHAR) END AS text,
+           CASE WHEN event_type = 'error' THEN NULL
+                WHEN event_type = 'click' THEN 'search' END AS tool,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + (event_id + (event_id * 2654435761) % 100000) * INTERVAL 1 SECOND AS ts
+    FROM events
+    WHERE event_id % 7 <> 3  -- truncated envelopes the parser must drop
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+)
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, lsn
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 def q_cdc_replay_state_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,6 +864,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
     "cdc_windowed_state": (q_cdc_windowed_state, _SQL_CDC_WINDOWED_STATE),
+    "debezium_parse": (q_debezium_parse, _SQL_DEBEZIUM_PARSE),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),
