@@ -67,7 +67,26 @@ def bench_cdc_replay(spark, sf_name: str, mode: str = "cow") -> tuple[float, int
         F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
     ).agg(F.bit_xor("_h")).collect()
     read_dt = time.perf_counter() - t0
-    return dt, man.n_events, read_dt
+    return dt, man.n_events, read_dt, table
+
+
+def bench_windowed_read(table) -> tuple[float, int, int]:
+    """Windowed read of the newest ~20% of the event-time range via
+    ``read(min_event_time=…)`` — manifest data skipping in action. The
+    bound is derived from the snapshot's own file stats (driver-side,
+    no extra job); returns (seconds, files_pruned, files_total)."""
+    from datetime import datetime, timedelta
+
+    stats = [s for s in table._snapshot["file_stats"].values() if s]
+    lo = min(datetime.fromisoformat(s[0]) for s in stats)
+    hi = max(datetime.fromisoformat(s[1]) for s in stats)
+    bound = hi - timedelta(seconds=(hi - lo).total_seconds() * 0.2)
+    n_files = sum(len(fs) for fs in table._snapshot["buckets"].values())
+    before = table.last_read_pruned_files
+    t0 = time.perf_counter()
+    _force(table.read(min_event_time=bound))
+    dt = time.perf_counter() - t0
+    return dt, table.last_read_pruned_files - before, n_files
 
 
 def _force(df) -> None:
@@ -110,15 +129,23 @@ def main() -> None:
     # headline: CDC replay throughput, MoR (the flagship scale mode:
     # O(batch) delta appends + auto-compaction + bucket-local read collapse)
     # first, CoW reconciling merge as the secondary mode
-    mor_sec, n_events, mor_read_sec = bench_cdc_replay(spark, sf_name, mode="mor")
+    mor_sec, n_events, mor_read_sec, mor_table = bench_cdc_replay(
+        spark, sf_name, mode="mor"
+    )
     timings["cdc_replay_mor"] = round(mor_sec, 3)
     timings["cdc_mor_read_collapse"] = round(mor_read_sec, 3)
-    cow_sec, _, _ = bench_cdc_replay(spark, sf_name, mode="cow")
+    win_sec, win_pruned, win_files = bench_windowed_read(mor_table)
+    timings["cdc_mor_windowed_read"] = round(win_sec, 3)
+    cow_sec, _, _, _ = bench_cdc_replay(spark, sf_name, mode="cow")
     timings["cdc_replay_cow"] = round(cow_sec, 3)
 
     # operator suite at sf_dir (full-column hash agg forces real execution
     # of every output column without driver materialization)
-    for name, (fn, _sql) in SQL_QUERIES.items():
+    from mas_scada_bulkingest_spark.cdc_queries import q_debezium_parse
+
+    suite = dict(SQL_QUERIES)
+    suite["debezium_parse"] = (q_debezium_parse, None)
+    for name, (fn, _sql) in suite.items():
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -134,6 +161,9 @@ def main() -> None:
         # headline = the flagship (merge-on-read) mode
         "cdc_events_per_sec": round(n_events / mor_sec, 1),
         "cdc_events_per_sec_cow": round(n_events / cow_sec, 1),
+        # manifest data skipping: newest-20%-window read over the MoR table
+        "windowed_read_pruned_files": win_pruned,
+        "windowed_read_total_files": win_files,
         "cores": cpus,
     }
     spark.stop()
