@@ -250,6 +250,54 @@ _SQL_CDC_WINDOWED_STATE = (
 )
 
 
+def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changes feed (Delta-CDF analog) off the replayed MoR
+    table: every change applied in the LAST TWO epochs, straight from the
+    epoch delta files — ``read_changes`` walks the snapshot history, so
+    auto-compaction during the replay cannot hide an epoch. Rows are the
+    per-(key, epoch) LWW batch winners; deletes surface as
+    ``change_type='delete'`` carrying the tombstone's (ts, lsn) watermark
+    with a NULL payload. The oracle recomputes the same winners per
+    (key, epoch) from the derived changelog.
+
+    This is the surface a downstream consumer polls to keep derived state
+    fresh without rescanning the table (the engine both APPLIES a change
+    stream and EMITS one).
+    """
+    table = _replayed_table(spark, sf_dir)
+    df = table.read_changes(since_epoch=_EVOLVE_EPOCH)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_epoch").alias("change_epoch"),
+    )
+
+
+_SQL_CDC_CHANGES_FEED = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, epoch
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  )
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, lsn,
+       CASE WHEN op <> 'delete'
+            THEN '{{"rev": ' || CAST(lsn AS VARCHAR) || '}}' END AS metadata,
+       CASE WHEN op = 'delete' THEN 'delete' ELSE 'upsert' END AS change_type,
+       epoch AS change_epoch
+FROM ranked
+WHERE rn = 1 AND epoch >= {_EVOLVE_EPOCH}
+"""
+
+
 def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium envelope ingestion end-to-end: render each ``events`` row as
     a Debezium JSON envelope (``before``/``after``/``op``/``ts_ms``/
@@ -865,6 +913,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
     "cdc_windowed_state": (q_cdc_windowed_state, _SQL_CDC_WINDOWED_STATE),
     "debezium_parse": (q_debezium_parse, _SQL_DEBEZIUM_PARSE),
+    "cdc_changes_feed": (q_cdc_changes_feed, _SQL_CDC_CHANGES_FEED),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),

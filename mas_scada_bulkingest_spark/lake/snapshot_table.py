@@ -864,6 +864,122 @@ class SnapshotTable(LakeTable):
             int(f[1:9]) for f in os.listdir(snap_dir) if f.endswith(".json")
         )
 
+    def read_changes(
+        self, since_epoch: int, to_epoch: int | None = None
+    ) -> DataFrame:
+        """Incremental changes feed: every change applied in epochs
+        ``[since_epoch, to_epoch]`` (inclusive; ``to_epoch=None`` = latest)
+        — the Delta-CDF / Iceberg-incremental-read analog, so a table this
+        engine MAINTAINS from one change stream can itself be TAILED as a
+        change stream by downstream consumers (e.g. a derived index or
+        aggregate kept fresh by polling ``read_changes(last_seen + 1)``).
+
+        Merge-on-read only: each MoR epoch commit appends its LWW-collapsed
+        batch as immutable ``data/epoch={n}-…`` delta files, so the feed is
+        a pure file-list operation — NO diffing, NO read of table state,
+        cost O(changes in range). Rows are the per-(key, epoch) winners with
+        ``_change_type`` (``upsert``/``delete`` — deletes carry the
+        tombstone's (ts, lsn) watermark and a NULL payload) and
+        ``_change_epoch``. Copy-on-write rewrites whole buckets and keeps
+        no change-shaped files, so CoW tables raise (use MoR where a
+        changes feed is needed).
+
+        Compaction folds delta files out of the CURRENT snapshot, so the
+        file set is collected from EVERY retained snapshot's history;
+        ``vacuum`` therefore bounds the feed's retention exactly like Delta
+        CDF's — a range whose files were vacuumed raises
+        :class:`FileNotFoundError` (recompute downstream from a full
+        ``read`` instead). Epochs are keyed by their numeric id
+        (namespaced checkpoint epochs share the numeric component).
+        """
+        if self.mode != "mor":
+            raise ValueError(
+                "read_changes requires a merge-on-read table: copy-on-write "
+                "rewrites whole buckets and keeps no per-epoch change files"
+            )
+        # every epoch delta file referenced by any retained snapshot —
+        # history-wide, so compaction cannot hide an epoch from the feed
+        seen: dict[str, int] = {}
+        snap_dir = os.path.join(self.path, "snapshots")
+        for v in self.versions():
+            with open(os.path.join(snap_dir, f"v{v:08d}.json")) as fh:
+                snap = json.load(fh)
+            for files in snap["buckets"].values():
+                for f in files:
+                    if f.startswith(os.path.join("data", "epoch=")):
+                        e = int(f.split("epoch=", 1)[1].split("-", 1)[0])
+                        seen.setdefault(f, e)
+        by_epoch: dict[int, list[str]] = {}
+        for f, e in seen.items():
+            if e >= since_epoch and (to_epoch is None or e <= to_epoch):
+                by_epoch.setdefault(e, []).append(os.path.join(self.path, f))
+        missing = [
+            f for fs in by_epoch.values() for f in fs if not os.path.exists(f)
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"changes feed truncated by vacuum ({len(missing)} delta "
+                f"files gone, e.g. {missing[0]}); recompute downstream "
+                f"state from a full read()"
+            )
+        # vacuum also EXPIRES snapshots, which can hide an epoch's files
+        # from the history walk entirely (silently-empty feed = silent data
+        # loss downstream). When the root snapshot v0 is retained the
+        # history is complete and a committed epoch with no files really
+        # was empty; once v0 is expired, a committed epoch in range with no
+        # visible files is indistinguishable from a vacuumed one — fail.
+        if 0 not in self.versions():
+            wanted = set()
+            for k in self.committed_epochs:
+                sp = _split_epoch_key(str(k))
+                if sp is not None:
+                    n = sp[1]
+                    if n >= since_epoch and (to_epoch is None or n <= to_epoch):
+                        wanted.add(n)
+            lost = sorted(wanted - set(by_epoch))
+            if lost:
+                raise FileNotFoundError(
+                    f"changes feed truncated by vacuum: committed epochs "
+                    f"{lost} have no retained delta files (snapshot history "
+                    f"was expired); recompute downstream state from a full "
+                    f"read()"
+                )
+        # delta storage schema: table schema + tombstone flag + max-lsn
+        # helper; files predating an additive column read NULL for it
+        delta_schema = T.StructType(
+            list(self._storage_schema().fields)
+            + [T.StructField("_max_lsn", T.LongType())]
+        )
+        out_fields = [f.name for f in self.schema.fields]
+        branches = []
+        for e in sorted(by_epoch):
+            df = self.spark.read.schema(delta_schema).parquet(*by_epoch[e])
+            branches.append(
+                df.select(
+                    *out_fields,
+                    F.when(
+                        F.coalesce(F.col(_TOMBSTONE), F.lit(False)),
+                        F.lit("delete"),
+                    )
+                    .otherwise(F.lit("upsert"))
+                    .alias("_change_type"),
+                    F.lit(e).cast("long").alias("_change_epoch"),
+                )
+            )
+        if not branches:
+            empty = T.StructType(
+                list(self.schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_change_epoch", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
     def _read_raw(
         self, buckets: list[int] | None = None, min_enc=None, max_enc=None
     ) -> DataFrame | None:

@@ -1,0 +1,104 @@
+"""read_changes — the incremental changes feed (Delta-CDF analog).
+
+The engine both APPLIES a change stream and EMITS one: MoR epoch commits
+append immutable per-epoch delta files, so the feed is a pure file-list
+operation collected across the snapshot HISTORY (compaction folds deltas
+out of the current snapshot but cannot hide an epoch); vacuum bounds
+retention and a truncated range fails loudly.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from mas_scada_bulkingest_spark.pipeline import apply_changes, create_transcripts_table
+
+_COLS = (
+    "lsn long, op string, conv_id string, turn_idx int, role string,"
+    " text string, tool string, ts timestamp_ntz"
+)
+
+
+def _apply(spark, tbl, epoch, rows):
+    apply_changes(tbl, spark.createDataFrame(rows, _COLS), epoch_id=epoch)
+
+
+def _mk(spark, path, n_epochs=3, **kw):
+    tbl = create_transcripts_table(spark, path, n_buckets=2, mode="mor")
+    for e in range(n_epochs):
+        rows = [
+            (10 * e + i, "update", f"c{i}", 0, "u", f"e{e}-{i}", None,
+             datetime(2024, 1, 1, e, 0, i))
+            for i in range(4)
+        ]
+        if e == n_epochs - 1:
+            rows.append((10 * e + 9, "delete", "c0", 0, None, None, None,
+                         datetime(2024, 1, 1, e, 30)))
+        _apply(spark, tbl, e, rows)
+    return tbl
+
+
+def test_feed_returns_per_epoch_winners(spark, tmpdir_path):
+    tbl = _mk(spark, tmpdir_path + "/t")
+    feed = tbl.read_changes(since_epoch=1).toPandas()
+    assert set(feed["_change_epoch"]) == {1, 2}
+    # per-(key, epoch) WINNERS: the epoch-2 delete of c0 collapses with
+    # that key's own epoch-2 update (delete is later) -> 4 rows per epoch
+    assert len(feed) == 4 + 4
+    dels = feed[feed["_change_type"] == "delete"]
+    assert dels["conv_id"].tolist() == ["c0"] and dels["text"].isna().all()
+    # range selection: a single epoch
+    only1 = tbl.read_changes(since_epoch=1, to_epoch=1).toPandas()
+    assert set(only1["text"]) == {f"e1-{i}" for i in range(4)}
+
+
+def test_feed_survives_compaction(spark, tmpdir_path):
+    tbl = _mk(spark, tmpdir_path + "/t")
+    before = tbl.read_changes(since_epoch=0).orderBy("lsn").toPandas()
+    assert tbl.compact(max_files=1) > 0
+    after = tbl.read_changes(since_epoch=0).orderBy("lsn").toPandas()
+    # compaction folded deltas out of the CURRENT snapshot, but the feed
+    # walks history — identical content
+    assert before.equals(after)
+
+
+def test_feed_truncated_by_vacuum_raises(spark, tmpdir_path):
+    tbl = _mk(spark, tmpdir_path + "/t")
+    tbl.compact(max_files=1)
+    tbl.vacuum(retain_versions=1)  # deletes the compacted-away delta files
+    with pytest.raises(FileNotFoundError, match="truncated by vacuum"):
+        tbl.read_changes(since_epoch=0).count()
+
+
+def test_feed_rejects_cow(spark, tmpdir_path):
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=2, mode="cow")
+    _apply(spark, tbl, 0, [(1, "update", "c", 0, "u", "x", None,
+                            datetime(2024, 1, 1))])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        tbl.read_changes(since_epoch=0)
+
+
+def test_feed_empty_range(spark, tmpdir_path):
+    tbl = _mk(spark, tmpdir_path + "/t")
+    out = tbl.read_changes(since_epoch=99)
+    assert out.count() == 0
+    assert "_change_type" in out.columns and "_change_epoch" in out.columns
+
+
+def test_feed_carries_evolved_columns(spark, tmpdir_path):
+    """Additive evolution mid-stream: pre-evolution epochs read NULL for
+    the new column; post-evolution epochs carry it."""
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=2, mode="mor")
+    _apply(spark, tbl, 0, [(1, "update", "a", 0, "u", "v1", None,
+                            datetime(2024, 1, 1))])
+    cols2 = _COLS + ", metadata string"
+    batch = spark.createDataFrame(
+        [(2, "update", "a", 1, "u", "v2", None, datetime(2024, 1, 1, 1), "{}")], cols2
+    )
+    apply_changes(tbl, batch, epoch_id=1)
+    feed = tbl.read_changes(since_epoch=0).orderBy("lsn").toPandas()
+    assert feed["metadata"].tolist()[0] is None or feed["metadata"].isna()[0]
+    assert feed["metadata"].tolist()[1] == "{}"
