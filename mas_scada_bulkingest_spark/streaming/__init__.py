@@ -4,5 +4,6 @@ from .driver import (  # noqa: F401
     replay_batches,
     run_stream,
     run_stream_adaptive,
+    run_stream_debezium,
     supervise,
 )

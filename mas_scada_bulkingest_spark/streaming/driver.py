@@ -153,6 +153,8 @@ def run_stream(
     schema: T.StructType = CHANGE_SCHEMA_EVOLVED,
     max_files_per_trigger: int | None = 4,
     available_now: bool = True,
+    source_format: str = "parquet",
+    transform: Callable | None = None,
     **apply_kwargs,
 ):
     """Structured-Streaming tail of the change-log directory.
@@ -164,6 +166,14 @@ def run_stream(
     pacing, Config.java:74-75). ``available_now=True`` drains the backlog and
     stops — the reference's catch-up mode; pass ``False`` for a continuous
     tail.
+
+    ``source_format``: ``"parquet"`` (default, change-schema files) or
+    ``"text"`` (one raw record per line — the on-disk analog of a Kafka
+    ``value`` column, schema ``value: string``). ``transform`` is applied to
+    the STREAMING DataFrame before the foreachBatch sink (pure column
+    expressions only — e.g. :func:`~..sources.debezium.parse_debezium`), so
+    wire-format decoding runs inside each micro-batch plan, not per-batch
+    Python.
     """
     table = SnapshotTable(spark, table_path)
     # Namespace epoch ids by checkpoint lineage: the same checkpoint replays
@@ -175,11 +185,17 @@ def run_stream(
     def _apply(batch_df, batch_id: int) -> None:
         apply_changes(table, batch_df, f"{ns}:{batch_id}", **apply_kwargs)
 
-    reader = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger or 1000000)
-        .parquet(changes_dir)
+    rs = spark.readStream.option(
+        "maxFilesPerTrigger", max_files_per_trigger or 1000000
     )
+    if source_format == "parquet":
+        reader = rs.schema(schema).parquet(changes_dir)
+    elif source_format == "text":
+        reader = rs.text(changes_dir)
+    else:
+        raise ValueError(f"unsupported source_format {source_format!r}")
+    if transform is not None:
+        reader = transform(reader)
     writer = reader.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
     )
@@ -187,6 +203,39 @@ def run_stream(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     return q
+
+
+def run_stream_debezium(
+    spark: SparkSession,
+    envelopes_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    payload_schema: T.StructType,
+    key_cols=("conv_id", "turn_idx"),
+    on_malformed: str = "drop",
+    **kwargs,
+):
+    """Tail a directory of Debezium JSON-envelope files (one envelope per
+    line — the file-source stand-in for a Kafka topic's ``value`` column)
+    into the exactly-once MERGE sink: ``readStream.text`` →
+    :func:`~..sources.debezium.parse_debezium` (pure ``from_json`` column
+    exprs inside the micro-batch plan) → ``foreachBatch`` ``apply_changes``.
+    Same checkpoint/epoch-namespace/exactly-once semantics as
+    :func:`run_stream`."""
+    from ..sources.debezium import parse_debezium
+
+    return run_stream(
+        spark,
+        envelopes_dir,
+        table_path,
+        checkpoint_dir,
+        source_format="text",
+        transform=lambda df: parse_debezium(
+            df, "value", payload_schema, key_cols=key_cols,
+            on_malformed=on_malformed,
+        ),
+        **kwargs,
+    )
 
 
 def run_stream_adaptive(

@@ -80,6 +80,45 @@ def test_malformed_drop_and_keep(spark):
     assert kept.filter(F.col("op").isNotNull() & F.col("conv_id").isNull()).count() == 1
 
 
+def test_streaming_debezium_tail(spark, tmpdir_path):
+    """readStream(text of JSON envelopes) -> parse_debezium -> exactly-once
+    MERGE: the wire-format decode runs inside each micro-batch plan; a
+    truncated envelope in the stream is dropped, replaying the drained
+    stream under the same checkpoint commits nothing new."""
+    import os
+
+    from mas_scada_bulkingest_spark.lake.snapshot_table import SnapshotTable
+    from mas_scada_bulkingest_spark.streaming import run_stream_debezium
+
+    t0 = 1704067200000
+    src = tmpdir_path + "/env"
+    os.makedirs(src)
+    with open(src + "/00.jsonl", "w") as f:
+        f.write(_env("c", ("s", 0), {"role": "user", "text": "v1"}, ts_ms=t0, lsn=1) + "\n")
+        f.write(_env("u", ("s", 1), {"role": "user", "text": "v2"}, ts_ms=t0, lsn=2) + "\n")
+        f.write('{"broken": \n')  # truncated envelope: dropped, not fatal
+    with open(src + "/01.jsonl", "w") as f:
+        f.write(_env("u", ("s", 0), {"role": "user", "text": "v1b"}, ts_ms=t0 + 1000, lsn=3) + "\n")
+        f.write(_env("d", ("s", 1), ts_ms=t0 + 1000, lsn=4) + "\n")
+
+    create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=2, mode="mor")
+    q = run_stream_debezium(
+        spark, src, tmpdir_path + "/t", tmpdir_path + "/ckpt", PAYLOAD,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    tbl = SnapshotTable(spark, tmpdir_path + "/t")
+    final = tbl.read().orderBy("turn_idx").toPandas()
+    assert final["text"].tolist() == ["v1b"]  # turn 1 deleted, turn 0 updated
+    n_epochs = tbl.committed_epoch_count
+    # drained replay under the same checkpoint: no new epochs
+    q2 = run_stream_debezium(
+        spark, src, tmpdir_path + "/t", tmpdir_path + "/ckpt", PAYLOAD,
+    )
+    q2.awaitTermination(180)
+    assert SnapshotTable(spark, tmpdir_path + "/t").committed_epoch_count == n_epochs
+
+
 def test_parse_composes_with_merge(spark, tmpdir_path):
     """parse -> apply_changes end-to-end: late stale update loses to the
     tombstone parsed from a Debezium delete."""
