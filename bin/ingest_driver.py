@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="force the salted two-phase collapse when a conversation exceeds this event count (default: plain collapse — map-side partial agg absorbs skew)")
     p.add_argument("--normalize", action="store_true", help="NFC/whitespace text normalization")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--source-format", choices=("parquet", "debezium-json"),
+                   default="parquet",
+                   help="change-log wire format: parquet change records "
+                        "(default) or Debezium JSON envelopes, one per line "
+                        "(requires --checkpoint-dir; use the availableNow "
+                        "drain for batch semantics)")
     p.add_argument("--vacuum", action="store_true", help="clean superseded epoch files after run")
     p.add_argument("--status-only", action="store_true", help="print table status and exit")
     p.add_argument("--demo", action="store_true", help="self-contained run on generated data")
@@ -86,17 +92,43 @@ def main(argv: list[str] | None = None) -> int:
 
     table = create_transcripts_table(spark, args.table_path, n_buckets=args.n_buckets)
 
+    if args.source_format == "debezium-json" and not args.checkpoint_dir:
+        p.error("--source-format debezium-json requires --checkpoint-dir")
+
     if args.checkpoint_dir:
-        q = run_stream(
-            spark,
-            args.changes_dir,
-            args.table_path,
-            args.checkpoint_dir,
-            max_files_per_trigger=args.max_files_per_trigger,
-            available_now=not args.stream,
-            normalize=args.normalize,
-            hot_key_threshold=args.hot_key_threshold,
-        )
+        if args.source_format == "debezium-json":
+            from pyspark.sql import types as T
+
+            from mas_scada_bulkingest_spark.schemas import TRANSCRIPT_SCHEMA
+            from mas_scada_bulkingest_spark.streaming.driver import (
+                run_stream_debezium,
+            )
+
+            payload = T.StructType(
+                [f for f in TRANSCRIPT_SCHEMA.fields if f.name not in ("ts", "lsn")]
+            )
+            q = run_stream_debezium(
+                spark,
+                args.changes_dir,
+                args.table_path,
+                args.checkpoint_dir,
+                payload,
+                max_files_per_trigger=args.max_files_per_trigger,
+                available_now=not args.stream,
+                normalize=args.normalize,
+                hot_key_threshold=args.hot_key_threshold,
+            )
+        else:
+            q = run_stream(
+                spark,
+                args.changes_dir,
+                args.table_path,
+                args.checkpoint_dir,
+                max_files_per_trigger=args.max_files_per_trigger,
+                available_now=not args.stream,
+                normalize=args.normalize,
+                hot_key_threshold=args.hot_key_threshold,
+            )
         q.awaitTermination()
     else:
         stats = replay_batches(
