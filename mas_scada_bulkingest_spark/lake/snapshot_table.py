@@ -375,6 +375,19 @@ class SnapshotTable(LakeTable):
                 sizes[f] = sz
         snap["file_sizes"] = sizes
         snap["file_stats"] = stats
+        # Per-commit file delta (Iceberg manifest-list analog): lets history
+        # walkers (read_changes) load O(files added by this commit) per
+        # snapshot instead of the full table file list — at 10^4 epochs the
+        # difference between kilobytes and gigabytes of snapshot JSON.
+        prev_all = (
+            {f for fs in prev["buckets"].values() for f in fs} if prev else set()
+        )
+        snap["added_files"] = sorted(
+            f
+            for fs in snap["buckets"].values()
+            for f in fs
+            if f not in prev_all
+        )
         name = f"v{snap['version']:08d}.json"
         snap_path = os.path.join(self.path, "snapshots", name)
         tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -898,17 +911,25 @@ class SnapshotTable(LakeTable):
                 "rewrites whole buckets and keeps no per-epoch change files"
             )
         # every epoch delta file referenced by any retained snapshot —
-        # history-wide, so compaction cannot hide an epoch from the feed
+        # history-wide, so compaction cannot hide an epoch from the feed.
+        # Snapshots record their per-commit file delta (``added_files``), so
+        # the walk loads O(files added) per snapshot; the full-bucket-list
+        # scan remains as the fallback for pre-upgrade snapshots AND for the
+        # OLDEST retained snapshot (whose own added_files doesn't cover the
+        # files it inherited from expired ancestors).
         seen: dict[str, int] = {}
+        epoch_prefix = os.path.join("data", "epoch=")
         snap_dir = os.path.join(self.path, "snapshots")
-        for v in self.versions():
+        for i, v in enumerate(self.versions()):
             with open(os.path.join(snap_dir, f"v{v:08d}.json")) as fh:
                 snap = json.load(fh)
-            for files in snap["buckets"].values():
-                for f in files:
-                    if f.startswith(os.path.join("data", "epoch=")):
-                        e = int(f.split("epoch=", 1)[1].split("-", 1)[0])
-                        seen.setdefault(f, e)
+            added = snap.get("added_files")
+            if i == 0 or added is None:
+                added = (f for fs in snap["buckets"].values() for f in fs)
+            for f in added:
+                if f.startswith(epoch_prefix):
+                    e = int(f.split("epoch=", 1)[1].split("-", 1)[0])
+                    seen.setdefault(f, e)
         by_epoch: dict[int, list[str]] = {}
         for f, e in seen.items():
             if e >= since_epoch and (to_epoch is None or e <= to_epoch):

@@ -65,6 +65,22 @@ def test_feed_survives_compaction(spark, tmpdir_path):
     assert before.equals(after)
 
 
+def test_commits_record_added_files_delta(spark, tmpdir_path):
+    """Each snapshot carries its per-commit file delta (manifest-list
+    analog) so history walks stay O(files added) per snapshot."""
+    tbl = _mk(spark, tmpdir_path + "/t")
+    snap = tbl._snapshot
+    assert "added_files" in snap
+    all_files = {f for fs in snap["buckets"].values() for f in fs}
+    assert set(snap["added_files"]) <= all_files
+    # the latest commit's delta: only its own epoch's files
+    assert all("epoch=2-" in f for f in snap["added_files"])
+    # feed built from the per-commit deltas still sees every epoch:
+    # 4 per-(key, epoch) winners x 3 epochs (the epoch-2 delete collapses
+    # with its key's own update)
+    assert tbl.read_changes(since_epoch=0).count() == 12
+
+
 def test_feed_truncated_by_vacuum_raises(spark, tmpdir_path):
     tbl = _mk(spark, tmpdir_path + "/t")
     tbl.compact(max_files=1)
