@@ -73,9 +73,12 @@ def test_min_bound_prunes_files_and_is_exact_mor(spark, tmpdir_path):
     full = tbl.read()
     expected = _pdf(full.filter(F.col("ts") >= F.lit("2024-01-03").cast("timestamp_ntz")))
     before = tbl.last_read_pruned_files
-    got = _pdf(tbl.read(min_event_time="2024-01-03"))
+    win = tbl.read(min_event_time="2024-01-03")
+    got = _pdf(win)
     assert tbl.last_read_pruned_files > before  # days 1-2 files skipped
     assert_frames_equal(got, expected)
+    # the pruned MoR read keeps the exchange-free bucket-local plan
+    assert "Exchange" not in win._jdf.queryExecution().executedPlan().toString()
 
 
 def test_lower_bound_cannot_resurrect_losers(spark, tmpdir_path):
