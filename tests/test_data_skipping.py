@@ -146,6 +146,72 @@ def test_compaction_recomputes_stats(spark, tmpdir_path):
     assert_frames_equal(_pdf(tbl.read(min_event_time="2024-01-03")), expected)
 
 
+from datetime import timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# (lsn unique, conv, turn, is_delete, ts offset seconds — ties likely)
+_event = st.tuples(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=1),
+    st.integers(min_value=0, max_value=300),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_event, min_size=1, max_size=30, unique_by=lambda e: e[0]),
+    st.integers(min_value=0, max_value=300),
+    st.sampled_from(["mor", "cow"]),
+)
+def test_windowed_read_equals_filtered_full_read(
+    spark, tmp_path_factory, events, bound_s, mode
+):
+    """Property: for ANY changelog split into 2 epochs (with compaction) and
+    ANY window bound, read(min_event_time=b) is EXACTLY the full live state
+    filtered to winner ts >= b — file skipping can never change results,
+    only which files are opened."""
+    d = str(tmp_path_factory.mktemp("skip"))
+    rows = [
+        (
+            lsn,
+            "delete" if is_del else "update",
+            f"c{conv}",
+            turn,
+            None if is_del else "u",
+            None if is_del else f"t{lsn}",
+            None,
+            datetime(2024, 1, 1) + timedelta(seconds=dt_s),
+        )
+        for lsn, conv, turn, is_del, dt_s in events
+    ]
+    tbl = create_transcripts_table(spark, d + "/t", n_buckets=2, mode=mode)
+    half = len(rows) // 2
+    for e, ep in enumerate((rows[:half], rows[half:])):
+        if ep:
+            apply_changes(
+                tbl,
+                spark.createDataFrame(ep, _COLS),
+                epoch_id=e,
+                auto_compact_files=1 if mode == "mor" else None,
+            )
+    bound = datetime(2024, 1, 1) + timedelta(seconds=bound_s)
+    want = _pdf(
+        tbl.read().filter(
+            F.col("ts") >= F.lit(bound.isoformat(sep=" ")).cast("timestamp_ntz")
+        )
+    )
+    got = _pdf(tbl.read(min_event_time=bound))
+    assert_frames_equal(got, want)
+
+
 def test_unbounded_read_unchanged(spark, tmpdir_path):
     tbl = _timeordered_table(spark, tmpdir_path + "/t", mode="mor")
     assert tbl.read().count() == 6 * 4  # distinct convs per day x 4 days
