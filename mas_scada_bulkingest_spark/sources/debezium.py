@@ -59,19 +59,33 @@ def debezium_envelope_schema(payload_schema: T.StructType) -> T.StructType:
     )
 
 
+def malformed_predicate(key_cols: Sequence[str] = ("conv_id", "turn_idx")):
+    """The parser's reject rule as a reusable Column predicate: unparseable
+    JSON / unknown op (``op`` NULL) or any NULL key field (no home bucket).
+    Evaluate against :func:`parse_debezium` output."""
+    pred = F.col("op").isNull()
+    for k in key_cols:
+        pred = pred | F.col(k).isNull()
+    return pred
+
+
 def parse_debezium(
     df: DataFrame,
     envelope_col: str,
     payload_schema: T.StructType,
     key_cols: Sequence[str] = ("conv_id", "turn_idx"),
     on_malformed: str = "drop",
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Parse a JSON envelope column into engine change records.
 
     Returns one row per envelope with columns ``(op, <payload columns>, ts,
     lsn)`` where the payload columns are ``payload_schema``'s fields (key
     columns from the op's live side, value columns NULL on deletes — the
-    tombstone contract ``merge_changes`` expects).
+    tombstone contract ``merge_changes`` expects). ``keep_raw=True`` appends
+    the original envelope string as ``_raw_envelope`` — a malformed row's
+    parsed fields are all NULL, so dead-letter routing needs the raw bytes
+    for forensics; drop the column before merging.
     """
     if on_malformed not in ("drop", "keep"):
         raise ValueError(f"on_malformed must be 'drop' or 'keep', got {on_malformed!r}")
@@ -109,12 +123,9 @@ def parse_debezium(
     )
     cols.append(ts.alias("ts"))
     cols.append(env["source"]["lsn"].alias("lsn"))
+    if keep_raw:
+        cols.append(F.col(envelope_col).alias("_raw_envelope"))
     out = df.select(*cols)
     if on_malformed == "drop":
-        # unparseable JSON / unknown op => op NULL; a NULL key field (parse
-        # failure of the key side, or a keyless envelope) has no home bucket
-        malformed = F.col("op").isNull()
-        for k in key_cols:
-            malformed = malformed | F.col(k).isNull()
-        out = out.filter(~malformed)
+        out = out.filter(~malformed_predicate(key_cols))
     return out

@@ -155,6 +155,7 @@ def run_stream(
     available_now: bool = True,
     source_format: str = "parquet",
     transform: Callable | None = None,
+    prepare_batch: Callable | None = None,
     **apply_kwargs,
 ):
     """Structured-Streaming tail of the change-log directory.
@@ -173,7 +174,10 @@ def run_stream(
     the STREAMING DataFrame before the foreachBatch sink (pure column
     expressions only — e.g. :func:`~..sources.debezium.parse_debezium`), so
     wire-format decoding runs inside each micro-batch plan, not per-batch
-    Python.
+    Python. ``prepare_batch(batch_df, epoch_key) -> batch_df`` runs INSIDE
+    foreachBatch before the merge — the seam for per-batch side channels
+    (dead-letter routing, reject metrics); anything it writes is
+    at-least-once under replay (the merge itself stays exactly-once).
     """
     table = SnapshotTable(spark, table_path)
     # Namespace epoch ids by checkpoint lineage: the same checkpoint replays
@@ -183,7 +187,10 @@ def run_stream(
     ns = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
     def _apply(batch_df, batch_id: int) -> None:
-        apply_changes(table, batch_df, f"{ns}:{batch_id}", **apply_kwargs)
+        epoch_key = f"{ns}:{batch_id}"
+        if prepare_batch is not None:
+            batch_df = prepare_batch(batch_df, epoch_key)
+        apply_changes(table, batch_df, epoch_key, **apply_kwargs)
 
     rs = spark.readStream.option(
         "maxFilesPerTrigger", max_files_per_trigger or 1000000
@@ -213,6 +220,7 @@ def run_stream_debezium(
     payload_schema: T.StructType,
     key_cols=("conv_id", "turn_idx"),
     on_malformed: str = "drop",
+    dlq_dir: str | None = None,
     **kwargs,
 ):
     """Tail a directory of Debezium JSON-envelope files (one envelope per
@@ -221,8 +229,43 @@ def run_stream_debezium(
     :func:`~..sources.debezium.parse_debezium` (pure ``from_json`` column
     exprs inside the micro-batch plan) → ``foreachBatch`` ``apply_changes``.
     Same checkpoint/epoch-namespace/exactly-once semantics as
-    :func:`run_stream`."""
-    from ..sources.debezium import parse_debezium
+    :func:`run_stream`.
+
+    ``dlq_dir``: dead-letter queue — malformed envelopes (unparseable JSON,
+    unknown op, NULL key) are appended there as parquet rows
+    ``(envelope, epoch_key)`` with the ORIGINAL wire bytes for forensics,
+    instead of being silently dropped. DLQ appends are at-least-once under
+    crash-replay (dedup downstream on envelope text if needed); the merge
+    itself stays exactly-once.
+    """
+    import pyspark.sql.functions as F
+
+    from ..sources.debezium import malformed_predicate, parse_debezium
+
+    if dlq_dir is None:
+        transform = lambda df: parse_debezium(  # noqa: E731
+            df, "value", payload_schema, key_cols=key_cols,
+            on_malformed=on_malformed,
+        )
+        prepare = None
+    else:
+        transform = lambda df: parse_debezium(  # noqa: E731
+            df, "value", payload_schema, key_cols=key_cols,
+            on_malformed="keep", keep_raw=True,
+        )
+        bad = malformed_predicate(key_cols)
+
+        def prepare(batch_df, epoch_key: str):
+            (
+                batch_df.filter(bad)
+                .select(
+                    F.col("_raw_envelope").alias("envelope"),
+                    F.lit(epoch_key).alias("epoch_key"),
+                )
+                .write.mode("append")
+                .parquet(dlq_dir)
+            )
+            return batch_df.filter(~bad).drop("_raw_envelope")
 
     return run_stream(
         spark,
@@ -230,10 +273,8 @@ def run_stream_debezium(
         table_path,
         checkpoint_dir,
         source_format="text",
-        transform=lambda df: parse_debezium(
-            df, "value", payload_schema, key_cols=key_cols,
-            on_malformed=on_malformed,
-        ),
+        transform=transform,
+        prepare_batch=prepare,
         **kwargs,
     )
 

@@ -119,6 +119,36 @@ def test_streaming_debezium_tail(spark, tmpdir_path):
     assert SnapshotTable(spark, tmpdir_path + "/t").committed_epoch_count == n_epochs
 
 
+def test_streaming_dlq_captures_raw_envelopes(spark, tmpdir_path):
+    """dlq_dir routes malformed envelopes (original wire bytes + epoch key)
+    to a dead-letter parquet instead of silently dropping them; good rows
+    still merge."""
+    import os
+
+    from mas_scada_bulkingest_spark.lake.snapshot_table import SnapshotTable
+    from mas_scada_bulkingest_spark.streaming import run_stream_debezium
+
+    src = tmpdir_path + "/env"
+    os.makedirs(src)
+    broken = '{"oops": '
+    keyless = '{"after": {"role": "u"}, "op": "u", "ts_ms": 1, "source": {"lsn": 9}}'
+    with open(src + "/00.jsonl", "w") as f:
+        f.write(_env("c", ("d", 0), {"role": "user", "text": "good"}, lsn=1) + "\n")
+        f.write(broken + "\n")
+        f.write(keyless + "\n")
+    create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=2, mode="mor")
+    q = run_stream_debezium(
+        spark, src, tmpdir_path + "/t", tmpdir_path + "/ckpt", PAYLOAD,
+        dlq_dir=tmpdir_path + "/dlq",
+    )
+    q.awaitTermination(180)
+    final = SnapshotTable(spark, tmpdir_path + "/t").read().toPandas()
+    assert final["text"].tolist() == ["good"]
+    dlq = spark.read.parquet(tmpdir_path + "/dlq").toPandas()
+    assert sorted(dlq["envelope"]) == sorted([broken, keyless])
+    assert dlq["epoch_key"].str.contains(":").all()
+
+
 def test_parse_composes_with_merge(spark, tmpdir_path):
     """parse -> apply_changes end-to-end: late stale update loses to the
     tombstone parsed from a Debezium delete."""
