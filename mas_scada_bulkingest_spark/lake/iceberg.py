@@ -172,6 +172,45 @@ class IcebergTable(LakeTable):
             f"WHERE summary['{self._EPOCH_PROP}'] = '{epoch_id}'"
         )
 
+    def epoch_snapshots_sql(
+        self, since_epoch: int, to_epoch: int | None = None
+    ) -> str:
+        """Metadata-only map from an EPOCH range to the snapshot ids whose
+        commits applied it (each MERGE stamps ``engine.epoch-id`` into its
+        own snapshot summary — :meth:`epoch_commit_conf`). Feeds
+        :meth:`changes_scan_options`; ≙ the parquet backend's
+        snapshot-history walk in ``SnapshotTable.read_changes``. Expired
+        snapshots simply vanish from this table — the caller must treat a
+        missing epoch as retention truncation, same contract as the parquet
+        backend's FileNotFoundError."""
+        hi = "" if to_epoch is None else (
+            f" AND CAST(summary['{self._EPOCH_PROP}'] AS BIGINT) <= {int(to_epoch)}"
+        )
+        return (
+            f"SELECT snapshot_id, "
+            f"CAST(summary['{self._EPOCH_PROP}'] AS BIGINT) AS epoch_id "
+            f"FROM {self.identifier}.snapshots "
+            f"WHERE CAST(summary['{self._EPOCH_PROP}'] AS BIGINT) >= {int(since_epoch)}"
+            f"{hi} ORDER BY epoch_id"
+        )
+
+    @staticmethod
+    def changes_scan_options(
+        start_snapshot_id: int, end_snapshot_id: int | None = None
+    ) -> dict[str, str]:
+        """Reader options for Iceberg's incremental append scan
+        (``spark.read.format('iceberg').options(**these).load(identifier)``)
+        — returns exactly the rows committed after ``start`` up to ``end``.
+        Under this engine's merge-on-read mapping each epoch commit appends
+        the per-(key, epoch) LWW winners (tombstone rows included), so the
+        incremental scan's content matches ``SnapshotTable.read_changes``:
+        a changes feed, not a state diff. ``start`` is EXCLUSIVE in Iceberg,
+        so pass the snapshot id of the last epoch already consumed."""
+        opts = {"start-snapshot-id": str(int(start_snapshot_id))}
+        if end_snapshot_id is not None:
+            opts["end-snapshot-id"] = str(int(end_snapshot_id))
+        return opts
+
     def purge_tombstones_sql(self, before_lsn: int | None = None) -> str:
         """≙ ``SnapshotTable.purge_tombstones``: physically drop tombstone
         rows once the changelog retention horizon guarantees no staler

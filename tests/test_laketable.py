@@ -71,6 +71,17 @@ def test_iceberg_sql_builders_encode_the_contract():
     assert purge.startswith("DELETE FROM cat.db.transcripts WHERE _tombstone")
     assert "lsn IS NOT NULL AND lsn < 100" in purge
 
+    # changes feed ≙ SnapshotTable.read_changes: epoch range -> snapshot ids
+    # via the SAME summary key the commit stamps; then Iceberg's incremental
+    # append scan options (start is EXCLUSIVE)
+    snaps = t.epoch_snapshots_sql(2, to_epoch=5)
+    assert "cat.db.transcripts.snapshots" in snaps
+    assert "CAST(summary['engine.epoch-id'] AS BIGINT) >= 2" in snaps
+    assert "<= 5" in snaps
+    opts = IcebergTable.changes_scan_options(1234, 5678)
+    assert opts == {"start-snapshot-id": "1234", "end-snapshot-id": "5678"}
+    assert IcebergTable.changes_scan_options(9) == {"start-snapshot-id": "9"}
+
 
 def test_negative_epoch_ids_never_silently_committed(spark, tmpdir_path):
     tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4)
