@@ -120,19 +120,33 @@ _SQL_CHANGES = """
 
 
 def _replayed_table(
-    spark: SparkSession, sf_dir: str, mode: str = _DEFAULT_MODE
+    spark: SparkSession,
+    sf_dir: str,
+    mode: str = _DEFAULT_MODE,
+    epoching: str = "interleaved",
 ) -> SnapshotTable:
     """Replay the events-derived changelog through the real engine once per
-    (process, sf, mode): 4 LSN-interleaved epochs via ``apply_changes``
-    (collapse → exactly-once MERGE), with the ``metadata`` column appearing
-    only in the batch schema of epochs >= 2 (additive evolution mid-replay).
+    (process, sf, mode, epoching): 4 LSN-interleaved epochs via
+    ``apply_changes`` (collapse → exactly-once MERGE), with the ``metadata``
+    column appearing only in the batch schema of epochs >= 2 (additive
+    evolution mid-replay).
+
+    ``epoching`` picks the changelog→epoch assignment: ``"interleaved"``
+    (``lsn % 4``, the flagship default — every epoch delivers late data vs
+    its predecessors, maximal cross-epoch LWW disorder) or ``"blocked"``
+    (``(lsn // 8) % 4``). The blocked variant exists for the typed
+    changes-feed entries: with the flagship derivation a key's changes all
+    share one epoch (``turn_idx = lsn % 8`` forces ``lsn % 4`` constant per
+    key), so its feed would only ever contain first-epoch winners; blocking
+    by ``lsn // 8`` spreads every key across all four epochs and makes the
+    typed feed exercise update / delete / stale-suppression / re-insert.
 
     The default is the merge-on-read scale mode (O(batch) delta appends +
     bucket-local read-time LWW + auto-compaction); ``mode="cow"`` runs the
     copy-on-write reconciling merge — same final state, proven against the
     same oracle.
     """
-    key = f"{os.path.normpath(sf_dir)}::{mode}"
+    key = f"{os.path.normpath(sf_dir)}::{mode}::{epoching}"
     if key in _REPLAY_CACHE:
         return SnapshotTable(spark, _REPLAY_CACHE[key])
     # tmpfs when available: the sandbox disk serializes concurrent writers
@@ -146,8 +160,13 @@ def _replayed_table(
         spark, os.path.join(work, "conversations"), n_buckets=4
     )
     changes = _events_changelog(spark, sf_dir)
+    epoch_of = (
+        F.pmod(F.floor(F.col("lsn") / F.lit(8)), F.lit(_N_EPOCHS))
+        if epoching == "blocked"
+        else F.pmod(F.col("lsn"), F.lit(_N_EPOCHS))
+    )
     for e in range(_N_EPOCHS):
-        batch = changes.filter(F.pmod(F.col("lsn"), F.lit(_N_EPOCHS)) == e)
+        batch = changes.filter(epoch_of == e)
         if e >= _EVOLVE_EPOCH:
             batch = batch.withColumn(
                 "metadata",
@@ -295,6 +314,142 @@ SELECT conv_id, turn_idx, role, text, tool,
        epoch AS change_epoch
 FROM ranked
 WHERE rn = 1 AND epoch >= {_EVOLVE_EPOCH}
+"""
+
+
+def q_cdc_cdf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed state-transition feed (Delta-CDF ``insert``/``update``/
+    ``delete`` parity) off the replayed MoR table, full replay range.
+
+    MoR epochs are appended blind (never reading prior state — that is what
+    keeps the write O(batch)), so ``read_changes(change_types=True)``
+    reconstructs each change's type LAZILY: a windowed prefix-max of the
+    (ts, lsn) order tuple per key decides whether each epoch's batch winner
+    actually transitioned table state, and whether the state it replaced
+    was live or absent. Stale winners (lost the cross-epoch LWW) and
+    deletes of absent keys emit NOTHING — exactly Delta CDF's contract.
+    The oracle replays the identical classification as an ANSI window over
+    the derived changelog, so the driver hash-checks every emitted row's
+    payload AND type. This is the feed shape an incremental-view consumer
+    needs (see ``cdc_ivm_rollup``, which folds it).
+
+    Uses the block-epoched replay (``epoch = (lsn // 8) % 4``): under the
+    flagship's interleaved epoching every key's changes share one epoch
+    (see ``_replayed_table``), which would degenerate this feed to inserts
+    only; blocking spreads each key across all four epochs so the oracle
+    exercises every transition class (sf0.01: 1,138 insert / 690 update /
+    195 delete, with 2,146 stale-or-absent batch winners correctly
+    suppressed).
+    """
+    table = _replayed_table(spark, sf_dir, epoching="blocked")
+    df = table.read_changes(since_epoch=0, change_types=True)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_epoch").alias("change_epoch"),
+    )
+
+
+#: block-epoched mirror of :data:`_SQL_CHANGES` (``epoch = (lsn // 8) % 4``)
+#: — keep the replacement target in lockstep with the epoch line there
+_SQL_CHANGES_BLOCKED = _SQL_CHANGES.replace(
+    "CAST(event_id % 4 AS BIGINT) AS epoch",
+    "CAST((event_id // 8) % 4 AS BIGINT) AS epoch",
+)
+assert _SQL_CHANGES_BLOCKED != _SQL_CHANGES
+
+
+# same prefix-max-of-ord classification the engine applies lazily (ord
+# packing collision-free for lsn < 10^7, see _SQL_CDC_LINEAGE note); the
+# prior state is absent iff the prior winning change was a delete
+# (prev_del_ord = prev_ord — ords are unique, lsn is).
+_SQL_CDC_CDF_TYPED = f"""
+WITH {_SQL_CHANGES_BLOCKED},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, epoch
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  ),
+  w AS (
+    SELECT *, (lsn + (lsn * 2654435761) % 100000) * 10000000 + lsn AS ord
+    FROM ranked WHERE rn = 1
+  ),
+  p AS (
+    SELECT *,
+           max(ord) OVER prior AS prev_ord,
+           max(CASE WHEN op = 'delete' THEN ord END) OVER prior AS prev_del_ord
+    FROM w
+    WINDOW prior AS (PARTITION BY conv_id, turn_idx ORDER BY epoch
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+  ),
+  t AS (
+    SELECT *,
+           CASE WHEN prev_ord IS NOT NULL AND ord < prev_ord THEN NULL
+                WHEN op = 'delete'
+                     AND (prev_ord IS NULL OR prev_del_ord = prev_ord)
+                     THEN NULL
+                WHEN op = 'delete' THEN 'delete'
+                WHEN prev_ord IS NULL OR prev_del_ord = prev_ord THEN 'insert'
+                ELSE 'update' END AS change_type
+    FROM p
+  )
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, lsn,
+       CASE WHEN op <> 'delete' AND epoch >= {_EVOLVE_EPOCH}
+            THEN '{{"rev": ' || CAST(lsn AS VARCHAR) || '}}' END AS metadata,
+       change_type, epoch AS change_epoch
+FROM t WHERE change_type IS NOT NULL
+"""
+
+
+def q_cdc_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance off the typed changes feed: per-
+    conversation live-turn counts maintained purely by FOLDING the typed
+    feed (insert → +1, delete → −1, update → 0) — the table's data files
+    are never read. The oracle is the INDEPENDENT full recompute (count of
+    live keys per conversation from the global LWW reduction), so the
+    driver's hash proves fold-of-deltas ≡ recompute-from-scratch — the
+    correctness property every CDC-fed derived aggregate relies on. Per
+    key the typed transitions alternate live/absent, so the fold nets to
+    exactly 1 for finally-live keys and 0 otherwise; the >0 filter drops
+    conversations whose every turn ended deleted (absent from the
+    recompute by construction). Folds the block-epoched replay's feed (the
+    variant whose typed feed actually contains updates and deletes, see
+    ``q_cdc_cdf_typed``); the oracle's recompute is epoching-independent —
+    the same changes land in the same final state however they are sliced
+    — which is itself part of what the check proves.
+    """
+    table = _replayed_table(spark, sf_dir, epoching="blocked")
+    feed = table.read_changes(since_epoch=0, change_types=True)
+    delta = (
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .when(F.col("_change_type") == "delete", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        feed.groupBy("conv_id")
+        .agg(F.sum(delta).cast("long").alias("live_turns"))
+        .filter(F.col("live_turns") > 0)
+    )
+
+
+_SQL_CDC_IVM_ROLLUP = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  )
+SELECT conv_id, CAST(count(*) AS BIGINT) AS live_turns
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+GROUP BY conv_id
 """
 
 
@@ -914,6 +1069,8 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_windowed_state": (q_cdc_windowed_state, _SQL_CDC_WINDOWED_STATE),
     "debezium_parse": (q_debezium_parse, _SQL_DEBEZIUM_PARSE),
     "cdc_changes_feed": (q_cdc_changes_feed, _SQL_CDC_CHANGES_FEED),
+    "cdc_cdf_typed": (q_cdc_cdf_typed, _SQL_CDC_CDF_TYPED),
+    "cdc_ivm_rollup": (q_cdc_ivm_rollup, _SQL_CDC_IVM_ROLLUP),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),

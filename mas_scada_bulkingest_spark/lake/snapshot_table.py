@@ -879,7 +879,10 @@ class SnapshotTable(LakeTable):
         )
 
     def read_changes(
-        self, since_epoch: int, to_epoch: int | None = None
+        self,
+        since_epoch: int,
+        to_epoch: int | None = None,
+        change_types: bool = False,
     ) -> DataFrame:
         """Incremental changes feed: every change applied in epochs
         ``[since_epoch, to_epoch]`` (inclusive; ``to_epoch=None`` = latest)
@@ -887,6 +890,25 @@ class SnapshotTable(LakeTable):
         engine MAINTAINS from one change stream can itself be TAILED as a
         change stream by downstream consumers (e.g. a derived index or
         aggregate kept fresh by polling ``read_changes(last_seen + 1)``).
+
+        ``change_types=True`` upgrades the raw delta feed to a **state
+        transition** feed with Delta-CDF-style typed rows: ``_change_type``
+        becomes ``insert`` / ``update`` / ``delete`` relative to the table
+        state the epoch was applied against, and rows that did NOT change
+        state are suppressed — a stale batch winner that loses the
+        cross-epoch (order-tuple) comparison to already-committed data, and
+        a delete of a key that was already absent, emit nothing (exactly
+        what Delta CDF emits for them). MoR appends each epoch blind — it
+        never reads prior state at write time — so the classification is
+        computed LAZILY here from the feed itself: one window per key over
+        the retained history (prefix-max of the order tuple decides whether
+        each epoch's batch winner actually transitioned state, and whether
+        the state it replaced was live or a tombstone). Cost is therefore
+        O(full retained feed up to ``to_epoch``) rather than O(range) —
+        the price of O(batch) writes — with ONE exchange, keyed by the
+        table key (the same hash the buckets use). Raises like the untyped
+        feed when vacuum has truncated the history the classification
+        needs (epochs below ``since_epoch`` included).
 
         Merge-on-read only: each MoR epoch commit appends its LWW-collapsed
         batch as immutable ``data/epoch={n}-…`` delta files, so the feed is
@@ -931,9 +953,12 @@ class SnapshotTable(LakeTable):
                 if f.startswith(epoch_prefix):
                     e = int(f.split("epoch=", 1)[1].split("-", 1)[0])
                     seen.setdefault(f, e)
+        # typed classification needs every retained epoch at or below the
+        # range (the prefix-max is relative to full prior state)
+        gather_since = 0 if change_types else since_epoch
         by_epoch: dict[int, list[str]] = {}
         for f, e in seen.items():
-            if e >= since_epoch and (to_epoch is None or e <= to_epoch):
+            if e >= gather_since and (to_epoch is None or e <= to_epoch):
                 by_epoch.setdefault(e, []).append(os.path.join(self.path, f))
         missing = [
             f for fs in by_epoch.values() for f in fs if not os.path.exists(f)
@@ -956,7 +981,7 @@ class SnapshotTable(LakeTable):
                 sp = _split_epoch_key(str(k))
                 if sp is not None:
                     n = sp[1]
-                    if n >= since_epoch and (to_epoch is None or n <= to_epoch):
+                    if n >= gather_since and (to_epoch is None or n <= to_epoch):
                         wanted.add(n)
             lost = sorted(wanted - set(by_epoch))
             if lost:
@@ -1000,7 +1025,59 @@ class SnapshotTable(LakeTable):
         out = branches[0]
         for b in branches[1:]:
             out = out.unionByName(b)
-        return out
+        if not change_types:
+            return out
+        return self._classify_changes(out, since_epoch)
+
+    def _classify_changes(self, feed: DataFrame, since_epoch: int) -> DataFrame:
+        """Turn the raw per-(key, epoch) delta feed (one batch winner per
+        key per epoch, ``upsert``/``delete``) into the typed state-transition
+        feed (see ``read_changes(change_types=True)``).
+
+        A batch winner transitions state iff its order tuple beats the
+        prefix-max of every earlier epoch's winner for the same key (the
+        identical comparison ``read()``'s bucket-local collapse applies
+        lazily). The transition's type then depends on whether the state it
+        replaced was live or absent (a tombstone / never written). The
+        order tuple is compared as a struct — exactly the lexicographic
+        (ts, lsn)-style LWW ordering — with the tombstone flag as the final
+        tiebreaker so a full order-tuple tie is still deterministic.
+        """
+        from pyspark.sql.window import Window
+
+        cur_del = F.col("_change_type") == F.lit("delete")
+        cur = F.struct(
+            *[F.col(c).alias(f"o{i}") for i, c in enumerate(self.order)],
+            cur_del.alias("d"),
+        )
+        prior = (
+            Window.partitionBy(*self.key)
+            .orderBy("_change_epoch")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.max(cur).over(prior)
+        changed = prev.isNull() | (cur > prev)
+        prev_live = prev.isNotNull() & ~prev.getField("d")
+        typed = (
+            F.when(~changed, F.lit(None))  # stale: lost to committed state
+            .when(cur_del & prev_live, F.lit("delete"))
+            .when(cur_del, F.lit(None))  # delete of an absent key: no-op
+            .when(prev_live, F.lit("update"))
+            .otherwise(F.lit("insert"))
+        )
+        out_fields = [f.name for f in self.schema.fields]
+        return (
+            feed.withColumn("_typed", typed)
+            .filter(
+                F.col("_typed").isNotNull()
+                & (F.col("_change_epoch") >= F.lit(since_epoch))
+            )
+            .select(
+                *out_fields,
+                F.col("_typed").alias("_change_type"),
+                "_change_epoch",
+            )
+        )
 
     def _read_raw(
         self, buckets: list[int] | None = None, min_enc=None, max_enc=None
