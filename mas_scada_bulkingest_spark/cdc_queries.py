@@ -567,6 +567,69 @@ def q_cdc_replay_state_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_bootstrap_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-phase bulk load + binlog-tail replay ≡ full replay.
+
+    The CDC deployment pattern every 100 TB table starts with (Debezium's
+    snapshot→streaming handoff; the reference's CSV bulk extract before
+    delta monitoring, SURVEY.md §2 S5): reduce the changelog PREFIX to a
+    one-row-per-key state, load it via ``SnapshotTable.bootstrap`` (direct
+    bucket-layout write — ONE exchange, no MERGE machinery, delete winners
+    persisted as tombstones carrying their LWW watermark), then MERGE the
+    remaining epochs normally. Epoching is BLOCKED (``lsn // 8 % 4``) so
+    the tail genuinely overlaps the dump: it delivers both stale events
+    (older than the bootstrapped winner — must lose against rows/tombstones
+    from the dump) and newer ones (must win). The oracle is the plain
+    full-log LWW reduction — bootstrap+tail must be indistinguishable from
+    having replayed everything.
+    """
+    key = f"{os.path.normpath(sf_dir)}::bootstrap"
+    if key not in _REPLAY_CACHE:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work = tempfile.mkdtemp(prefix="cdc_boot_", dir=base)
+        path = os.path.join(work, "transcripts")
+        tbl = SnapshotTable.create(
+            spark, path, TRANSCRIPT_SCHEMA, n_buckets=8, mode="mor"
+        )
+        changes = _events_changelog(spark, sf_dir)
+        epoch_of = F.pmod(F.floor(F.col("lsn") / F.lit(8)), F.lit(_N_EPOCHS))
+        tbl.bootstrap(
+            collapse_lww(changes.filter(epoch_of < 2)), epoch_id="bootstrap-0"
+        )
+        for e in range(2, _N_EPOCHS):
+            apply_changes(
+                tbl,
+                changes.filter(epoch_of == e),
+                epoch_id=e,
+                auto_compact_files=8,
+            )
+        _REPLAY_CACHE[key] = path
+    tbl = SnapshotTable(spark, _REPLAY_CACHE[key])
+    return tbl.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+    )
+
+
+_SQL_CDC_BOOTSTRAP_TAIL = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  )
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, lsn
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-epoch lineage rollup (north_rule resumability evidence) — CoW
     mode, whose MERGE reconciles against existing state and therefore
@@ -1066,6 +1129,7 @@ GROUP BY wstart
 CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
+    "cdc_bootstrap_tail": (q_cdc_bootstrap_tail, _SQL_CDC_BOOTSTRAP_TAIL),
     "cdc_windowed_state": (q_cdc_windowed_state, _SQL_CDC_WINDOWED_STATE),
     "debezium_parse": (q_debezium_parse, _SQL_DEBEZIUM_PARSE),
     "cdc_changes_feed": (q_cdc_changes_feed, _SQL_CDC_CHANGES_FEED),

@@ -1360,6 +1360,229 @@ class SnapshotTable(LakeTable):
         self._snapshot = snap
         return sum(len(f) for f in new_buckets.values())
 
+    def bootstrap(
+        self,
+        state: DataFrame,
+        epoch_id: int | str = "bootstrap-0",
+        sort_within_buckets: bool = True,
+    ) -> MergeStats:
+        """Initial-snapshot bulk load — the CDC "snapshot phase" before the
+        binlog tail (Debezium's snapshot→streaming handoff; the reference's
+        analog is the CSV bulk extract it loads before monitoring deltas,
+        ExtractData.java per SURVEY.md §2 S5).
+
+        A 100 TB deployment never feeds its initial table dump through the
+        per-epoch MERGE: the dump is one row per key by construction, so the
+        LWW collapse, the existing-side reconcile, and the per-epoch commit
+        machinery price a one-time O(table) load at many times its cost.
+        ``bootstrap`` instead writes the state DIRECTLY in the table's bucket
+        layout — ONE exchange (the bucket repartition), one pass, no read
+        side — and seals it in the same atomic snapshot commit as any epoch,
+        with ``epoch_id`` in the commit log so a replayed bootstrap is a
+        no-op (MergeStats.was_noop).
+
+        Overlap with the tail is safe: rows must carry their source order
+        tuple (``ts``, ``lsn``), so change events emitted while the dump ran
+        — whether re-delivered or genuinely newer — resolve through the
+        normal cross-epoch LWW in later MERGE epochs. If ``state`` carries
+        an ``op`` column, ``op='delete'`` rows persist as tombstones
+        (keeping the delete's LWW watermark exactly like
+        :meth:`merge_changes`); real database dumps contain no deleted rows,
+        but a changelog-prefix reduction does, and with tombstones kept,
+        ``bootstrap(reduce(prefix))`` + replay(tail) is bit-equal to
+        replay(full log) under ANY split (oracle entry
+        ``cdc_bootstrap_tail``).
+
+        ``sort_within_buckets`` clusters each bucket file by the MERGE key
+        (no extra exchange — a per-partition sort riding the write): tight
+        parquet row-group key ranges for point lookups and better encoding
+        for multi-turn conversations stored contiguously.
+
+        Requires an EMPTY table (no data files, no committed epochs beyond
+        ``epoch_id`` itself): bootstrap is a layout-level write that assumes
+        one version per key; loading into a live table must go through
+        ``merge_changes``.
+        """
+        t0 = time.perf_counter()
+        if self.is_epoch_committed(epoch_id):
+            return MergeStats(epoch_id, 0, 0, 0, None, was_noop=True)
+        if self._snapshot["buckets"]:
+            raise ValueError(
+                "bootstrap requires an empty table (found data files); "
+                "incremental loads go through merge_changes"
+            )
+        nb = self.n_buckets
+        key = list(self.key)
+        has_op = "op" in state.columns
+        incoming = T.StructType(
+            [f for f in state.schema.fields if f.name not in ("op", "_max_lsn")]
+        )
+        new_schema = merge_schemas(self.schema, incoming)
+        tomb = (
+            (F.col("op") == F.lit("delete"))
+            if has_op
+            else F.lit(False)
+        )
+        storage = T.StructType(
+            list(new_schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())]
+        )
+        df = align_schemas(
+            state.withColumn(_TOMBSTONE, tomb), storage
+        ).withColumn("_bucket", _bucket_expr(key[0], nb))
+        rel_dir = os.path.join("data", f"bootstrap-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        with self._conf_overrides(
+            {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+        ):
+            df = df.repartition(nb, F.col("_bucket"))
+            if sort_within_buckets:
+                df = df.sortWithinPartitions(*key)
+            df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        new_buckets: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            files = [
+                os.path.join(rel_dir, entry, fn)
+                for fn in os.listdir(os.path.join(out_dir, entry))
+                if fn.endswith(".parquet")
+            ]
+            if files:
+                new_buckets[entry.split("=", 1)[1]] = files
+
+        # Per-bucket lineage from the parquet FOOTERS the write just
+        # produced (row counts + max lsn) — zero extra data passes, same
+        # trick the commit's file_stats use. Tombstoned dump rows count as
+        # applied (they were loaded); skipped is structurally 0.
+        lsn_col = self.order[-1]
+        lin_by_bucket: dict[int, tuple[int, int | None]] = {}
+        for bval, files in new_buckets.items():
+            rows = 0
+            mx = None
+            for f in files:
+                ap = os.path.join(self.path, f)
+                try:
+                    rows += pq.ParquetFile(ap).metadata.num_rows
+                except Exception:
+                    continue
+                st = _file_order_stats(ap, lsn_col)
+                if st is not None and isinstance(st[1], int):
+                    mx = st[1] if mx is None or st[1] > mx else mx
+            lin_by_bucket[int(bval)] = (rows, mx)
+        applied = sum(r for r, _ in lin_by_bucket.values())
+        lsn_vals = [m for _, m in lin_by_bucket.values() if m is not None]
+        max_lsn = max(lsn_vals) if lsn_vals else None
+
+        now = datetime.now()
+        wall = round(time.perf_counter() - t0, 3)
+        if lin_by_bucket:
+            lin_table = pa.table(
+                {
+                    "epoch_id": pa.array(
+                        [_epoch_num(epoch_id)] * len(lin_by_bucket), pa.int64()
+                    ),
+                    "epoch_key": pa.array(
+                        [_epoch_key(epoch_id)] * len(lin_by_bucket), pa.string()
+                    ),
+                    "partition_id": pa.array(
+                        [b for b in sorted(lin_by_bucket)], pa.int32()
+                    ),
+                    "applied": pa.array(
+                        [lin_by_bucket[b][0] for b in sorted(lin_by_bucket)],
+                        pa.int64(),
+                    ),
+                    "skipped": pa.array([0] * len(lin_by_bucket), pa.int64()),
+                    "deleted": pa.array([0] * len(lin_by_bucket), pa.int64()),
+                    "max_lsn": pa.array(
+                        [lin_by_bucket[b][1] for b in sorted(lin_by_bucket)],
+                        pa.int64(),
+                    ),
+                    "wall_secs": pa.array(
+                        [wall] * len(lin_by_bucket), pa.float64()
+                    ),
+                    "committed_ts": pa.array(
+                        [now] * len(lin_by_bucket), pa.timestamp("us")
+                    ),
+                }
+            )
+            pq.write_table(
+                lin_table,
+                os.path.join(
+                    self.path,
+                    "lineage",
+                    f"lineage-{_epoch_num(epoch_id)}-{uuid.uuid4().hex[:8]}.parquet",
+                ),
+            )
+
+        for _attempt in range(10):
+            extras = {str(e) for e in self._snapshot["committed_epochs"]}
+            extras.add(_epoch_key(epoch_id))
+            folded, watermarks = _fold_epochs(
+                extras, self._snapshot.get("epoch_watermarks", {})
+            )
+            snap = {
+                **self._snapshot,
+                "version": self._snapshot["version"] + 1,
+                "schema": new_schema.jsonValue(),
+                "buckets": new_buckets,
+                "committed_epochs": folded,
+                "epoch_watermarks": watermarks,
+                "parent": self._snapshot["version"],
+            }
+            try:
+                self._write_snapshot(snap)
+            except ConcurrentCommitError:
+                self._snapshot = self._read_current_snapshot()
+                if self.is_epoch_committed(epoch_id):
+                    return MergeStats(epoch_id, 0, 0, 0, None, was_noop=True)
+                if self._snapshot["buckets"]:
+                    raise ValueError(
+                        "a concurrent writer loaded data during bootstrap; "
+                        "the table is no longer empty — bootstrap aborted"
+                    )
+                continue
+            self._snapshot = snap
+            return MergeStats(
+                epoch_id, applied, 0, 0, max_lsn, was_noop=False,
+                timings={"bootstrap": wall},
+            )
+        raise ConcurrentCommitError(
+            f"gave up committing bootstrap {epoch_id} after 10 attempts"
+        )
+
+    def lookup(self, *key_values) -> DataFrame:
+        """Point read: resolve a key (or key prefix) by scanning ONE bucket.
+
+        The writer's bucket function (``xxhash64(key[0]) % n_buckets``) is
+        evaluated driver-side on the probe value, so the scan opens only
+        that bucket's files — 1/n_buckets of the table, the Iceberg
+        bucket-transform partition-pruning analog for point queries; at
+        100 TB with 4096 buckets a conversation lookup reads a few files
+        instead of the table. Remaining ``key_values`` become residual
+        equality predicates after the bucket-local LWW collapse (row-group
+        pruning applies too: bootstrap/compaction write key-sorted files).
+
+        ``key_values`` follow ``self.key`` order — ``lookup("conv-7")`` or
+        ``lookup("conv-7", 3)``.
+        """
+        key = list(self.key)
+        if not key_values or len(key_values) > len(key):
+            raise ValueError(
+                f"lookup takes 1..{len(key)} values for key {tuple(key)}"
+            )
+        bcol = key[0]
+        btype = self.schema[bcol].dataType
+        probe = self.spark.createDataFrame(
+            [(key_values[0],)], T.StructType([T.StructField(bcol, btype)])
+        )
+        b = probe.select(
+            _bucket_expr(bcol, self.n_buckets).alias("b")
+        ).first()["b"]
+        df = self.read(buckets=[int(b)])
+        for col, val in zip(key, key_values):
+            df = df.filter(F.col(col) == F.lit(val))
+        return df
+
     # ------------------------------------------------------------ conf scope
     @contextmanager
     def _conf_overrides(self, overrides: dict[str, str]):
