@@ -136,8 +136,21 @@ def main() -> None:
     timings["cdc_mor_read_collapse"] = round(mor_read_sec, 3)
     win_sec, win_pruned, win_files = bench_windowed_read(mor_table)
     timings["cdc_mor_windowed_read"] = round(win_sec, 3)
-    cow_sec, _, _, _ = bench_cdc_replay(spark, sf_name, mode="cow")
+    cow_sec, _, _, cow_table = bench_cdc_replay(spark, sf_name, mode="cow")
     timings["cdc_replay_cow"] = round(cow_sec, 3)
+
+    # initial-snapshot bulk load (the CDC snapshot phase): final state →
+    # fresh table via bootstrap's direct bucket-layout write (one exchange,
+    # no MERGE machinery). Row count comes from MergeStats.applied (parquet
+    # footers — no extra pass); the timing includes one scan of the source
+    # state (a plain CoW read), which is inherent to any bulk load.
+    boot_tbl = create_transcripts_table(
+        spark, os.path.join(_workdir("bench_boot_"), "t"), n_buckets=32, mode="mor"
+    )
+    t0 = time.perf_counter()
+    boot_stats = boot_tbl.bootstrap(cow_table.read(), epoch_id="bootstrap-0")
+    boot_sec = time.perf_counter() - t0
+    timings["cdc_bootstrap_load"] = round(boot_sec, 3)
 
     # operator suite at sf_dir (full-column hash agg forces real execution
     # of every output column without driver materialization)
@@ -164,6 +177,8 @@ def main() -> None:
         # manifest data skipping: newest-20%-window read over the MoR table
         "windowed_read_pruned_files": win_pruned,
         "windowed_read_total_files": win_files,
+        # snapshot-phase bulk load (bootstrap): direct bucket-layout write
+        "bootstrap_rows_per_sec": round(boot_stats.applied / boot_sec, 1),
         "cores": cpus,
     }
     spark.stop()

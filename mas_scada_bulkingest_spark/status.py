@@ -97,6 +97,43 @@ def status(table: SnapshotTable) -> dict:
     }
 
 
+#: status() fields exported on /metrics, with Prometheus type + help text.
+#: Only numeric fields appear; counters are cumulative over committed epochs.
+_PROM_FIELDS = [
+    ("epochs_committed", "counter", "Epochs sealed in the snapshot commit log"),
+    ("epochs_with_lineage", "counter", "Epochs with lineage rows"),
+    ("rows_applied", "counter", "Change rows applied across all epochs"),
+    ("rows_skipped", "counter", "Stale change rows skipped (lost LWW)"),
+    ("rows_deleted", "counter", "Delete rows applied (tombstoned)"),
+    ("merge_secs", "counter", "Cumulative merge wall seconds"),
+    ("rows_per_sec", "gauge", "Rows per merge-second over all epochs"),
+    ("max_lsn", "gauge", "Highest LSN applied (resume watermark)"),
+    ("snapshot_version", "gauge", "Current snapshot version"),
+    ("n_buckets", "gauge", "Bucket count (hash layout)"),
+    ("n_data_files", "gauge", "Live data files in the current snapshot"),
+]
+
+
+def render_prometheus(st: dict, prefix: str = "cdc_ingest") -> str:
+    """:func:`status` dict → Prometheus text exposition format (0.0.4).
+
+    Pure function so it is testable without a server; ``serve_status``
+    exposes it at ``GET /metrics``. The reference publishes its stats as
+    ad-hoc JSON (StatsServer.java:64-83); a fleet of 1000 ingest drivers
+    needs the scrape format every monitoring stack already speaks.
+    """
+    lines = []
+    for field, kind, help_txt in _PROM_FIELDS:
+        v = st.get(field)
+        if v is None:
+            continue
+        name = f"{prefix}_{field}"
+        lines.append(f"# HELP {name} {help_txt}")
+        lines.append(f"# TYPE {name} {kind}")
+        lines.append(f"{name} {float(v):g}")
+    return "\n".join(lines) + "\n"
+
+
 def serve_status(
     table: SnapshotTable, host: str = "127.0.0.1", port: int = 0
 ) -> ThreadingHTTPServer:
@@ -107,6 +144,8 @@ def serve_status(
 
     * ``GET /status`` → :func:`status` as JSON
     * ``GET /epochs`` → :func:`epoch_summary` rows as a JSON array
+    * ``GET /metrics`` → :func:`render_prometheus` text exposition (the
+      same numbers as ``/status``, scrapeable by Prometheus/Grafana)
     * ``POST /loglevel?level=DEBUG`` → flips the Spark log level live
       (the reference CLIServer's setDebug/unsetDebug, CLIServer.java:50-60)
     * ``POST /stop``  → sets the server's ``stop_event``; pass
@@ -139,10 +178,19 @@ def serve_status(
                     self._send(
                         200, [r.asDict() for r in epoch_summary(table).collect()]
                     )
+                elif self.path == "/metrics":
+                    body = render_prometheus(status(table)).encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._send(
                         404,
-                        {"error": "not found", "endpoints": ["/status", "/epochs", "POST /stop", "POST /loglevel"]},
+                        {"error": "not found", "endpoints": ["/status", "/epochs", "/metrics", "POST /stop", "POST /loglevel"]},
                     )
             except Exception as e:  # surface, don't kill the server thread
                 self._send(500, {"error": str(e)})

@@ -47,6 +47,21 @@ def test_status_server_scrape_and_remote_stop(spark, tmpdir_path):
         assert all(e["applied"] > 0 for e in eps)
         assert [e["epoch_id"] for e in eps] == sorted(e["epoch_id"] for e in eps)
 
+        # Prometheus scrape: same numbers as /status, text exposition format
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        metrics = {
+            line.split(" ")[0]: float(line.split(" ")[1])
+            for line in text.splitlines()
+            if line and not line.startswith("#")
+        }
+        assert metrics["cdc_ingest_rows_applied"] == st["rows_applied"]
+        assert metrics["cdc_ingest_epochs_committed"] == 2
+        assert "# TYPE cdc_ingest_rows_applied counter" in text
+
         with pytest.raises(urllib.error.HTTPError) as exc:
             _get(port, "/nope")
         assert exc.value.code == 404
