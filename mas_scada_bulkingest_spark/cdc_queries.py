@@ -630,6 +630,91 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_routed_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out routing sink: the changelog replayed through
+    ``route_changes`` into TWO destination tables (first-match-wins regex on
+    ``conv_id``, the reference's monthly-routing/entity-fan-out analog), one
+    storage mode each — then the union of both tables' live states.
+
+    Exactly-once is PER TABLE under the shared epoch id (each destination
+    keeps its own commit log). The oracle is the plain full-log LWW
+    reduction with the same anchored-regex route expression: fanning out and
+    unioning back must lose/duplicate nothing and route every key to exactly
+    one table.
+    """
+    from .pipeline import route_changes
+
+    patterns = [("single", r"conv-\d"), ("multi", r"conv-\d{2,}")]
+    key = f"{os.path.normpath(sf_dir)}::routed"
+    if key not in _REPLAY_CACHE:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work = tempfile.mkdtemp(prefix="cdc_routed_", dir=base)
+        routes = {
+            "single": SnapshotTable.create(
+                spark, os.path.join(work, "single"), TRANSCRIPT_SCHEMA,
+                n_buckets=8, mode="mor",
+            ),
+            "multi": SnapshotTable.create(
+                spark, os.path.join(work, "multi"), TRANSCRIPT_SCHEMA,
+                n_buckets=8, mode="cow",
+            ),
+        }
+        changes = _events_changelog(spark, sf_dir)
+        epoch_of = F.pmod(F.col("lsn"), F.lit(_N_EPOCHS))
+        for e in range(_N_EPOCHS):
+            batch = changes.filter(epoch_of == e)
+            if e >= _EVOLVE_EPOCH:
+                batch = batch.withColumn(
+                    "metadata",
+                    F.when(
+                        F.col("op") != "delete",
+                        F.concat(
+                            F.lit('{"rev": '), F.col("lsn").cast("string"), F.lit("}")
+                        ),
+                    ),
+                )
+            route_changes(
+                routes, batch, epoch_id=e, patterns=patterns,
+                auto_compact_files=8,
+            )
+        _REPLAY_CACHE[key] = work
+    work = _REPLAY_CACHE[key]
+    parts = []
+    for route in ("single", "multi"):
+        tbl = SnapshotTable(spark, os.path.join(work, route))
+        parts.append(tbl.read().withColumn("route", F.lit(route)))
+    df = parts[0].unionByName(parts[1], allowMissingColumns=True)
+    return df.select(
+        "route",
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+    )
+
+
+_SQL_CDC_ROUTED_UNION = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  )
+SELECT CASE WHEN regexp_full_match(conv_id, 'conv-\\d') THEN 'single'
+            ELSE 'multi' END AS route,
+       conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, lsn,
+       CASE WHEN epoch >= {_EVOLVE_EPOCH}
+            THEN '{{"rev": ' || CAST(lsn AS VARCHAR) || '}}' END AS metadata
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-epoch lineage rollup (north_rule resumability evidence) — CoW
     mode, whose MERGE reconciles against existing state and therefore
@@ -1130,6 +1215,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
     "cdc_bootstrap_tail": (q_cdc_bootstrap_tail, _SQL_CDC_BOOTSTRAP_TAIL),
+    "cdc_routed_union": (q_cdc_routed_union, _SQL_CDC_ROUTED_UNION),
     "cdc_windowed_state": (q_cdc_windowed_state, _SQL_CDC_WINDOWED_STATE),
     "debezium_parse": (q_debezium_parse, _SQL_DEBEZIUM_PARSE),
     "cdc_changes_feed": (q_cdc_changes_feed, _SQL_CDC_CHANGES_FEED),

@@ -139,6 +139,71 @@ def apply_changes(
     )
 
 
+def route_changes(
+    routes: dict[str, LakeTable],
+    batch: DataFrame,
+    epoch_id: int | str,
+    route_col="conv_id",
+    patterns: list[tuple[str, str]] | None = None,
+    discard: list[str] | None = None,
+    default_route: str | None = None,
+    normalize: bool = False,
+    auto_compact_files: int | None = None,
+) -> dict[str, MergeStats]:
+    """Fan ONE change micro-batch out to several destination tables,
+    exactly-once per table.
+
+    The reference routes every row into a per-month destination table
+    (advance-on-missing, MonitorTable.java:122-150 / SURVEY.md §2 S3) and
+    fans rows out by entity type (§2 P4). Spark-first form: one
+    classification pass tags each row with its route name (chained anchored
+    ``rlike`` ``when``s — :func:`classify_expr`, pure Catalyst), the tagged
+    batch is persisted ONCE (each route's merge re-reads the materialized
+    slice instead of re-executing the upstream lineage N times), then each
+    route's slice merges into its own table under the SAME ``epoch_id``.
+
+    Exactly-once composes per table: every destination keeps its own epoch
+    commit log, so a crash between route commits resumes cleanly — the
+    replay driver retries the whole epoch, already-committed tables no-op
+    (``was_noop``), the rest apply. A cross-table atomic commit is
+    deliberately NOT provided; per-table idempotence under a shared epoch id
+    is the 100 TB-friendly contract (no global lock, no 2PC coordinator —
+    the same reasoning as Iceberg's independent table commits).
+
+    ``patterns`` (ordered ``(route, regex)``, first full match wins, with
+    ``discard`` / ``default_route`` as in :func:`classify_expr`) classify
+    ``route_col``. Pass ``patterns=None`` when ``route_col`` ALREADY holds
+    route names (e.g. a month string derived upstream). Rows whose route is
+    NULL or names no table in ``routes`` are discarded — the reference drops
+    unroutable tagnames the same way (ParseTagname.java:84-97).
+
+    Returns ``{route: MergeStats}`` for every route in ``routes``.
+    """
+    if patterns is not None:
+        tag = classify_expr(
+            route_col, patterns, discard=discard or (), default_type=default_route
+        )
+    else:
+        tag = F.col(route_col) if isinstance(route_col, str) else route_col
+    tagged = batch.withColumn("_route", tag)
+    # one materialization, N filtered merges (micro-batch-sized by contract)
+    tagged = tagged.persist()
+    try:
+        stats: dict[str, MergeStats] = {}
+        for route, table in routes.items():
+            slice_ = tagged.filter(F.col("_route") == F.lit(route)).drop("_route")
+            stats[route] = apply_changes(
+                table,
+                slice_,
+                epoch_id,
+                normalize=normalize,
+                auto_compact_files=auto_compact_files,
+            )
+        return stats
+    finally:
+        tagged.unpersist()
+
+
 def create_transcripts_table(
     spark: SparkSession, path: str, n_buckets: int = 16, mode: str = "cow"
 ) -> SnapshotTable:
