@@ -5,5 +5,6 @@ from .driver import (  # noqa: F401
     run_stream,
     run_stream_adaptive,
     run_stream_debezium,
+    run_stream_routed,
     supervise,
 )

@@ -148,7 +148,7 @@ def replay_batches(
 def run_stream(
     spark: SparkSession,
     changes_dir: str,
-    table_path: str,
+    table_path: str | None,
     checkpoint_dir: str,
     schema: T.StructType = CHANGE_SCHEMA_EVOLVED,
     max_files_per_trigger: int | None = 4,
@@ -156,6 +156,7 @@ def run_stream(
     source_format: str = "parquet",
     transform: Callable | None = None,
     prepare_batch: Callable | None = None,
+    sink: Callable | None = None,
     **apply_kwargs,
 ):
     """Structured-Streaming tail of the change-log directory.
@@ -178,8 +179,12 @@ def run_stream(
     foreachBatch before the merge — the seam for per-batch side channels
     (dead-letter routing, reject metrics); anything it writes is
     at-least-once under replay (the merge itself stays exactly-once).
+    ``sink(batch_df, epoch_key)`` replaces the default single-table
+    ``apply_changes`` entirely (``table_path`` may then be None) — the seam
+    :func:`run_stream_routed` uses for multi-table fan-out; the sink owns
+    its own exactly-once guarantees (per-table epoch commit logs).
     """
-    table = SnapshotTable(spark, table_path)
+    table = None if sink is not None else SnapshotTable(spark, table_path)
     # Namespace epoch ids by checkpoint lineage: the same checkpoint replays
     # the same batch ids (-> no-ops), while a NEW checkpoint must not collide
     # with previously committed ids (its batch ids restart at 0). Re-applied
@@ -190,7 +195,10 @@ def run_stream(
         epoch_key = f"{ns}:{batch_id}"
         if prepare_batch is not None:
             batch_df = prepare_batch(batch_df, epoch_key)
-        apply_changes(table, batch_df, epoch_key, **apply_kwargs)
+        if sink is not None:
+            sink(batch_df, epoch_key)
+        else:
+            apply_changes(table, batch_df, epoch_key, **apply_kwargs)
 
     rs = spark.readStream.option(
         "maxFilesPerTrigger", max_files_per_trigger or 1000000
@@ -210,6 +218,43 @@ def run_stream(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     return q
+
+
+def run_stream_routed(
+    spark: SparkSession,
+    changes_dir: str,
+    routes: dict,
+    checkpoint_dir: str,
+    patterns: list[tuple[str, str]],
+    discard: list[str] | None = None,
+    default_route: str | None = None,
+    auto_compact_files: int | None = None,
+    **kwargs,
+):
+    """Streaming fan-out: tail the change log and route every micro-batch
+    into several destination tables (``routes``: name →
+    :class:`~..lake.base.LakeTable`) via
+    :func:`~..pipeline.route_changes` — one classification pass per batch,
+    per-table exactly-once under the checkpoint-namespaced epoch id. A crash
+    between route commits replays the batch on restart; committed routes
+    no-op and the rest apply (the streaming form of the reference's
+    monthly-table routing, MonitorTable.java:122-150)."""
+    from ..pipeline import route_changes
+
+    def sink(batch_df, epoch_key: str) -> None:
+        route_changes(
+            routes,
+            batch_df,
+            epoch_key,
+            patterns=patterns,
+            discard=discard,
+            default_route=default_route,
+            auto_compact_files=auto_compact_files,
+        )
+
+    return run_stream(
+        spark, changes_dir, None, checkpoint_dir, sink=sink, **kwargs
+    )
 
 
 def run_stream_debezium(

@@ -85,6 +85,45 @@ def test_route_changes_fans_out_and_replays_idempotently(spark, tmpdir_path):
         assert_frames_equal(_read(t), before[r])
 
 
+def test_run_stream_routed_fans_out_from_checkpoint(spark, tmpdir_path):
+    """The streaming form: the binlog tail routed into two tables through
+    foreachBatch, checkpoint-namespaced epoch ids, union ≡ oracle."""
+    from mas_scada_bulkingest_spark.streaming import run_stream_routed
+
+    generate_changelog(
+        tmpdir_path + "/log", n_convs=50, mean_turns=4, n_files=4, seed=44
+    )
+    routes = {
+        "single": create_transcripts_table(
+            spark, tmpdir_path + "/single", n_buckets=4, mode="mor"
+        ),
+        "multi": create_transcripts_table(
+            spark, tmpdir_path + "/multi", n_buckets=4, mode="mor"
+        ),
+    }
+    q = run_stream_routed(
+        spark,
+        tmpdir_path + "/log",
+        routes,
+        tmpdir_path + "/ckpt",
+        patterns=PATTERNS,
+        discard=DISCARD,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+
+    ref = reduce_changelog_dir(tmpdir_path + "/log")
+    ref["route"] = ref["conv_id"].map(_route_of)
+    for route, tbl in routes.items():
+        want = (
+            ref[ref["route"] == route]
+            .drop(columns=["route"])
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert_frames_equal(_read(tbl), want)
+
+
 def test_route_changes_resumes_after_partial_fanout(spark, tmpdir_path):
     """Crash between route commits: one destination already sealed the
     epoch, the other did not — retrying the WHOLE epoch must no-op the
