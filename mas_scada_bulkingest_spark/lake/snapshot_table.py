@@ -258,6 +258,7 @@ class SnapshotTable(LakeTable):
         key: tuple[str, ...] = MERGE_KEY,
         order: tuple[str, ...] = LWW_ORDER,
         mode: str = "cow",
+        type_widening: bool = False,
     ) -> "SnapshotTable":
         """CREATE TABLE IF NOT EXISTS semantics (reference
         MonitorTable.java:122-150 checks catalog metadata first).
@@ -294,6 +295,10 @@ class SnapshotTable(LakeTable):
             "key": list(key),
             "order": list(order),
             "mode": mode,
+            # opt-in lossless type promotion on evolution (int->long etc.);
+            # fixed at create like the storage mode — flipping it mid-life
+            # would retroactively change what past batches were allowed
+            "type_widening": bool(type_widening),
             "buckets": {},
             "committed_epochs": [],
             "parent": None,
@@ -456,6 +461,12 @@ class SnapshotTable(LakeTable):
     @property
     def order(self) -> tuple[str, ...]:
         return tuple(self._snapshot.get("order", LWW_ORDER))
+
+    @property
+    def type_widening(self) -> bool:
+        """True when this table accepts lossless type promotions on schema
+        evolution (``merge_schemas(allow_widening=True)``)."""
+        return bool(self._snapshot.get("type_widening", False))
 
     @property
     def mode(self) -> str:
@@ -1087,9 +1098,13 @@ class SnapshotTable(LakeTable):
         files = self._all_files(buckets, min_enc=min_enc, max_enc=max_enc)
         if not files:
             return None
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-        if _TOMBSTONE not in df.columns:  # pre-tombstone files only
-            df = df.withColumn(_TOMBSTONE, F.lit(False))
+        # Schema-pinned scan (same as the MoR branch read): the snapshot's
+        # own schema drives the read — files missing late-added columns fill
+        # typed NULLs, files with NARROWER types than the current schema
+        # (type_widening tables: int32 files under a long column) upcast in
+        # the parquet reader itself. mergeSchema would instead FAIL to merge
+        # int32/int64 footers and pay a footer-merge pass per read.
+        df = self.spark.read.schema(self._storage_schema()).parquet(*files)
         return df.withColumn(_TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
 
     def lineage(self) -> DataFrame:
@@ -1417,7 +1432,9 @@ class SnapshotTable(LakeTable):
         incoming = T.StructType(
             [f for f in state.schema.fields if f.name not in ("op", "_max_lsn")]
         )
-        new_schema = merge_schemas(self.schema, incoming)
+        new_schema = merge_schemas(
+            self.schema, incoming, allow_widening=self.type_widening
+        )
         tomb = (
             (F.col("op") == F.lit("delete"))
             if has_op
@@ -1635,7 +1652,9 @@ class SnapshotTable(LakeTable):
         incoming_schema = T.StructType(
             [f for f in batch.schema.fields if f.name not in ("op", "_max_lsn")]
         )
-        new_schema = merge_schemas(self.schema, incoming_schema)
+        new_schema = merge_schemas(
+            self.schema, incoming_schema, allow_widening=self.type_widening
+        )
         value_cols = [f.name for f in new_schema.fields if f.name not in key]
 
         mor = self.mode == "mor"
@@ -2047,7 +2066,9 @@ class SnapshotTable(LakeTable):
             return {
                 **self._snapshot,
                 "version": self._snapshot["version"] + 1,
-                "schema": merge_schemas(self.schema, new_schema).jsonValue(),
+                "schema": merge_schemas(
+                    self.schema, new_schema, allow_widening=self.type_widening
+                ).jsonValue(),
                 "buckets": new_buckets,
                 "committed_epochs": folded,
                 "epoch_watermarks": watermarks,
