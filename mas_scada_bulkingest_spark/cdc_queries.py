@@ -828,11 +828,12 @@ def q_conversations_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     Device.java:112-195). First-writer-wins across the interleaved epochs
     must converge to the global min-lsn sighting per conversation, with the
     deterministic UUIDv3 identity and regex classification."""
-    _replayed_table(spark, sf_dir)  # ensures the registry was maintained
-    key = f"{os.path.normpath(sf_dir)}::{_DEFAULT_MODE}"
+    # the registry lives next to the replayed transcripts table; derive the
+    # path from the table handle rather than re-building the cache key (the
+    # key format grew an ::epoching suffix once and this lookup missed it)
+    table = _replayed_table(spark, sf_dir)
     registry = SnapshotTable(
-        spark,
-        os.path.join(os.path.dirname(_REPLAY_CACHE[key]), "conversations"),
+        spark, os.path.join(os.path.dirname(table.path), "conversations")
     )
     df = registry.read()
     return df.select(
