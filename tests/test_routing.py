@@ -85,6 +85,32 @@ def test_route_changes_fans_out_and_replays_idempotently(spark, tmpdir_path):
         assert_frames_equal(_read(t), before[r])
 
 
+def test_empty_route_slice_still_seals_the_epoch(spark, tmpdir_path):
+    """A route receiving NO rows in an epoch must still commit the epoch id
+    (otherwise a later replay of that epoch would re-apply the OTHER routes'
+    no-ops but treat this table as never having seen it)."""
+    from datetime import datetime
+
+    DDL = (
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp_ntz"
+    )
+    routes = {
+        "single": create_transcripts_table(spark, tmpdir_path + "/s", n_buckets=2),
+        "multi": create_transcripts_table(spark, tmpdir_path + "/m", n_buckets=2),
+    }
+    batch = spark.createDataFrame(
+        [(1, "insert", "conv-1", 0, "u", "a", None, datetime(2024, 1, 1))], DDL
+    )
+    stats = route_changes(routes, batch, 0, patterns=PATTERNS, discard=DISCARD)
+    assert stats["single"].applied == 1
+    assert stats["multi"].applied == 0
+    assert routes["multi"].is_epoch_committed(0)
+    assert routes["multi"].read().count() == 0
+    again = route_changes(routes, batch, 0, patterns=PATTERNS, discard=DISCARD)
+    assert all(s.was_noop for s in again.values())
+
+
 def test_run_stream_routed_fans_out_from_checkpoint(spark, tmpdir_path):
     """The streaming form: the binlog tail routed into two tables through
     foreachBatch, checkpoint-namespaced epoch ids, union ≡ oracle."""
