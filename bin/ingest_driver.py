@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
                         "drain for batch semantics)")
     p.add_argument("--vacuum", action="store_true", help="clean superseded epoch files after run")
     p.add_argument("--status-only", action="store_true", help="print table status and exit")
+    p.add_argument("--bootstrap-dir", help="initial-snapshot dump (parquet dir) to bulk-load "
+                   "into an EMPTY table before tailing --changes-dir (the CDC snapshot phase; "
+                   "idempotent under --bootstrap-epoch-id)")
+    p.add_argument("--bootstrap-epoch-id", default="bootstrap-0")
+    p.add_argument("--type-widening", action="store_true",
+                   help="create the table with lossless type promotion on evolution (int->long etc.)")
     p.add_argument("--demo", action="store_true", help="self-contained run on generated data")
     args = p.parse_args(argv)
 
@@ -87,10 +93,30 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(status(SnapshotTable(spark, args.table_path)), indent=2))
         return 0
 
-    if not args.changes_dir:
-        p.error("--changes-dir is required (or --demo)")
+    if not args.changes_dir and not args.bootstrap_dir:
+        p.error("--changes-dir or --bootstrap-dir is required (or --demo)")
 
-    table = create_transcripts_table(spark, args.table_path, n_buckets=args.n_buckets)
+    from mas_scada_bulkingest_spark.schemas import TRANSCRIPT_SCHEMA
+
+    table = SnapshotTable.create(
+        spark,
+        args.table_path,
+        TRANSCRIPT_SCHEMA,
+        n_buckets=args.n_buckets,
+        type_widening=args.type_widening,
+    )
+
+    if args.bootstrap_dir:
+        state = spark.read.option("mergeSchema", "true").parquet(args.bootstrap_dir)
+        st = table.bootstrap(state, epoch_id=args.bootstrap_epoch_id)
+        print(
+            f"bootstrap {st.epoch_id}: applied={st.applied} max_lsn={st.max_lsn} "
+            f"noop={st.was_noop}",
+            file=sys.stderr,
+        )
+        if not args.changes_dir:
+            print(json.dumps(status(table), indent=2))
+            return 0
 
     if args.source_format == "debezium-json" and not args.checkpoint_dir:
         p.error("--source-format debezium-json requires --checkpoint-dir")
