@@ -889,6 +889,46 @@ class SnapshotTable(LakeTable):
             int(f[1:9]) for f in os.listdir(snap_dir) if f.endswith(".json")
         )
 
+    def history(self) -> DataFrame:
+        """One row per retained snapshot — the Iceberg ``<table>.history`` /
+        ``.snapshots`` metadata-table analog, built ENTIRELY from the
+        snapshot JSONs (no data scan): commit version + parent, how many
+        epochs the commit log covered at that point, the files/bytes the
+        commit ADDED (its manifest delta), live file/byte totals, and the
+        schema width — the audit surface an operator reads before a
+        time-travel (`read(version=…)`) or a vacuum retention decision."""
+        snap_dir = os.path.join(self.path, "snapshots")
+        rows = []
+        for v in self.versions():
+            with open(os.path.join(snap_dir, f"v{v:08d}.json")) as f:
+                s = json.load(f)
+            sizes = s.get("file_sizes", {})
+            added = s.get("added_files")
+            live = [fl for fs in s["buckets"].values() for fl in fs]
+            wm = s.get("epoch_watermarks", {})
+            epochs = sum(int(w) + 1 for w in wm.values()) + len(
+                s.get("committed_epochs", [])
+            )
+            rows.append(
+                (
+                    v,
+                    s.get("parent"),
+                    epochs,
+                    len(added) if added is not None else None,
+                    sum(sizes.get(fl, 0) for fl in added) if added is not None else None,
+                    len(live),
+                    sum(sizes.get(fl, 0) for fl in live),
+                    int(s["n_buckets"]),
+                    len(s["schema"]["fields"]),
+                )
+            )
+        schema = (
+            "version long, parent long, epochs_committed long, "
+            "files_added long, bytes_added long, live_files long, "
+            "live_bytes long, n_buckets long, schema_fields long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def read_changes(
         self,
         since_epoch: int,
@@ -1108,10 +1148,30 @@ class SnapshotTable(LakeTable):
         return df.withColumn(_TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
 
     def lineage(self) -> DataFrame:
+        """Per-(epoch, partition) merge accounting rows.
+
+        Lineage appends happen BEFORE the snapshot commit, so a crash in
+        between re-appends the same rows when the epoch replays — the
+        at-least-once side channel of an exactly-once commit. Readers must
+        therefore see ONE row per (epoch_key, partition_id): keep the
+        newest by committed_ts (the replay's rows describe the same merge;
+        duplicates would double every downstream sum — status(),
+        epoch_summary(), the lineage oracles)."""
         lin_dir = os.path.join(self.path, "lineage")
         if not any(f.endswith(".parquet") for f in os.listdir(lin_dir)):
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(lin_dir)
+        from pyspark.sql import Window
+
+        df = self.spark.read.schema(LINEAGE_SCHEMA).parquet(lin_dir)
+        w = Window.partitionBy(
+            F.coalesce(F.col("epoch_key"), F.col("epoch_id").cast("string")),
+            "partition_id",
+        ).orderBy(F.col("committed_ts").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     # ----------------------------------------------------------- maintenance
     def vacuum(self, retain_versions: int = 1) -> int:
