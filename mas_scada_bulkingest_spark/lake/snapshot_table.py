@@ -1173,6 +1173,55 @@ class SnapshotTable(LakeTable):
             .drop("_rn")
         )
 
+    def compact_lineage(self) -> int:
+        """Merge the per-epoch lineage files into one parquet file.
+
+        Every epoch appends its own sub-KB lineage file, so at 10^4+ epochs
+        the lineage directory holds 10^4 tiny files and every ``status()`` /
+        ``epoch_summary`` scan pays a per-file open. Compaction materializes
+        the DEDUPED view (``lineage()``) into one file, then deletes exactly
+        the input files listed BEFORE the rewrite. Crash-safe because
+        lineage reads collapse duplicates per (epoch_key, partition_id): a
+        crash that leaves both the merged file and some originals only
+        re-creates duplicates the reader already hides. A merge appending
+        a NEW epoch concurrently is also safe — its file was not in the
+        input listing and is never deleted. Returns input files removed.
+        """
+        lin_dir = os.path.join(self.path, "lineage")
+        inputs = [f for f in os.listdir(lin_dir) if f.endswith(".parquet")]
+        if len(inputs) <= 1:
+            return 0
+        rows = self.lineage().collect()  # deduped; O(epochs x buckets)
+        merged = pa.table(
+            {
+                "epoch_id": pa.array([r["epoch_id"] for r in rows], pa.int64()),
+                "epoch_key": pa.array([r["epoch_key"] for r in rows], pa.string()),
+                "partition_id": pa.array(
+                    [r["partition_id"] for r in rows], pa.int32()
+                ),
+                "applied": pa.array([r["applied"] for r in rows], pa.int64()),
+                "skipped": pa.array([r["skipped"] for r in rows], pa.int64()),
+                "deleted": pa.array([r["deleted"] for r in rows], pa.int64()),
+                "max_lsn": pa.array([r["max_lsn"] for r in rows], pa.int64()),
+                "wall_secs": pa.array(
+                    [r["wall_secs"] for r in rows], pa.float64()
+                ),
+                "committed_ts": pa.array(
+                    [r["committed_ts"] for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+        out = os.path.join(
+            lin_dir, f"lineage-compact-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        pq.write_table(merged, out)
+        for fn in inputs:
+            try:
+                os.remove(os.path.join(lin_dir, fn))
+            except FileNotFoundError:
+                pass
+        return len(inputs)
+
     # ----------------------------------------------------------- maintenance
     def vacuum(self, retain_versions: int = 1) -> int:
         """Delete data files no longer referenced by recent snapshots.

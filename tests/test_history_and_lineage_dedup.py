@@ -42,6 +42,32 @@ def test_lineage_dedupes_crash_replay_duplicates(spark, tmpdir_path):
     assert len(lin) == len(lin.drop_duplicates(["epoch_key", "partition_id"]))
 
 
+def test_compact_lineage_preserves_totals(spark, tmpdir_path):
+    import glob as _glob
+    import shutil as _shutil
+
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=2)
+    t = datetime(2024, 1, 1)
+    for e in range(4):
+        apply_changes(
+            tbl,
+            _batch(spark, [(e + 1, "insert", f"conv-{e}", 0, "u", "x", None, t)]),
+            e,
+        )
+    # plus a crash-replay duplicate of epoch 0's lineage
+    lf = _glob.glob(tmpdir_path + "/t/lineage/lineage-0-*.parquet")[0]
+    _shutil.copy(lf, lf.replace(".parquet", "-replay.parquet"))
+    before = status(tbl)
+    n = tbl.compact_lineage()
+    assert n == 5  # 4 epochs + the duplicate
+    files = _glob.glob(tmpdir_path + "/t/lineage/*.parquet")
+    assert len(files) == 1 and "compact" in files[0]
+    after = status(tbl)
+    for k in ("rows_applied", "rows_skipped", "rows_deleted", "epochs_with_lineage", "max_lsn"):
+        assert after[k] == before[k], k
+    assert tbl.compact_lineage() == 0  # single file: nothing to merge
+
+
 def test_history_metadata_table(spark, tmpdir_path):
     tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=2, mode="mor")
     t = datetime(2024, 1, 1)
