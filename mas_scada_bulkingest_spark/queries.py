@@ -1482,6 +1482,108 @@ cent AS (
 SELECT query_id, cand_id, cell, rank, cosine FROM topk WHERE rank <= 5
 """
 
+# ---------------------------------------------------------------------------
+# dedup: embedding-cosine near-duplicates — the semantic-dedup flavor of the
+# family (exact=dedup_exact, lexical=ngram/minhash/simhash). Candidates come
+# from the SAME multi-table sign-LSH as embed_ann_search (md5-derived planes,
+# so DuckDB computes identical buckets); only same-bucket pairs are scored,
+# with an exact integer-grid cosine, and pairs >= the threshold are emitted
+# as (keep_id, dup_id) with keep = smaller vec_id. Distributed shape at
+# 100 TB: the pair generator is an equi self-join on (table, bucket) — hash-
+# partitionable, never all-pairs — and every (table, bucket) group above
+# _DEDUP_EMB_BUCKET_CAP is excluded BEFORE the join (one window count on the
+# join key's own partitioning), so the worst bucket bounds the worst task.
+# The cap genuinely bites at sf0.1 (max bucket 79 > cap 64) and the oracle
+# mirrors it, so the sf0.1 verify_oracles sweep proves the capped semantics.
+# The 0.4 threshold is tuned to the synthetic near-random test embeddings
+# (max pairwise cosine 0.51/0.60 at sf0.01/0.1); real corpora use ~0.9 —
+# the plan shape is threshold-independent.
+# ---------------------------------------------------------------------------
+
+_DEDUP_EMB_THRESHOLD = 0.4
+_DEDUP_EMB_BUCKET_CAP = 64
+
+
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_GRID.format(col="embedding")).alias("g")
+    )
+    norm = emb.withColumn(
+        "n2", F.expr("aggregate(g, cast(0 as bigint), (acc, x) -> acc + x * x)")
+    )
+    buckets = _mt_bucket_cols()
+    keys = norm.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+                    for t, b in enumerate(buckets)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    sized = keys.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "bucket"))
+    ).filter(F.col("bsz") <= _DEDUP_EMB_BUCKET_CAP)
+    lhs = sized.select(F.col("vec_id").alias("keep_id"), "tbl", "bucket")
+    rhs = sized.select(F.col("vec_id").alias("dup_id"), "tbl", "bucket")
+    cand = (
+        lhs.join(rhs, ["tbl", "bucket"])
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .select("keep_id", "dup_id")
+        .distinct()
+    )
+    av = norm.select(
+        F.col("vec_id").alias("keep_id"), F.col("g").alias("ag"), F.col("n2").alias("an2")
+    )
+    bv = norm.select(
+        F.col("vec_id").alias("dup_id"), F.col("g").alias("bg"), F.col("n2").alias("bn2")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ag, bg, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("an2").cast("double")) * F.sqrt(F.col("bn2").cast("double"))
+    )
+    return (
+        cand.join(av, "keep_id")
+        .join(bv, "dup_id")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(_DEDUP_EMB_THRESHOLD))
+        .select("keep_id", "dup_id", "cosine")
+    )
+
+
+def _dedup_embed_cosine_sql() -> str:
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {_duck_mt_bucket(t)} AS bucket FROM g"
+        for t in range(_ANN_TABLES)
+    )
+    return f"""
+WITH g AS (
+  SELECT vec_id, {_duck_grid('embedding')} AS g FROM embeddings
+), n AS (
+  SELECT vec_id, g, list_sum(list_transform(g, x -> x * x)) AS n2 FROM g
+), keys AS (
+  {per_table}
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bsz FROM keys
+), cand AS (
+  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+  FROM sized a JOIN sized b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE a.bsz <= {_DEDUP_EMB_BUCKET_CAP} AND b.bsz <= {_DEDUP_EMB_BUCKET_CAP}
+), scored AS (
+  SELECT c.keep_id, c.dup_id,
+         CAST(list_sum(list_transform(range(1, 65), k -> a.g[k] * b.g[k])) AS DOUBLE)
+           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+  FROM cand c JOIN n a ON a.vec_id = c.keep_id JOIN n b ON b.vec_id = c.dup_id
+)
+SELECT keep_id, dup_id, cosine FROM scored WHERE cosine >= {_DEDUP_EMB_THRESHOLD}
+"""
+
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -1607,6 +1709,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "dedup_minhash_verified": (q_dedup_minhash_verified, _minhash_verified_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "dedup_embed_cosine": (q_dedup_embed_cosine, _dedup_embed_cosine_sql()),
     "embed_cosine_topk": (q_embed_cosine_topk, _SQL_EMBED_COSINE_TOPK),
     "embed_ann_lsh": (q_embed_ann_lsh, _ann_lsh_sql()),
     "embed_ann_search": (q_embed_ann_search, _ann_search_sql()),
