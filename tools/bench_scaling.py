@@ -101,19 +101,47 @@ def _pinned_cmd(cores: int, cpu_base: int) -> list[str]:
     return ["taskset", "-c", cpus]
 
 
+def _read_cpuset_stat(cpus: list[int]) -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) summed over `cpus` from /proc/stat.
+
+    Steal time is the hypervisor-reported share of wall time this guest's
+    vCPU was runnable but NOT running because the host scheduled someone
+    else — the direct, objective measure of the noisy-neighbor interference
+    that inflates trial walls on this shared sandbox. Sampling it around
+    each trial turns 'that 149 s hi wall is physically impossible' from a
+    narrative into a number."""
+    steal = total = 0
+    want = {f"cpu{c}" for c in cpus}
+    with open("/proc/stat") as fh:
+        for line in fh:
+            parts = line.split()
+            if parts and parts[0] in want:
+                vals = [int(x) for x in parts[1:]]
+                steal += vals[7] if len(vals) > 7 else 0
+                total += sum(vals)
+    return steal, total
+
+
 def run_trial(cores: int, cpu_base: int, changes: str, repo: str, mode: str) -> dict:
     script = _CHILD.format(repo=repo)
     work = tempfile.mkdtemp(prefix=f"scale{cores}_", dir="/dev/shm")
+    cpus = list(range(cpu_base, cpu_base + cores))
     try:
+        s0, t0 = _read_cpuset_stat(cpus)
         out = subprocess.run(
             [*_pinned_cmd(cores, cpu_base), sys.executable, "-c", script,
              str(cores), changes, work, mode],
             capture_output=True, text=True, timeout=1800,
             env={**os.environ, "SPARK_DRIVER_MEMORY": "24g"},
         )
+        s1, t1 = _read_cpuset_stat(cpus)
         for line in reversed(out.stdout.strip().splitlines()):
             if line.startswith("{"):
-                return json.loads(line)
+                res = json.loads(line)
+                # steal fraction over the whole child lifetime (startup +
+                # warmup + timed region) on exactly the pinned cpuset
+                res["steal_frac"] = round((s1 - s0) / max(1, t1 - t0), 4)
+                return res
         raise RuntimeError(f"child failed (cores={cores}):\n{out.stderr[-3000:]}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -158,7 +186,9 @@ def main() -> None:
         hi_runs.append(run_trial(4 * n, 8, changes, repo, mode))
         print(
             f"trial {t + 1}/{trials}: lo {lo_runs[-1]['sec']:.1f}s "
+            f"(steal {lo_runs[-1].get('steal_frac', 0):.1%}) "
             f"hi {hi_runs[-1]['sec']:.1f}s "
+            f"(steal {hi_runs[-1].get('steal_frac', 0):.1%}) "
             f"(eff {(lo_runs[-1]['sec'] / hi_runs[-1]['sec']) / 4:.3f})",
             file=sys.stderr,
         )
@@ -191,6 +221,8 @@ def main() -> None:
                 f"local[{4 * n}]_sec_median": round(hi_med, 2),
                 "raw_lo_secs": [round(s, 2) for s in lo_secs],
                 "raw_hi_secs": [round(s, 2) for s in hi_secs],
+                "lo_steal_fracs": [r.get("steal_frac", 0) for r in lo_runs],
+                "hi_steal_fracs": [r.get("steal_frac", 0) for r in hi_runs],
                 f"events_per_sec_{n}": round(man.n_events / lo_min, 1),
                 f"events_per_sec_{4 * n}": round(man.n_events / hi_min, 1),
                 "scaling_efficiency_min": round((lo_min / hi_min) / 4.0, 3),
