@@ -1211,6 +1211,179 @@ GROUP BY wstart
 """
 
 
+def q_cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-correct enrichment via :func:`~..operators.asof.asof_join`:
+    every transcript turn joined to the conversation's status AS OF that
+    turn's event time. Dimension rows are the conversation-level changes
+    (``turn_idx = 0``, one deterministic row per (conv_id, instant) via
+    max-lsn tiebreak); facts are all other upserts. The reference's
+    cache-lookup enrichment (TagData.java getSourceMap) always serves the
+    CURRENT dim row — the as-of form is what makes replays/backfills
+    reproduce a live run's enrichment exactly.
+
+    The Spark plan is the union-sort formulation (one shuffle per side,
+    no range explosion — see ``operators/asof.py``); the oracle is
+    DuckDB's native ``ASOF LEFT JOIN``, an entirely independent
+    implementation of the same semantics, so the driver hash-check proves
+    the union-window trick against a reference ASOF engine.
+    """
+    ch = _events_changelog(spark, sf_dir).filter(F.col("op") != "delete")
+    dims = ch.filter(F.col("turn_idx") == 0).select(
+        "conv_id",
+        "ts",
+        F.col("role").alias("conv_status"),
+        F.col("lsn").alias("status_lsn"),
+    )
+    facts = ch.filter(F.col("turn_idx") != 0).select(
+        "conv_id", "turn_idx", "lsn", "ts", "text"
+    )
+    from .operators.asof import asof_join
+
+    out = asof_join(
+        facts, dims, on=["conv_id"], left_on="ts", right_on="ts",
+        right_tiebreak="status_lsn",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "text",
+        "conv_status",
+        "status_lsn",
+    )
+
+
+_SQL_CDC_ASOF_ENRICH = f"""
+WITH {_SQL_CHANGES},
+  dims AS (
+    SELECT conv_id, ts,
+           arg_max(role, lsn) AS conv_status,
+           max(lsn) AS status_lsn
+    FROM changes WHERE op <> 'delete' AND turn_idx = 0
+    GROUP BY conv_id, ts
+  ),
+  facts AS (
+    SELECT conv_id, turn_idx, lsn, ts, text
+    FROM changes WHERE op <> 'delete' AND turn_idx <> 0
+  )
+SELECT f.conv_id, f.turn_idx, f.lsn,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts_str, f.text,
+       d.conv_status, d.status_lsn
+FROM facts f
+ASOF LEFT JOIN dims d ON f.conv_id = d.conv_id AND f.ts >= d.ts
+"""
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the change log via
+    :func:`~..operators.scd2.scd2_history`: every upsert opens a version
+    (``valid_from``), the next change of ANY type — including a delete —
+    closes it (``valid_to``), and ``is_current`` marks keys whose last
+    change was an upsert. The reference loses history on every update
+    (DBConnector.java overwrite paths); a binlog-tailing engine keeps it
+    in one windowed pass. One shuffle, per-key sort — SCD2's minimal
+    distributed cost at any scale.
+    """
+    from .operators.scd2 import scd2_history
+
+    ch = _events_changelog(spark, sf_dir).select(
+        "conv_id", "turn_idx", "lsn", "role", "text", "ts", "op"
+    )
+    hist = scd2_history(ch, keys=("conv_id", "turn_idx"), order=("ts", "lsn"))
+    return hist.select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        "role",
+        "text",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+_SQL_CDC_SCD2_HISTORY = f"""
+WITH {_SQL_CHANGES},
+  v AS (
+    SELECT *,
+           lead(ts) OVER (PARTITION BY conv_id, turn_idx
+                          ORDER BY ts, lsn) AS valid_to_ts
+    FROM changes
+  )
+SELECT conv_id, turn_idx, lsn, role, text,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (valid_to_ts IS NULL) AS is_current
+FROM v WHERE op <> 'delete'
+"""
+
+
+def q_cdc_sparse_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-column (sparse) update collapse via
+    :func:`~..operators.lww.collapse_lww_columnar`: a binlog tail whose
+    updates carry only changed columns (Debezium without full row images,
+    JSON-patch upstreams). Row-level LWW would clobber absent columns
+    with NULL; the columnar collapse resolves EACH column to its own last
+    writer — all with declarative ``max_by`` aggregates (map-side
+    combine, one shuffle, skew behavior identical to the flagship
+    collapse).
+
+    The sparse log is derived deterministically: change ``lsn % 3 = 0``
+    carries both columns, ``1`` only ``role``, ``2`` only ``text``. The
+    oracle mirrors per-column resolution with NULL-filtered ``arg_max``
+    over the packed (ts, lsn) order (collision-free for lsn < 10^7, the
+    documented packing invariant).
+    """
+    ch = _events_changelog(spark, sf_dir).filter(F.col("op") != "delete")
+    m = F.pmod(F.col("lsn"), F.lit(3))
+    sparse = ch.select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        "ts",
+        F.when(m != 2, F.col("role")).alias("role"),
+        F.when(m != 1, F.col("text")).alias("text"),
+    )
+    from .operators.lww import collapse_lww_columnar
+
+    out = collapse_lww_columnar(
+        sparse,
+        keys=("conv_id", "turn_idx"),
+        order=("ts", "lsn"),
+        value_cols=("role", "text"),
+        track_last_of=("lsn",),
+        count_alias="n_changes",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.col("lsn").alias("last_lsn"),
+        "n_changes",
+    )
+
+
+_SQL_CDC_SPARSE_STATE = f"""
+WITH {_SQL_CHANGES},
+  sparse AS (
+    SELECT conv_id, turn_idx, lsn,
+           (lsn + (lsn * 2654435761) % 100000) * 10000000 + lsn AS ord,
+           CASE WHEN lsn % 3 <> 2 THEN role END AS role,
+           CASE WHEN lsn % 3 <> 1 THEN text END AS text
+    FROM changes WHERE op <> 'delete'
+  )
+SELECT conv_id, turn_idx,
+       arg_max(role, CASE WHEN role IS NOT NULL THEN ord END) AS role,
+       arg_max(text, CASE WHEN text IS NOT NULL THEN ord END) AS text,
+       arg_max(lsn, ord) AS last_lsn,
+       CAST(count(*) AS BIGINT) AS n_changes
+FROM sparse
+GROUP BY conv_id, turn_idx
+"""
+
+
 #: name -> (spark_fn, oracle_sql | None)
 CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
@@ -1229,4 +1402,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_idempotent_replay": (q_cdc_idempotent_replay, _SQL_CDC_IDEMPOTENT_REPLAY),
     "multimodal_stub": (q_multimodal_stub, _SQL_MULTIMODAL_STUB),
     "stream_watermark_rollup": (q_stream_watermark, _SQL_STREAM_WATERMARK),
+    "cdc_asof_enrich": (q_cdc_asof_enrich, _SQL_CDC_ASOF_ENRICH),
+    "cdc_scd2_history": (q_cdc_scd2_history, _SQL_CDC_SCD2_HISTORY),
+    "cdc_sparse_state": (q_cdc_sparse_state, _SQL_CDC_SPARSE_STATE),
 }

@@ -84,6 +84,53 @@ def collapse_lww(
     ).select(*out_cols)
 
 
+def collapse_lww_columnar(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    order: Sequence[str] = ("ts", "lsn"),
+    value_cols: Sequence[str] = (),
+    track_last_of: Sequence[str] = (),
+    count_alias: str | None = None,
+) -> DataFrame:
+    """Per-COLUMN last-writer-wins: collapse sparse partial updates.
+
+    Row-level LWW (:func:`collapse_lww`) assumes every change carries the
+    full row image. Real binlog tails often don't: a Debezium MySQL update
+    without full row images, or a Mongo/JSON patch, carries only the
+    columns that changed, NULL elsewhere. Collapsing those row-wise would
+    let the latest change's NULLs clobber earlier columns. The columnar
+    form keeps, per key, the value from the latest change *in which that
+    column was present*::
+
+        role = max_by(role, CASE WHEN role IS NOT NULL THEN (ts, lsn) END)
+
+    ``max_by`` skips rows whose order expression is NULL, so each column
+    independently resolves to its own last writer. Every aggregate here is
+    declarative (partially aggregatable): map-side combine collapses a hot
+    key's updates per task before the single shuffle — the same scale/skew
+    behavior as :func:`collapse_lww`, NOT a window sort.
+
+    Limitation (documented, inherent to sparse encoding): a writer cannot
+    distinguish "column unchanged" from "column set to NULL" — sparse
+    upstreams that need explicit column deletion must send a sentinel.
+
+    ``value_cols`` resolve per-column; ``track_last_of`` columns take the
+    value from the overall latest change (NULL allowed); ``count_alias``
+    adds a change count. Output: ``keys + value_cols + track_last_of
+    [+ count]``.
+    """
+    keys = list(keys)
+    ordx = F.struct(*[F.col(c) for c in order])
+    aggs = [
+        F.max_by(F.col(c), F.when(F.col(c).isNotNull(), ordx)).alias(c)
+        for c in value_cols
+    ]
+    aggs += [F.max_by(F.col(c), ordx).alias(c) for c in track_last_of]
+    if count_alias:
+        aggs.append(F.count(F.lit(1)).alias(count_alias))
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def collapse_lww_window(
     df: DataFrame,
     keys: Sequence[str] = ("conv_id", "turn_idx"),
