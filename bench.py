@@ -154,10 +154,22 @@ def main() -> None:
 
     # operator suite at sf_dir (full-column hash agg forces real execution
     # of every output column without driver materialization)
-    from mas_scada_bulkingest_spark.cdc_queries import q_debezium_parse
+    from mas_scada_bulkingest_spark.cdc_queries import (
+        q_cdc_asof_enrich,
+        q_cdc_scd2_history,
+        q_cdc_sparse_state,
+        q_debezium_parse,
+    )
 
     suite = dict(SQL_QUERIES)
     suite["debezium_parse"] = (q_debezium_parse, None)
+    suite["cdc_asof_enrich"] = (q_cdc_asof_enrich, None)
+    suite["cdc_scd2_history"] = (q_cdc_scd2_history, None)
+    suite["cdc_sparse_state"] = (q_cdc_sparse_state, None)
+    # conversation_assembly is oracle-checked but kept out of the bench
+    # suite: it replays the full sf-dir changelog through the engine first
+    # (memoized for the driver's correctness run, but here it would fold a
+    # second full replay into one suite row and misstate the operator cost)
     for name, (fn, _sql) in suite.items():
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))

@@ -1384,6 +1384,66 @@ GROUP BY conv_id, turn_idx
 """
 
 
+def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example assembly off the replayed table: each live
+    conversation rendered as ONE ordered multi-turn document (the
+    BASELINE.json input_hint invariant — per-turn text under STABLE TURN
+    ORDERING — turned into the output artifact an LLM training pipeline
+    actually consumes). Reads the engine's MoR state, so the driver's
+    hash-check proves the whole chain: replay → bucket-local LWW read →
+    per-conversation ordered concatenation.
+
+    Shape: ``collect_list`` of (turn_idx, line) structs + ``array_sort``
+    + ``array_join`` — one partial-aggregatable shuffle keyed by conv_id;
+    per-group memory is one conversation's text (bounded by context
+    length), never a window over the corpus. No per-row Python.
+    """
+    table = _replayed_table(spark, sf_dir)
+    df = table.read().select("conv_id", "turn_idx", "role", "text")
+    line = F.concat(
+        F.col("turn_idx").cast("string"),
+        F.lit(":"),
+        F.col("role"),
+        F.lit(": "),
+        F.col("text"),
+    )
+    packed = df.select(
+        "conv_id", F.struct(F.col("turn_idx"), line.alias("line")).alias("t")
+    )
+    return (
+        packed.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("t")).alias("turns"))
+        .select(
+            "conv_id",
+            F.array_join(
+                F.transform("turns", lambda t: t["line"]), "\n"
+            ).alias("convo"),
+            F.size("turns").cast("long").alias("n_turns"),
+        )
+        .withColumn("n_chars", F.length("convo").cast("long"))
+    )
+
+
+_SQL_CONVERSATION_ASSEMBLY = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  ),
+  state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete'),
+  asm AS (
+    SELECT conv_id,
+           string_agg(CAST(turn_idx AS VARCHAR) || ':' || role || ': ' || text,
+                      chr(10) ORDER BY turn_idx) AS convo,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM state GROUP BY conv_id
+  )
+SELECT conv_id, convo, n_turns, CAST(length(convo) AS BIGINT) AS n_chars
+FROM asm
+"""
+
+
 #: name -> (spark_fn, oracle_sql | None)
 CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
@@ -1405,4 +1465,5 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_asof_enrich": (q_cdc_asof_enrich, _SQL_CDC_ASOF_ENRICH),
     "cdc_scd2_history": (q_cdc_scd2_history, _SQL_CDC_SCD2_HISTORY),
     "cdc_sparse_state": (q_cdc_sparse_state, _SQL_CDC_SPARSE_STATE),
+    "conversation_assembly": (q_conversation_assembly, _SQL_CONVERSATION_ASSEMBLY),
 }

@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.ids import name_uuid_expr
@@ -1684,6 +1684,169 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# sessionization: gap-based session assignment
+# ---------------------------------------------------------------------------
+
+#: inactivity gap that closes a session, seconds
+_SESSION_GAP_SECS = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the ``events`` stream: per user, a new
+    session starts whenever the inactivity gap exceeds 30 minutes — the
+    batch form of Structured Streaming's ``session_window`` and the
+    standard conversation/visit segmentation step in a training-data
+    pipeline. Two windows over ONE hash-partition-by-user sort (lag for
+    the boundary flag, running sum for the session index), then an
+    algebraic per-session rollup: a single shuffle end-to-end, skew
+    bounded by events-per-user. Differences of timestamps (not absolute
+    epochs) drive the boundary, so the comparison is timezone-agnostic
+    and exact in integer seconds on both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    # NTZ has no direct long cast; the via-timestamp epoch is tz-shifted but
+    # the shift cancels in the difference, which is all the boundary needs
+    tsec = F.col("ts").cast("timestamp").cast("long")
+    gap = tsec - F.lag(tsec).over(w)
+    new_s = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_SECS), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("session_idx", F.sum(new_s).over(run))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value", 4).alias("sum_value"),
+    )
+
+
+_SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_SECS}
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+# ---------------------------------------------------------------------------
+# training data: deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: per-language keep fraction in sixteenths (md5 first hex digit < limit).
+#: downsample the majority language, keep more of the rest — the standard
+#: language-rebalancing step before training-corpus assembly.
+_SAMPLE_SIXTEENTHS = {"en": 4, "_default": 10}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling of ``documents``:
+    keep a per-language fraction decided by the first hex digit of
+    ``md5('samp:' || doc_id)`` — reproducible across engines, clusters
+    and reruns (no RNG state), trivially parallel (pure map, no shuffle
+    for the filter; one algebraic rollup proves the per-stratum counts).
+    This is how a 100 TB corpus is rebalanced: the sample membership of a
+    document never depends on partitioning or scan order.
+    """
+    d = _t(spark, sf_dir, "documents")
+    hexd = F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id"))), 1, 1)
+    limit_hex = F.when(
+        F.col("lang") == "en", F.lit(hex(_SAMPLE_SIXTEENTHS["en"])[2:])
+    ).otherwise(F.lit(hex(_SAMPLE_SIXTEENTHS["_default"])[2:]))
+    kept = d.filter(hexd < limit_hex)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE substring(md5('samp:' || doc_id), 1, 1)
+      < CASE WHEN lang = 'en' THEN '{hex(_SAMPLE_SIXTEENTHS["en"])[2:]}'
+             ELSE '{hex(_SAMPLE_SIXTEENTHS["_default"])[2:]}' END
+GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis: exact per-group length quantiles (rank-selected)
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_doc_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles over ``documents`` — the
+    corpus-profiling step that sizes truncation/packing budgets. The
+    quantile is RANK-SELECTED (value at row ``ceil(q*n)`` under a total
+    (n_chars, doc_id) order), not interpolated: selection is pure integer
+    arithmetic, so Spark and the oracle agree bit-for-bit — interpolated
+    ``percentile`` forms differ across engines in float op order. One
+    shuffle (partition by lang) + per-partition sort; at 100 TB the same
+    shape, with per-language skew bounded by the documents-per-language
+    split (or salt + two-level selection if one language dominates).
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    cnt = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("n_chars")
+            )
+        ).alias(f"p{int(q * 100)}")
+        for q in _QUANTILES
+    ]
+    return r.groupBy("lang").agg(
+        F.max("n").alias("n_docs"), *aggs
+    )
+
+
+_SQL_DOC_LEN_QUANTILES = f"""
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, max(n) AS n_docs,
+       {", ".join(f"max(CASE WHEN rn = CAST(ceil({q}*n) AS BIGINT) THEN n_chars END) AS p{int(q*100)}" for q in _QUANTILES)}
+FROM r GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1714,6 +1877,9 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "embed_ann_lsh": (q_embed_ann_lsh, _ann_lsh_sql()),
     "embed_ann_search": (q_embed_ann_search, _ann_search_sql()),
     "embed_ivf_search": (q_embed_ivf_search, _ivf_search_sql()),
+    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    "doc_len_quantiles": (q_doc_len_quantiles, _SQL_DOC_LEN_QUANTILES),
     "lang_id": (q_lang_id, _SQL_LANG_ID),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),
