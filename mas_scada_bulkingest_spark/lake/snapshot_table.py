@@ -1325,6 +1325,112 @@ class SnapshotTable(LakeTable):
         self._snapshot = snap
         return int(n_purge)
 
+    def purge_key(self, *key_values, expire_history: bool = True) -> int:
+        """Physically erase every stored row — live, superseded-in-delta,
+        and tombstone — for one key (or key prefix): right-to-be-forgotten
+        maintenance. The Iceberg/Delta equivalent is ``DELETE`` +
+        ``rewrite_data_files`` + ``expire_snapshots``; a plain engine
+        delete is NOT erasure here (it writes a tombstone that itself
+        carries the key, and MoR deltas keep superseded versions).
+
+        The key's bucket is computed driver-side (the same hash
+        ``lookup`` uses), so the rewrite reads and rewrites exactly
+        1/n_buckets of the table — at 100 TB with 4096 buckets, one
+        conversation's erasure touches a few files, never the table. The
+        MoR rewrite collapses the bucket bucket-locally (no Exchange),
+        compacting it as a side effect.
+
+        Erasing the key's tombstones means a later stale re-delivery of
+        the key would re-insert it: erasure assumes the upstream stops
+        emitting the subject's data — the contract every lake engine
+        documents for GDPR deletes.
+
+        ``expire_history=True`` (default) vacuums superseded snapshots
+        afterwards so the erased rows stop being reachable via time
+        travel or ``read_changes`` (without it the OLD files still hold
+        the data, exactly like Iceberg before ``expire_snapshots``; a
+        ``read_changes`` range truncated by the vacuum raises loudly
+        rather than silently omitting epochs).
+
+        ``key_values`` follow ``self.key`` order, as in ``lookup``:
+        ``purge_key("conv-7")`` erases the conversation,
+        ``purge_key("conv-7", 3)`` one turn. Returns rows physically
+        removed. Single-writer vs merges on the SAME bucket: a concurrent
+        rewrite of the bucket raises ``ConcurrentCommitError`` (erasure
+        must not silently skip); commits racing on other state rebase.
+        """
+        key = list(self.key)
+        if not key_values or len(key_values) > len(key):
+            raise ValueError(
+                f"purge_key takes 1..{len(key)} values for key {tuple(key)}"
+            )
+        bcol = key[0]
+        probe = self.spark.createDataFrame(
+            [(key_values[0],)],
+            T.StructType([T.StructField(bcol, self.schema[bcol].dataType)]),
+        )
+        b = int(
+            probe.select(_bucket_expr(bcol, self.n_buckets).alias("b")).first()["b"]
+        )
+        inputs = set(self._snapshot["buckets"].get(str(b), []))
+        if not inputs:
+            return 0
+        if self.mode == "mor":
+            rows = self._read_collapsed_local(buckets=[b])
+        else:
+            rows = self._read_raw(buckets=[b])
+        pred = None
+        for col, val in zip(key, key_values):
+            term = F.col(col) == F.lit(val)
+            pred = term if pred is None else pred & term
+        # tombstones for the key carry NULL payload but real key cols, so
+        # the same predicate matches them; NULL-keyed rows (never produced
+        # by the engine, but cheap to be safe about) are KEPT, not dropped
+        # by three-valued logic
+        hit = F.coalesce(pred, F.lit(False))
+        n_purge = rows.filter(hit).count()
+        if n_purge == 0:
+            return 0
+        keep = rows.filter(~hit)
+        rel_dir = os.path.join("data", f"purgekey-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        keep.write.mode("overwrite").parquet(out_dir)
+        new_files = [
+            os.path.join(rel_dir, fn)
+            for fn in os.listdir(out_dir)
+            if fn.endswith(".parquet")
+        ]
+        for _attempt in range(10):
+            cur = self._snapshot["buckets"].get(str(b), [])
+            if set(cur) != inputs:
+                raise ConcurrentCommitError(
+                    f"bucket {b} was rewritten while purging key "
+                    f"{key_values!r}; re-run purge_key against the new state"
+                )
+            new_buckets = {k: list(f) for k, f in self._snapshot["buckets"].items()}
+            if new_files:
+                new_buckets[str(b)] = new_files
+            else:
+                new_buckets.pop(str(b), None)
+            snap = {
+                **self._snapshot,
+                "version": self._snapshot["version"] + 1,
+                "buckets": new_buckets,
+                "parent": self._snapshot["version"],
+            }
+            try:
+                self._write_snapshot(snap)
+            except ConcurrentCommitError:
+                self._snapshot = self._read_current_snapshot()
+                continue
+            self._snapshot = snap
+            if expire_history:
+                self.vacuum(retain_versions=1)
+            return int(n_purge)
+        raise ConcurrentCommitError(
+            "gave up committing key purge after 10 rebase attempts"
+        )
+
     def compact(self, max_files: int = 8) -> int:
         """Merge-on-read maintenance: rewrite every bucket holding more than
         ``max_files`` files into ONE LWW-collapsed file per bucket
