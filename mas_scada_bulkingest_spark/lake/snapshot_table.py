@@ -929,6 +929,169 @@ class SnapshotTable(LakeTable):
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def verify_integrity(self, deep: bool = False) -> dict:
+        """Table fsck: audit physical/metadata consistency and return a
+        report dict. A 10^10-event table accumulates snapshots, deltas,
+        compactions, purges and vacuums from many sessions; this is the
+        maintenance probe an operator runs before trusting a restore or
+        after an unclean shutdown (Iceberg's ``verify``/metadata-audit
+        analog).
+
+        Checks (driver-side, O(referenced files), no data scan):
+
+        * every file the CURRENT snapshot references exists on disk
+          (``missing_files`` — any entry is a hard failure: reads would
+          throw or, worse, a rewritten manifest could silently drop data);
+        * every referenced file's parquet FOOTER schema is compatible with
+          the table schema — unknown column (beyond the documented helper
+          columns) or a type that is not the declared type nor losslessly
+          widenable to it is ``schema_drift`` (hard failure: the pinned
+          scan would read garbage or nulls);
+        * lineage epoch keys that never committed (``uncommitted_lineage
+          _epochs`` — benign at-least-once leftovers of a crash between
+          lineage append and commit, reported so the operator can tell
+          crash debris from bugs);
+        * data files on disk referenced by NO retained snapshot
+          (``orphan_files``/``orphan_bytes`` — vacuum's backlog, warning
+          only), and ``stale_file_stats`` entries for departed files.
+
+        ``deep=True`` adds ONE Spark job asserting every stored row hashes
+        to the bucket that holds it (``bucket_mismatches`` — the invariant
+        every bucket-local read, lookup, and purge relies on; a rebucket
+        or manual file move that broke it would corrupt reads silently).
+
+        ``ok`` is True iff no hard failure (and, under ``deep``, no
+        mismatches).
+        """
+        from ..operators.schema_evolution import _widened
+
+        snap = self._snapshot
+        referenced = [f for fs in snap["buckets"].values() for f in fs]
+        missing = [f for f in referenced if not os.path.exists(os.path.join(self.path, f))]
+
+        # footer-vs-declared schema audit
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _spark_typename(t) -> str | None:
+            if pa.types.is_timestamp(t):
+                return "timestamp" if t.tz else "timestamp_ntz"
+            return {
+                "int8": "byte", "int16": "short", "int32": "integer",
+                "int64": "long", "float": "float", "double": "double",
+                "string": "string", "large_string": "string",
+                "bool": "boolean", "binary": "binary",
+            }.get(str(t))
+
+        declared = {f.name: f.dataType for f in self._storage_schema().fields}
+        helper_ok = {"_max_lsn"}  # delta-file helper, hidden by readers
+        drift = []
+        for rel in referenced:
+            if rel in missing:
+                continue
+            try:
+                footer = pq.read_schema(os.path.join(self.path, rel))
+            except Exception as e:  # unreadable footer IS drift
+                drift.append(f"{rel}: unreadable footer ({e})")
+                continue
+            for name in footer.names:
+                if name in helper_ok:
+                    continue
+                if name not in declared:
+                    drift.append(f"{rel}: unknown column {name!r}")
+                    continue
+                got = _spark_typename(footer.field(name).type)
+                want = declared[name].typeName()
+                if got is None or got == want:
+                    continue
+                # lossless-widening acceptance: the file may be NARROWER
+                # than the declared type (type_widening tables)
+                _mk = {
+                    "byte": T.ByteType, "short": T.ShortType,
+                    "integer": T.IntegerType, "long": T.LongType,
+                    "float": T.FloatType, "double": T.DoubleType,
+                }
+                file_dt = _mk[got]() if got in _mk else None
+                w = _widened(declared[name], file_dt) if file_dt is not None else None
+                if w is None or w.typeName() != want:
+                    drift.append(f"{rel}: column {name!r} is {got}, table declares {want}")
+
+        # lineage rows whose epoch never committed (crash debris)
+        committed = self.committed_epochs
+        lin_dir = os.path.join(self.path, "lineage")
+        uncommitted: list[str] = []
+        if any(f.endswith(".parquet") for f in os.listdir(lin_dir)):
+            keys = [
+                r["k"]
+                for r in self.spark.read.schema(LINEAGE_SCHEMA)
+                .parquet(lin_dir)
+                .select(
+                    F.coalesce(F.col("epoch_key"), F.col("epoch_id").cast("string")).alias("k")
+                )
+                .distinct()
+                .collect()
+            ]
+            uncommitted = sorted(k for k in keys if k not in committed)[:20]
+
+        # orphans: on disk under data/, referenced by NO retained snapshot
+        retained: set[str] = set()
+        for v in self.versions():
+            retained.update(
+                f
+                for fs in self.at_version(v)._snapshot["buckets"].values()
+                for f in fs
+            )
+        on_disk = []
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    on_disk.append(
+                        os.path.relpath(os.path.join(dirpath, fn), self.path)
+                    )
+        orphans = [f for f in on_disk if f not in retained]
+        orphan_bytes = sum(
+            os.path.getsize(os.path.join(self.path, f)) for f in orphans
+        )
+        stale_stats = sum(
+            1 for f in snap.get("file_stats", {}) if f not in set(referenced)
+        )
+
+        bucket_mismatches = None
+        if deep:
+            bad_total = 0
+            bcol = list(self.key)[0]
+            parts = []
+            for b, files in self._bucket_file_groups():
+                parts.append(
+                    self.spark.read.schema(self._storage_schema())
+                    .parquet(*files)
+                    .select(
+                        (_bucket_expr(bcol, self.n_buckets) != F.lit(int(b)))
+                        .cast("long")
+                        .alias("bad")
+                    )
+                )
+            if parts:
+                allp = parts[0]
+                for p in parts[1:]:
+                    allp = allp.unionAll(p)
+                bad_total = allp.agg(F.sum("bad")).first()[0] or 0
+            bucket_mismatches = int(bad_total)
+
+        ok = not missing and not drift and not (deep and bucket_mismatches)
+        return {
+            "ok": bool(ok),
+            "files_checked": len(referenced),
+            "missing_files": missing,
+            "schema_drift": drift,
+            "uncommitted_lineage_epochs": uncommitted,
+            "orphan_files": len(orphans),
+            "orphan_bytes": int(orphan_bytes),
+            "stale_file_stats": int(stale_stats),
+            "bucket_mismatches": bucket_mismatches,
+        }
+
     def read_changes(
         self,
         since_epoch: int,
