@@ -72,6 +72,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bootstrap-epoch-id", default="bootstrap-0")
     p.add_argument("--type-widening", action="store_true",
                    help="create the table with lossless type promotion on evolution (int->long etc.)")
+    p.add_argument("--verify-integrity", action="store_true",
+                   help="run the table fsck (files, footers, lineage, orphans) and exit;"
+                        " nonzero exit on hard failures")
+    p.add_argument("--deep-verify", action="store_true",
+                   help="with --verify-integrity: also assert every stored row hashes"
+                        " to the bucket holding it (one Spark job)")
+    p.add_argument("--purge-key", metavar="CONV_ID",
+                   help="right-to-be-forgotten: physically erase every stored trace of"
+                        " the key (one-bucket rewrite + snapshot expiry) and exit")
     p.add_argument("--demo", action="store_true", help="self-contained run on generated data")
     args = p.parse_args(argv)
 
@@ -91,6 +100,18 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.status_only:
         print(json.dumps(status(SnapshotTable(spark, args.table_path)), indent=2))
+        return 0
+
+    if args.verify_integrity:
+        rep = SnapshotTable(spark, args.table_path).verify_integrity(
+            deep=args.deep_verify
+        )
+        print(json.dumps(rep, indent=2))
+        return 0 if rep["ok"] else 3
+
+    if args.purge_key:
+        n = SnapshotTable(spark, args.table_path).purge_key(args.purge_key)
+        print(json.dumps({"purged_rows": n, "key": args.purge_key}))
         return 0
 
     if not args.changes_dir and not args.bootstrap_dir:
