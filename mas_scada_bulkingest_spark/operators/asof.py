@@ -49,6 +49,7 @@ def asof_join(
     left_on: str = "ts",
     right_on: str = "ts",
     right_tiebreak: str | None = None,
+    strategy: str = "union",
 ) -> DataFrame:
     """Left as-of join: every ``facts`` row, enriched with the payload of
     the latest ``dims`` row with ``dims[right_on] <= facts[left_on]`` for
@@ -59,6 +60,23 @@ def asof_join(
     several dim rows share one ``(on, right_on)`` instant the winner is
     the max of ``right_tiebreak`` (required in that case — without a
     tiebreak, equal-instant dim rows make the fill nondeterministic).
+
+    ``strategy`` picks the physical plan; both produce identical rows:
+
+    ``"union"`` (default)
+        the union-sort form (module doc): one hash+sort shuffle per
+        side. The safe default — cost is never worse than a sort-merge
+        join, regardless of either side's size.
+    ``"broadcast"``
+        dims collapse to ONE row per key holding its time-sorted
+        (instant, payload) array; that map broadcasts, and each fact row
+        resolves its as-of match with pure column expressions
+        (``filter`` the array to instants <= the fact's, take the last).
+        THE FACTS NEVER SHUFFLE — for a 100 TB fact table against a
+        small dimension (statuses, price lists, config history) this is
+        a map-only plan, the same reason broadcast-hash beats
+        sort-merge. Requires per-key dim history to fit in one row
+        (the broadcast threshold enforces the aggregate bound).
     """
     on = list(on)
     payload = [c for c in dims.columns if c not in on and c != right_on]
@@ -75,6 +93,32 @@ def asof_join(
             *[F.max_by(c, F.col(right_tiebreak)).alias(c) for c in others],
             F.max(right_tiebreak).alias(right_tiebreak),
         )
+
+    if strategy == "broadcast":
+        # one row per key: time-sorted (instant, payload…) structs. struct
+        # comparison is lexicographic and instants are unique after the
+        # tiebreak collapse, so sorting on the struct sorts on instant.
+        hist = dims.groupBy(*on).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(right_on).alias("_t"), *payload))
+            ).alias("_hist")
+        )
+        joined = facts.join(F.broadcast(hist), on=on, how="left")
+        # pure column exprs: prefix of history at-or-before the fact's
+        # instant, last element wins. element_at(arr, -1) on an empty or
+        # NULL array (unmatched key) yields NULL payload — the left-join
+        # contract.
+        prefix = F.filter(
+            F.col("_hist"), lambda h: h["_t"] <= F.col(left_on)
+        )
+        # try_element_at: NULL (not an ANSI error) on empty prefix or an
+        # unmatched key's NULL history
+        match = F.try_element_at(prefix, F.lit(-1))
+        return joined.select(
+            *facts.columns, *[match[c].alias(c) for c in payload]
+        )
+    if strategy != "union":
+        raise ValueError(f"unknown asof strategy {strategy!r}")
 
     d = dims.select(
         *on,

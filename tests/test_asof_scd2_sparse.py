@@ -78,6 +78,75 @@ def test_asof_join_equal_instant_tiebreak(spark):
     assert (row["status"], row["status_lsn"]) == ("b", 7)
 
 
+def test_asof_broadcast_strategy_matches_union(spark):
+    dims = spark.createDataFrame(
+        [
+            ("c1", _ts("2024-01-01 00:10:00"), "open", 1),
+            ("c1", _ts("2024-01-01 00:30:00"), "escalated", 2),
+            ("c1", _ts("2024-01-01 00:30:00"), "dupe-instant", 1),
+            ("c2", _ts("2024-01-01 00:20:00"), "open", 3),
+        ],
+        "conv_id string, ts timestamp, status string, status_lsn long",
+    )
+    facts = spark.createDataFrame(
+        [
+            ("c1", 100, _ts("2024-01-01 00:05:00")),
+            ("c1", 101, _ts("2024-01-01 00:10:00")),
+            ("c1", 102, _ts("2024-01-01 00:45:00")),
+            ("c2", 200, _ts("2024-01-01 00:25:00")),
+            ("c3", 300, _ts("2024-01-01 00:25:00")),
+        ],
+        "conv_id string, fact_id long, ts timestamp",
+    )
+    kw = dict(on=["conv_id"], right_tiebreak="status_lsn")
+    a = sorted(
+        map(tuple, asof_join(facts, dims, strategy="union", **kw).collect())
+    )
+    b = sorted(
+        map(tuple, asof_join(facts, dims, strategy="broadcast", **kw).collect())
+    )
+    assert a == b
+    got = {r["fact_id"]: r["status"] for r in
+           asof_join(facts, dims, strategy="broadcast", **kw).collect()}
+    assert got == {100: None, 101: "open", 102: "escalated", 200: "open", 300: None}
+
+
+def test_asof_broadcast_never_shuffles_facts(spark, tmpdir_path):
+    # the scale contract: facts side is map-only — the ONLY exchange in
+    # the plan is the dim-side aggregation feeding the broadcast
+    dims = spark.createDataFrame(
+        [("c1", _ts("2024-01-01 00:10:00"), "open", 1)],
+        "conv_id string, ts timestamp, status string, status_lsn long",
+    )
+    spark.createDataFrame(
+        [("c1", 100, _ts("2024-01-01 00:15:00"))],
+        "conv_id string, fact_id long, ts timestamp",
+    ).write.mode("overwrite").parquet(tmpdir_path + "/facts")
+    facts = spark.read.parquet(tmpdir_path + "/facts")
+    out = asof_join(
+        facts, dims, on=["conv_id"], right_tiebreak="status_lsn",
+        strategy="broadcast",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+    assert out.collect()[0]["status"] == "open"
+
+
+def test_asof_unknown_strategy_raises(spark):
+    dims = spark.createDataFrame(
+        [("c1", _ts("2024-01-01 00:10:00"), "x")],
+        "conv_id string, ts timestamp, status string",
+    )
+    facts = spark.createDataFrame(
+        [("c1", _ts("2024-01-01 00:15:00"))], "conv_id string, ts timestamp"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        asof_join(facts, dims, on=["conv_id"], strategy="sorted-merge")
+
+
 def test_asof_join_payload_collision_raises(spark):
     dims = spark.createDataFrame(
         [("c1", _ts("2024-01-01 00:10:00"), "x")],
