@@ -948,9 +948,10 @@ class SnapshotTable(LakeTable):
           widenable to it is ``schema_drift`` (hard failure: the pinned
           scan would read garbage or nulls);
         * lineage epoch keys that never committed (``uncommitted_lineage
-          _epochs`` — benign at-least-once leftovers of a crash between
-          lineage append and commit, reported so the operator can tell
-          crash debris from bugs);
+          _epochs``, a ≤20-key sample with ``uncommitted_lineage_total``
+          for the full count — benign at-least-once leftovers of a crash
+          between lineage append and commit, reported so the operator can
+          tell crash debris from bugs);
         * data files on disk referenced by NO retained snapshot
           (``orphan_files``/``orphan_bytes`` — vacuum's backlog, warning
           only), and ``stale_file_stats`` entries for departed files.
@@ -967,7 +968,9 @@ class SnapshotTable(LakeTable):
 
         snap = self._snapshot
         referenced = [f for fs in snap["buckets"].values() for f in fs]
+        referenced_set = set(referenced)
         missing = [f for f in referenced if not os.path.exists(os.path.join(self.path, f))]
+        missing_set = set(missing)
 
         # footer-vs-declared schema audit
         import pyarrow as pa
@@ -987,7 +990,7 @@ class SnapshotTable(LakeTable):
         helper_ok = {"_max_lsn"}  # delta-file helper, hidden by readers
         drift = []
         for rel in referenced:
-            if rel in missing:
+            if rel in missing_set:
                 continue
             try:
                 footer = pq.read_schema(os.path.join(self.path, rel))
@@ -1031,7 +1034,11 @@ class SnapshotTable(LakeTable):
                 .distinct()
                 .collect()
             ]
-            uncommitted = sorted(k for k in keys if k not in committed)[:20]
+            all_uncommitted = sorted(k for k in keys if k not in committed)
+            uncommitted = all_uncommitted[:20]
+            uncommitted_total = len(all_uncommitted)
+        else:
+            uncommitted_total = 0
 
         # orphans: on disk under data/, referenced by NO retained snapshot
         retained: set[str] = set()
@@ -1054,7 +1061,7 @@ class SnapshotTable(LakeTable):
             os.path.getsize(os.path.join(self.path, f)) for f in orphans
         )
         stale_stats = sum(
-            1 for f in snap.get("file_stats", {}) if f not in set(referenced)
+            1 for f in snap.get("file_stats", {}) if f not in referenced_set
         )
 
         bucket_mismatches = None
@@ -1063,6 +1070,16 @@ class SnapshotTable(LakeTable):
             bcol = list(self.key)[0]
             parts = []
             for b, files in self._bucket_file_groups():
+                # exclude files the shallow pass found missing — Spark
+                # raises PATH_NOT_FOUND eagerly on a multi-path read, and
+                # the fsck must REPORT damage, not crash on it
+                files = [
+                    f
+                    for f in files
+                    if os.path.relpath(f, self.path) not in missing_set
+                ]
+                if not files:
+                    continue
                 parts.append(
                     self.spark.read.schema(self._storage_schema())
                     .parquet(*files)
@@ -1085,7 +1102,9 @@ class SnapshotTable(LakeTable):
             "files_checked": len(referenced),
             "missing_files": missing,
             "schema_drift": drift,
+            # a ≤20-key sample; the total says whether it was truncated
             "uncommitted_lineage_epochs": uncommitted,
+            "uncommitted_lineage_total": uncommitted_total,
             "orphan_files": len(orphans),
             "orphan_bytes": int(orphan_bytes),
             "stale_file_stats": int(stale_stats),
@@ -1522,19 +1541,8 @@ class SnapshotTable(LakeTable):
         rewrite of the bucket raises ``ConcurrentCommitError`` (erasure
         must not silently skip); commits racing on other state rebase.
         """
-        key = list(self.key)
-        if not key_values or len(key_values) > len(key):
-            raise ValueError(
-                f"purge_key takes 1..{len(key)} values for key {tuple(key)}"
-            )
-        bcol = key[0]
-        probe = self.spark.createDataFrame(
-            [(key_values[0],)],
-            T.StructType([T.StructField(bcol, self.schema[bcol].dataType)]),
-        )
-        b = int(
-            probe.select(_bucket_expr(bcol, self.n_buckets).alias("b")).first()["b"]
-        )
+        key = self._validate_key_prefix("purge_key", key_values)
+        b = self._bucket_of(key_values[0])
         inputs = set(self._snapshot["buckets"].get(str(b), []))
         if not inputs:
             return 0
@@ -1960,23 +1968,34 @@ class SnapshotTable(LakeTable):
         ``key_values`` follow ``self.key`` order — ``lookup("conv-7")`` or
         ``lookup("conv-7", 3)``.
         """
-        key = list(self.key)
-        if not key_values or len(key_values) > len(key):
-            raise ValueError(
-                f"lookup takes 1..{len(key)} values for key {tuple(key)}"
-            )
-        bcol = key[0]
-        btype = self.schema[bcol].dataType
-        probe = self.spark.createDataFrame(
-            [(key_values[0],)], T.StructType([T.StructField(bcol, btype)])
-        )
-        b = probe.select(
-            _bucket_expr(bcol, self.n_buckets).alias("b")
-        ).first()["b"]
-        df = self.read(buckets=[int(b)])
+        key = self._validate_key_prefix("lookup", key_values)
+        df = self.read(buckets=[self._bucket_of(key_values[0])])
         for col, val in zip(key, key_values):
             df = df.filter(F.col(col) == F.lit(val))
         return df
+
+    def _validate_key_prefix(self, op: str, key_values: tuple) -> list[str]:
+        key = list(self.key)
+        if not key_values or len(key_values) > len(key):
+            raise ValueError(
+                f"{op} takes 1..{len(key)} values for key {tuple(key)}"
+            )
+        return key
+
+    def _bucket_of(self, value) -> int:
+        """The bucket that holds ``value`` of the leading key column —
+        evaluated through the SAME Spark expression the writer uses
+        (``_bucket_expr``), via a one-row probe, so every bucket-local
+        operation (lookup, purge_key) and the write path can never
+        disagree on the hash."""
+        bcol = list(self.key)[0]
+        probe = self.spark.createDataFrame(
+            [(value,)],
+            T.StructType([T.StructField(bcol, self.schema[bcol].dataType)]),
+        )
+        return int(
+            probe.select(_bucket_expr(bcol, self.n_buckets).alias("b")).first()["b"]
+        )
 
     # ------------------------------------------------------------ conf scope
     @contextmanager

@@ -16,9 +16,11 @@ used here — is the union-sort trick:
 2. ``unionByName`` them (fact payloads and dim payloads are disjoint
    column sets, missing sides read NULL);
 3. one window per key ordered by ``(ts, _is_dim DESC)`` with a
-   ``last(payload, ignorenulls=True)`` running fill — every fact row
-   inherits the payload of the nearest preceding dim row (inclusive:
-   a dim at exactly the fact's ts sorts before it);
+   ``last(payload_struct, ignorenulls=True)`` running fill — the payload
+   travels as ONE struct so the fill is whole-ROW (a matched dim row's
+   NULL column stays NULL instead of resurrecting an older row's value);
+   every fact row inherits the nearest preceding dim row (inclusive: a
+   dim at exactly the fact's ts sorts before it);
 4. filter the fact rows back out.
 
 Cost model: ONE hash-partition + sort per side on the join key — the
@@ -120,11 +122,18 @@ def asof_join(
     if strategy != "union":
         raise ValueError(f"unknown asof strategy {strategy!r}")
 
+    # the payload rides as ONE struct so the fill is whole-row: a dim row
+    # with a NULL payload COLUMN must still win (and deliver its NULL) —
+    # per-column last(ignorenulls) would resurrect an older row's value
+    # for just that column, tearing the matched row. The struct itself is
+    # never NULL for a dim row, so last(_p, ignorenulls) picks exactly
+    # the latest preceding dim ROW, matching the broadcast strategy and
+    # ASOF JOIN row semantics.
     d = dims.select(
         *on,
         F.col(right_on).alias("_asof_ts"),
         F.lit(1).alias("_is_dim"),
-        *payload,
+        F.struct(*payload).alias("_p"),
     )
     f = facts.withColumn("_asof_ts", F.col(left_on)).withColumn(
         "_is_dim", F.lit(0)
@@ -137,8 +146,8 @@ def asof_join(
         .orderBy(F.col("_asof_ts").asc(), F.col("_is_dim").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = merged.select(
-        *[c for c in merged.columns if c not in payload],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    filled = merged.withColumn("_p", F.last("_p", ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("_is_dim") == 0)
+        .select(*facts.columns, *[F.col("_p")[c].alias(c) for c in payload])
     )
-    return filled.filter(F.col("_is_dim") == 0).drop("_asof_ts", "_is_dim")

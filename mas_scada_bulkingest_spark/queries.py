@@ -1699,19 +1699,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline. Two windows over ONE hash-partition-by-user sort (lag for
     the boundary flag, running sum for the session index), then an
     algebraic per-session rollup: a single shuffle end-to-end, skew
-    bounded by events-per-user. Differences of timestamps (not absolute
-    epochs) drive the boundary, so the comparison is timezone-agnostic
-    and exact in integer seconds on both engines.
+    bounded by events-per-user. The gap is compared in exact integer
+    MICROSECONDS on both engines (``unix_micros`` here, ``epoch_us`` in
+    the oracle): timestamps carry sub-second fractions, and a
+    second-truncated or floating gap would disagree with the oracle for
+    gaps within a second of the boundary. Differences of epochs (never
+    absolute values) drive the flag, so any timezone shift cancels.
     """
     ev = _t(spark, sf_dir, "events")
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w = Window.partitionBy("user_id").orderBy(*order)
-    # NTZ has no direct long cast; the via-timestamp epoch is tz-shifted but
-    # the shift cancels in the difference, which is all the boundary needs
-    tsec = F.col("ts").cast("timestamp").cast("long")
-    gap = tsec - F.lag(tsec).over(w)
+    # NTZ has no direct micros accessor; the via-timestamp epoch is
+    # tz-shifted but the shift cancels in the difference
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = tus - F.lag(tus).over(w)
     new_s = F.when(
-        gap.isNull() | (gap > _SESSION_GAP_SECS), F.lit(1)
+        gap.isNull() | (gap > F.lit(_SESSION_GAP_SECS) * F.lit(1_000_000)),
+        F.lit(1),
     ).otherwise(F.lit(0))
     run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1728,7 +1732,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SESSIONIZE = f"""
 WITH g AS (
   SELECT user_id, event_id, ts, value,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_SECS}
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_SESSION_GAP_SECS} * 1000000
                    OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_s
   FROM events

@@ -133,6 +133,29 @@ def test_asof_broadcast_never_shuffles_facts(spark, tmpdir_path):
     assert out.collect()[0]["status"] == "open"
 
 
+def test_asof_null_payload_row_semantics_both_strategies(spark):
+    # ASOF is a ROW join: the matched dim row's NULL column must be
+    # delivered as NULL, never patched with an older row's value — and
+    # multi-column payloads must never stitch columns from different rows
+    dims = spark.createDataFrame(
+        [
+            ("c1", _ts("2024-01-01 00:10:00"), "open", "alice", 1),
+            ("c1", _ts("2024-01-01 00:30:00"), None, "bob", 2),
+        ],
+        "conv_id string, ts timestamp, status string, owner string, status_lsn long",
+    )
+    facts = spark.createDataFrame(
+        [("c1", 1, _ts("2024-01-01 00:45:00"))],
+        "conv_id string, fact_id long, ts timestamp",
+    )
+    for strat in ("union", "broadcast"):
+        row = asof_join(
+            facts, dims, on=["conv_id"], right_tiebreak="status_lsn",
+            strategy=strat,
+        ).collect()[0]
+        assert (row["status"], row["owner"]) == (None, "bob"), strat
+
+
 def test_asof_unknown_strategy_raises(spark):
     dims = spark.createDataFrame(
         [("c1", _ts("2024-01-01 00:10:00"), "x")],

@@ -51,6 +51,27 @@ def test_session_boundary_is_strictly_greater_than_gap(spark, tmpdir_path):
     assert _SESSION_GAP_SECS == 1800
 
 
+def test_session_boundary_uses_exact_microseconds(spark, tmpdir_path):
+    # timestamps carry sub-second fractions; a second-truncated gap would
+    # call 1800.5 s "1800" and keep the session. The boundary must honor
+    # microsecond precision: gap 1800.000001 s splits, 1799.999999 s stays.
+    from datetime import timedelta
+
+    t0 = _ts("2024-01-01 00:00:00") + timedelta(microseconds=900000)
+    rows = [
+        (1, t0, 5, "view", 1.0, "p"),
+        (2, t0 + timedelta(seconds=1800, microseconds=1), 5, "view", 1.0, "p"),
+        (3, _ts("2024-01-02 00:00:00"), 6, "view", 1.0, "p"),
+        (4, _ts("2024-01-02 00:00:00") + timedelta(seconds=1799, microseconds=999999),
+         6, "view", 1.0, "p"),
+    ]
+    got = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in _run_sessionize(spark, rows, tmpdir_path)
+    }
+    assert got == {(5, 1): 1, (5, 2): 1, (6, 1): 2}
+
+
 def test_sessionize_is_arrival_order_independent(spark, tmpdir_path):
     rows = [
         (10, _ts("2024-01-01 02:00:00"), 7, "view", 1.0, "p"),

@@ -63,6 +63,13 @@ def test_missing_file_is_hard_failure(spark, tmpdir_path):
     rep = tbl.verify_integrity()
     assert not rep["ok"]
     assert victim in rep["missing_files"]
+    # deep mode must still RETURN the report (scanning around the missing
+    # file), not crash on PATH_NOT_FOUND — fsck reports damage, never
+    # throws on it
+    deep = tbl.verify_integrity(deep=True)
+    assert not deep["ok"]
+    assert victim in deep["missing_files"]
+    assert deep["bucket_mismatches"] == 0
 
 
 def test_foreign_column_is_schema_drift(spark, tmpdir_path):
@@ -138,3 +145,4 @@ def test_uncommitted_lineage_is_reported_not_fatal(spark, tmpdir_path):
     rep = tbl.verify_integrity()
     assert rep["ok"]  # warning, not failure
     assert "ghost-99" in rep["uncommitted_lineage_epochs"]
+    assert rep["uncommitted_lineage_total"] == 1
