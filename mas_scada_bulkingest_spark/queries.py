@@ -1684,6 +1684,185 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# text analysis: benchmark decontamination (eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+#: shingle length for decontamination. Real pipelines use 13-grams; the
+#: synthetic corpus's ~30-word vocabulary makes 13-grams vanishingly rare
+#: (zero hits at every sf), so 4 is the calibrated analog: 31 contaminated
+#: docs at sf0.01, 2160 at sf0.1 — non-trivial and discriminating. The
+#: DISTRIBUTED SHAPE is length-independent.
+_DECON_K = 4
+#: deterministic held-out "eval split": doc_id % 23 == 0 (~4 % of docs) —
+#: derived from the corpus itself so tests/benchmarks need no external data.
+_DECON_EVAL_MOD = 23
+
+
+def _kgram_shingles(d: DataFrame, k: int) -> DataFrame:
+    """doc_id → exploded distinct word-k-gram shingles (map-side only)."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    expr = (
+        f"transform(sequence(0, size(_toks) - {k}), "
+        f"i -> array_join(slice(_toks, i + 1, {k}), ' '))"
+    )
+    return (
+        d.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-``_DECON_K``-gram with a held-out eval split — the step every
+    LLM training pipeline runs so eval answers don't leak into training
+    data (the reference pipeline has no analog; this is pure
+    training-data surface).
+
+    Scale shape: the eval split is a tiny fraction of the corpus, so its
+    distinct shingle set is **broadcast** and the 100-TB training side
+    streams map-side through the hash join — the corpus is NEVER
+    shuffled by shingle. The only exchange on the big side is the final
+    groupBy(doc_id), whose input is just the matched rows. (The
+    per-side ``.distinct()`` inside ``_kgram_shingles`` on the train
+    side does shuffle shingles; at real scale you'd drop it and rely on
+    countDistinct — kept here because the oracle counts distinct hits.)
+    """
+    d = _t(spark, sf_dir, "documents")
+    sh = _kgram_shingles(d, _DECON_K)
+    is_eval = (F.col("doc_id") % _DECON_EVAL_MOD) == 0
+    esh = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    tsh = sh.filter(~is_eval)
+    return (
+        tsh.join(F.broadcast(esh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+_SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {_DECON_K - 2}),
+                i -> array_to_string(t[i:i+{_DECON_K - 1}], ' '))) AS shingle
+  FROM toks WHERE len(t) >= {_DECON_K}
+),
+esh AS (SELECT DISTINCT doc_id AS eval_id, shingle FROM sh
+        WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+tsh AS (SELECT DISTINCT doc_id, shingle FROM sh
+        WHERE doc_id % {_DECON_EVAL_MOD} <> 0)
+SELECT t.doc_id,
+       count(DISTINCT t.shingle) AS n_hit_shingles,
+       count(DISTINCT e.eval_id) AS n_eval_docs
+FROM tsh t JOIN esh e USING (shingle)
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis: repetition / boilerplate scoring (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+#: Gopher-style repetition thresholds (Rae et al. 2021, "Scaling Language
+#: Models" §A1.1 quality rules — public): a doc is flagged when its
+#: type-token ratio collapses or one bigram dominates.
+_REP_MIN_DISTINCT_RATIO = 0.3
+_REP_MAX_TOP_BIGRAM_RATIO = 0.18
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate detection per document: type-token ratio,
+    most-frequent-token share, most-frequent-bigram share, and the
+    Gopher-style keep/drop flag.
+
+    Scale shape: tokens and bigrams are derived map-side from the text
+    array, then counted via explode → two-level hash aggregation keyed by
+    (doc_id, gram) — partial (map-side) aggregation absorbs within-doc
+    repetition before the exchange, so a pathological 10^6-token
+    boilerplate doc ships one row per DISTINCT gram, not per token. No
+    O(tokens²) per-row array scans (which would stall an executor on one
+    long doc at 100 TB).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    bg_expr = (
+        "transform(sequence(0, size(_toks) - 2), "
+        "i -> concat_ws(' ', _toks[i], _toks[i+1]))"
+    )
+    base = d.select("doc_id", toks.alias("_toks")).filter(F.size("_toks") >= 2)
+    tok_counts = (
+        base.select("doc_id", F.explode("_toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    bg_counts = (
+        base.select("doc_id", F.explode(F.expr(bg_expr)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    dr = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    tr = F.col("top_tok").cast("double") / F.col("n_tokens").cast("double")
+    br = F.col("top_bigram").cast("double") / F.col("n_bigrams").cast("double")
+    return (
+        tok_stats.join(bg_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dr.alias("distinct_ratio"),
+            tr.alias("top_token_ratio"),
+            br.alias("top_bigram_ratio"),
+            (
+                (dr < F.lit(_REP_MIN_DISTINCT_RATIO))
+                | (br > F.lit(_REP_MAX_TOP_BIGRAM_RATIO))
+            ).alias("flag_repetitive"),
+        )
+    )
+
+
+_SQL_TEXT_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok,
+         generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              count(*) AS n_distinct, max(c) AS top_tok FROM tc GROUP BY 1),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              max(c) AS top_bigram FROM bc GROUP BY 1)
+SELECT ts.doc_id, n_tokens,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+       CAST(top_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_ratio,
+       CAST(top_bigram AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_ratio,
+       (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          < {_REP_MIN_DISTINCT_RATIO}
+        OR CAST(top_bigram AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+          > {_REP_MAX_TOP_BIGRAM_RATIO}) AS flag_repetitive
+FROM ts JOIN bs USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
 # sessionization: gap-based session assignment
 # ---------------------------------------------------------------------------
 
@@ -1888,4 +2067,6 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "lang_id": (q_lang_id, _SQL_LANG_ID),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),
+    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "text_repetition": (q_text_repetition, _SQL_TEXT_REPETITION),
 }

@@ -1,0 +1,85 @@
+"""Edge-semantics tests for benchmark decontamination and repetition
+scoring (the oracle entries prove bulk parity at sf0.01/sf0.1; these pin
+the boundary rules on rows where the expected answer is readable)."""
+
+from __future__ import annotations
+
+from mas_scada_bulkingest_spark.queries import (
+    _DECON_EVAL_MOD,
+    _DECON_K,
+    q_decontaminate,
+    q_text_repetition,
+)
+
+
+def _write_docs(spark, rows, tmpdir_path):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmpdir_path}/documents.parquet")
+    return tmpdir_path
+
+
+def _doc(doc_id, text):
+    return (doc_id, text, "en", "s", len(text))
+
+
+def test_decontaminate_flags_exact_kgram_overlap(spark, tmpdir_path):
+    assert _DECON_K == 4 and _DECON_EVAL_MOD == 23  # constants the rows encode
+    d = _write_docs(
+        spark,
+        [
+            _doc(0, "w1 w2 w3 w4 w5"),           # eval (0 % 23 == 0)
+            _doc(46, "w2 w3 w4 w5 w6"),          # eval (46 % 23 == 0)
+            _doc(1, "x w1 w2 w3 w4"),            # shares 1 shingle with eval 0
+            _doc(2, "a b c d e"),                # clean
+            _doc(3, "w1 w2 w3 w4 w5 w6"),        # shares with BOTH eval docs
+            _doc(4, "a b c"),                    # too short for a 4-gram
+        ],
+        tmpdir_path,
+    )
+    got = {r["doc_id"]: r for r in q_decontaminate(spark, d).collect()}
+    assert set(got) == {1, 3}  # eval docs and clean docs never appear
+    assert (got[1]["n_hit_shingles"], got[1]["n_eval_docs"]) == (1, 1)
+    # doc 3's shingles: "w1 w2 w3 w4", "w2 w3 w4 w5" (both in eval 0; the
+    # second also in eval 46), "w3 w4 w5 w6" (eval 46) -> 3 hits, 2 evals
+    assert (got[3]["n_hit_shingles"], got[3]["n_eval_docs"]) == (3, 2)
+
+
+def test_decontaminate_broadcasts_the_eval_side(spark, tmpdir_path):
+    d = _write_docs(
+        spark,
+        [_doc(0, "w1 w2 w3 w4 w5"), _doc(1, "x w1 w2 w3 w4")],
+        tmpdir_path,
+    )
+    out = q_decontaminate(spark, d)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the training corpus must stream through a broadcast hash join — a
+    # SortMergeJoin here means the 100-TB side got shuffled by shingle
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_ratios_and_flag(spark, tmpdir_path):
+    long_clean = " ".join(f"t{i}" for i in range(12))
+    d = _write_docs(
+        spark,
+        [
+            _doc(1, "a a a a"),     # degenerate repetition
+            _doc(2, long_clean),    # 12 distinct tokens, all bigrams unique
+            _doc(3, "solo"),        # 1 token -> no bigram -> excluded
+        ],
+        tmpdir_path,
+    )
+    got = {r["doc_id"]: r for r in q_text_repetition(spark, d).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_ratio"] == 0.25      # 1 distinct / 4 -> < 0.3
+    assert r1["top_token_ratio"] == 1.0
+    assert r1["top_bigram_ratio"] == 1.0     # "a a" is all 3 bigrams
+    assert r1["flag_repetitive"] is True
+    r2 = got[2]
+    assert r2["distinct_ratio"] == 1.0
+    assert round(r2["top_bigram_ratio"], 4) == round(1 / 11, 4)  # <= 0.18
+    assert r2["flag_repetitive"] is False
