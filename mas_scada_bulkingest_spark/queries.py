@@ -1863,6 +1863,73 @@ FROM ts JOIN bs USING (doc_id)
 """
 
 # ---------------------------------------------------------------------------
+# training-example assembly: sequence packing into fixed token budgets
+# ---------------------------------------------------------------------------
+
+#: training context length (tokens) that documents are packed into
+_PACK_CTX = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign whole documents to fixed-token-budget
+    training contexts — the assembly step between a cleaned corpus and a
+    tokenized training shard. Contiguous streaming packing: within each
+    ``source`` shard, docs are taken in ``doc_id`` order and a doc joins
+    the pack containing its START offset (``running_tokens_before_doc
+    div CTX``), so packs are deterministic, document-atomic, and may
+    overrun the budget by at most one document's tail — the standard
+    atomic-document packing contract.
+
+    Scale shape: ONE hash-partition-by-source sort feeds the running sum,
+    and the per-pack rollup reuses that partitioning (pack_id is a
+    function of source + running sum), so the whole query is a single
+    exchange. Parallelism = number of source shards; skew is bounded by
+    docs-per-shard, which a real pipeline controls by sharding the
+    corpus before packing (exactly what ``source`` models). Integer
+    ``div`` keeps the bin assignment exact on both engines.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.trim(F.col("text")), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("source", "doc_id", n_toks.alias("n_toks"))
+    binned = base.withColumn("_cum", F.sum("n_toks").over(w)).withColumn(
+        "pack_id", F.expr(f"(_cum - n_toks) div {_PACK_CTX}")
+    )
+    return binned.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        (F.sum("n_toks").cast("double") / F.lit(float(_PACK_CTX))).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(trim(text), ' ')) AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_toks,
+         (sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
+           // {_PACK_CTX} AS pack_id
+  FROM t
+)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc_id,
+       CAST(sum(n_toks) AS DOUBLE) / {float(_PACK_CTX)} AS fill_ratio
+FROM c GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # sessionization: gap-based session assignment
 # ---------------------------------------------------------------------------
 
@@ -2069,4 +2136,5 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "text_repetition": (q_text_repetition, _SQL_TEXT_REPETITION),
+    "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
 }

@@ -83,3 +83,39 @@ def test_repetition_ratios_and_flag(spark, tmpdir_path):
     assert r2["distinct_ratio"] == 1.0
     assert round(r2["top_bigram_ratio"], 4) == round(1 / 11, 4)  # <= 0.18
     assert r2["flag_repetitive"] is False
+
+
+def _wtext(n):
+    return " ".join(["w"] * n)
+
+
+def test_pack_sequences_boundary_and_overrun(spark, tmpdir_path):
+    from mas_scada_bulkingest_spark.queries import _PACK_CTX, q_pack_sequences
+
+    assert _PACK_CTX == 512
+    d = _write_docs(
+        spark,
+        [
+            # shard A: 500 + 12 fills pack 0 exactly; next doc starts at 512
+            (1, _wtext(500), "en", "srcA", 0),
+            (2, _wtext(12), "en", "srcA", 0),
+            (3, _wtext(1), "en", "srcA", 0),
+            # shard B: an oversized doc overruns pack 0 alone; the next doc
+            # starts at offset 600 -> pack 1 (document-atomic overrun rule)
+            (10, _wtext(600), "en", "srcB", 0),
+            (11, _wtext(5), "en", "srcB", 0),
+        ],
+        tmpdir_path,
+    )
+    got = {
+        (r["source"], r["pack_id"]): r
+        for r in q_pack_sequences(spark, d).collect()
+    }
+    assert set(got) == {("srcA", 0), ("srcA", 1), ("srcB", 0), ("srcB", 1)}
+    a0 = got[("srcA", 0)]
+    assert (a0["n_docs"], a0["n_tokens"], a0["fill_ratio"]) == (2, 512, 1.0)
+    a1 = got[("srcA", 1)]
+    assert (a1["n_docs"], a1["n_tokens"], a1["first_doc_id"]) == (1, 1, 3)
+    b0 = got[("srcB", 0)]
+    assert (b0["n_docs"], b0["n_tokens"]) == (1, 600)  # atomic overrun
+    assert got[("srcB", 1)]["first_doc_id"] == 11
