@@ -1,0 +1,86 @@
+"""spark-submit child for the multi-executor scaling harness.
+
+Launched by ``tools/bench_scaling_cluster.py`` as::
+
+    spark-submit --py-files mas_scada_bulkingest_spark.zip \
+        tools/_scaling_cluster_child.py <n_executors> <changes_dir> <work_dir>
+
+The engine package is resolved from the ``--py-files`` zip — the exact
+deployment recipe README.md documents for a real cluster. The session runs
+on ``local-cluster[n,1,mem]``: a genuine standalone master + worker with
+``n`` SEPARATE single-core executor JVMs registering over RPC, exchanging
+shuffle blocks through the Netty transport — the closest sandbox rendering
+of the north_rule's "N and 4N executors" (threads in one JVM share one
+heap/GC; executor JVMs do not).
+
+Protocol: warm the full merge path UNTIMED (tiny replay — steady-state
+throughput excludes one-time JIT/plan-compile, which 10^10 events amortize
+to zero), then the timed replay of the shared changelog, then the timed
+bucket-local read. One JSON line on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+EXEC_MEM_MB = 7168
+
+
+def main() -> None:
+    n_exec = int(sys.argv[1])
+    changes = sys.argv[2]
+    work = sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "mor"
+
+    from mas_scada_bulkingest_spark.pipeline import create_transcripts_table
+    from mas_scada_bulkingest_spark.sources.changelog_gen import generate_changelog
+    from mas_scada_bulkingest_spark.streaming.driver import build_session, replay_batches
+
+    spark = build_session(
+        master=f"local-cluster[{n_exec},1,{EXEC_MEM_MB + 1024}]",
+        shuffle_partitions=n_exec,
+        extra_conf={
+            "spark.executor.memory": f"{EXEC_MEM_MB}m",
+            "spark.local.dir": os.path.join(work, "spark-local"),
+            # pack the scan into even waves instead of lumpy default splits
+            # (same knob as the thread-level harness, tools/bench_scaling.py)
+            "spark.sql.files.maxPartitionBytes": "32m",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    warm_log = os.path.join(work, "warmlog")
+    generate_changelog(warm_log, n_convs=300, mean_turns=4, n_files=2, seed=3)
+    warm_tbl = create_transcripts_table(
+        spark, os.path.join(work, "warm_t"), n_buckets=64, mode=mode
+    )
+    replay_batches(
+        spark, warm_log, warm_tbl,
+        files_per_epoch=2, auto_compact_files=8 if mode == "mor" else None,
+    )
+    warm_tbl.read().count()
+
+    table = create_transcripts_table(
+        spark, os.path.join(work, f"t{n_exec}"), n_buckets=64, mode=mode
+    )
+    t0 = time.perf_counter()
+    replay_batches(
+        spark, changes, table,
+        files_per_epoch=64, auto_compact_files=8 if mode == "mor" else None,
+    )
+    dt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    df = table.read(max_branches=4 * n_exec)
+    n_rows = df.count()
+    read_dt = time.perf_counter() - t0
+    spark.stop()
+    print(json.dumps(
+        {"executors": n_exec, "sec": dt, "read_sec": read_dt, "rows": n_rows}
+    ))
+
+
+if __name__ == "__main__":
+    main()

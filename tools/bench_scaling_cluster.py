@@ -1,0 +1,189 @@
+"""Multi-executor scaling evidence: the SAME ingest job, submitted via
+``spark-submit --py-files``, at N vs 4N separate executor JVMs.
+
+The thread-level harness (``tools/bench_scaling.py``) evidences the
+north_rule's two-cluster-size criterion with ``local[N]`` vs ``local[4N]`` —
+N threads in ONE JVM. This harness closes the remaining literalness gap:
+``local-cluster[N,1,mem]`` launches a real standalone master + worker with N
+SEPARATE single-core executor JVMs (own heap, own GC, own shuffle client,
+registering over RPC, exchanging shuffle blocks through Netty), and the job
+is launched exactly as the README's cluster recipe says — ``spark-submit
+--py-files mas_scada_bulkingest_spark.zip`` — so the evidence covers
+"N and 4N executors", not just "N and 4N threads".
+
+Methodology (identical to bench_scaling.py where applicable):
+
+* fresh spark-submit per trial (fresh JVMs, no warm caches), full merge
+  path warmed UNTIMED inside each child before the timed region;
+* the whole process tree (driver + master + worker + executors) is PINNED
+  via ``taskset -c`` to a fixed disjoint cpuset of **1 + N** CPUs at lo and
+  **1 + 4N** at hi: per-executor resources are constant (1 core, 7 GiB) and
+  the driver gets the same +1 core at both levels — on a real cluster the
+  driver does not shrink with N. (Affinity is inherited by every spawned
+  JVM, so driver and executors cannot be pinned separately; granting the
+  driver core at BOTH levels keeps the comparison fair. If anything the
+  arrangement is conservative: at lo the single task can borrow the mostly
+  idle driver core, deflating the measured ratio.)
+* trials INTERLEAVED lo,hi,lo,hi,… (ambient noisy-neighbor drift hits both
+  levels under like conditions);
+* identical pre-generated changelog, ``n_buckets=64``,
+  ``shuffle.partitions = n_executors`` at each level;
+* table + shuffle dirs on tmpfs (the sandbox disk serializes concurrent
+  writers);
+* per-trial /proc/stat steal sampling on the pinned cpuset (hypervisor
+  interference meter — see BENCH.md runs D-F analysis);
+* reported: every raw wall, per-level min/median, paired-ratio and
+  level-median efficiency estimators.
+
+Usage: python tools/bench_scaling_cluster.py [N] [n_convs] [trials] [mode]
+Env:   SCALING_CHANGES_DIR reuses a pre-generated changelog;
+       SCALING_PIN=0 disables taskset pinning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+from bench_scaling import _read_cpuset_stat  # same steal-meter
+
+
+def _make_pyfiles_zip(repo: str, dest_dir: str) -> str:
+    """Zip the engine package exactly as the README deployment recipe does
+    (``python -m zipfile -c engine.zip mas_scada_bulkingest_spark/``)."""
+    pkg = os.path.join(repo, "mas_scada_bulkingest_spark")
+    zpath = os.path.join(dest_dir, "mas_scada_bulkingest_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".pyc"):
+                    continue
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, repo))
+    return zpath
+
+
+def _spark_submit() -> str:
+    for cand in (
+        shutil.which("spark-submit"),
+        "/opt/spark/bin/spark-submit",
+    ):
+        if cand and os.path.exists(cand):
+            return cand
+    raise RuntimeError("spark-submit not found")
+
+
+def run_trial(
+    n_exec: int, cpu_base: int, changes: str, repo: str, zpath: str, mode: str
+) -> dict:
+    work = tempfile.mkdtemp(prefix=f"cscale{n_exec}_", dir="/dev/shm")
+    cpus = list(range(cpu_base, cpu_base + 1 + n_exec))  # +1 driver core
+    pin: list[str] = []
+    if os.environ.get("SCALING_PIN", "1") != "0":
+        pin = ["taskset", "-c", ",".join(str(c) for c in cpus)]
+    child = os.path.join(repo, "tools", "_scaling_cluster_child.py")
+    try:
+        s0, t0 = _read_cpuset_stat(cpus)
+        out = subprocess.run(
+            [
+                *pin, _spark_submit(),
+                "--py-files", zpath,
+                "--conf", "spark.driver.memory=4g",
+                child, str(n_exec), changes, work, mode,
+            ],
+            capture_output=True, text=True, timeout=2400,
+            env={
+                **os.environ,
+                # keep standalone worker/executor scratch off /opt/spark
+                "SPARK_WORKER_DIR": os.path.join(work, "worker"),
+                "SPARK_LOG_DIR": os.path.join(work, "logs"),
+                # the child must NOT see the repo via PYTHONPATH: imports
+                # must resolve through --py-files (that is the point)
+                "PYTHONPATH": "",
+            },
+        )
+        s1, t1 = _read_cpuset_stat(cpus)
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                res = json.loads(line)
+                res["steal_frac"] = round((s1 - s0) / max(1, t1 - t0), 4)
+                return res
+        raise RuntimeError(
+            f"child failed (executors={n_exec}):\n{out.stderr[-3000:]}"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from mas_scada_bulkingest_spark.sources.changelog_gen import generate_changelog
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 640_000
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    mode = sys.argv[4] if len(sys.argv) > 4 else "mor"
+
+    staging = tempfile.mkdtemp(prefix="cscale_stage_", dir="/dev/shm")
+    zpath = _make_pyfiles_zip(repo, staging)
+
+    reuse = os.environ.get("SCALING_CHANGES_DIR")
+    if reuse and os.path.isdir(reuse):
+        changes = reuse
+    else:
+        changes = os.path.join(staging, "changes")
+        man = generate_changelog(
+            changes, n_convs=n_convs, mean_turns=8, n_files=64, seed=7
+        )
+        print(f"changelog: {man.n_events} events, 64 files", file=sys.stderr)
+
+    # disjoint fixed cpusets away from CPUs 0-1 (kernel/irq):
+    # lo on [2, 2+1+n), hi on [8, 8+1+4n)
+    lo_runs, hi_runs = [], []
+    try:
+        for t in range(trials):
+            lo_runs.append(run_trial(n, 2, changes, repo, zpath, mode))
+            hi_runs.append(run_trial(4 * n, 8, changes, repo, zpath, mode))
+            print(
+                f"trial {t + 1}/{trials}: lo {lo_runs[-1]['sec']:.1f}s "
+                f"(steal {lo_runs[-1]['steal_frac']:.1%}) "
+                f"hi {hi_runs[-1]['sec']:.1f}s "
+                f"(steal {hi_runs[-1]['steal_frac']:.1%}) "
+                f"(eff {(lo_runs[-1]['sec'] / hi_runs[-1]['sec']) / 4:.3f})",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    lo_secs = [r["sec"] for r in lo_runs]
+    hi_secs = [r["sec"] for r in hi_runs]
+    paired = sorted((a / b) / 4 for a, b in zip(lo_secs, hi_secs))
+    med_pair = statistics.median(paired)
+    med_level = statistics.median(lo_secs) / (4 * statistics.median(hi_secs))
+    print(json.dumps({
+        "harness": "spark-submit + local-cluster (separate executor JVMs)",
+        "executors_lo": n, "executors_hi": 4 * n, "mode": mode,
+        "lo_walls_sec": [round(s, 1) for s in lo_secs],
+        "hi_walls_sec": [round(s, 1) for s in hi_secs],
+        "lo_steal": [r["steal_frac"] for r in lo_runs],
+        "hi_steal": [r["steal_frac"] for r in hi_runs],
+        "lo_min_sec": round(min(lo_secs), 1),
+        "hi_min_sec": round(min(hi_secs), 1),
+        "eff_paired_median": round(med_pair, 3),
+        "eff_level_median": round(med_level, 3),
+        "eff_level_min": round(min(lo_secs) / (4 * min(hi_secs)), 3),
+        "rows": lo_runs[0]["rows"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
