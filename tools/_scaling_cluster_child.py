@@ -21,10 +21,65 @@ bucket-local read. One JSON line on stdout.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 EXEC_MEM_MB = 7168
+
+
+def _repin_executors(n_exec: int) -> None:
+    """Pin executor JVMs to ``SCALING_EXEC_CPUS`` and the driver JVM (+ this
+    python process) to ``SCALING_DRIVER_CPUS`` — the cpuset analog of a
+    cgroup-capped executor container.
+
+    The parent pins the whole spark-submit tree to driver∪executor CPUs
+    (affinity is inherited), which lets the LONE lo-level executor borrow the
+    mostly-idle driver core — silently giving the 1-executor level ~2 cores
+    of silicon and deflating the measured N→4N ratio. Here, once the
+    standalone master has launched all ``n_exec`` CoarseGrainedExecutorBackend
+    JVMs (direct children of the driver JVM in local-cluster mode), each is
+    re-pinned with ``taskset -a`` (all threads) to exactly the executor
+    cpuset; pyspark worker daemons fork from the executors afterwards and
+    inherit it. Per-executor resources are then constant at both levels and
+    the driver core is a driver core at both levels.
+    """
+    exec_cpus = os.environ.get("SCALING_EXEC_CPUS")
+    drv_cpus = os.environ.get("SCALING_DRIVER_CPUS")
+    if not exec_cpus or not drv_cpus:
+        return
+    driver_jvm = os.getppid()
+    deadline = time.time() + 60
+    backends: list[int] = []
+    while time.time() < deadline:
+        backends = []
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmd = fh.read()
+                with open(f"/proc/{pid}/stat") as fh:
+                    ppid = int(fh.read().split(")")[-1].split()[1])
+            except OSError:
+                continue
+            if b"CoarseGrainedExecutorBackend" in cmd and ppid == driver_jvm:
+                backends.append(int(pid))
+        if len(backends) >= n_exec:
+            break
+        time.sleep(0.2)
+    if len(backends) < n_exec:
+        print(
+            f"repin: only {len(backends)}/{n_exec} executor JVMs found; "
+            "leaving inherited affinity", file=sys.stderr,
+        )
+        return
+    for pid in backends:
+        subprocess.run(["taskset", "-a", "-pc", exec_cpus, str(pid)],
+                       capture_output=True)
+    for pid in (driver_jvm, os.getpid()):
+        subprocess.run(["taskset", "-a", "-pc", drv_cpus, str(pid)],
+                       capture_output=True)
 
 
 def main() -> None:
@@ -50,6 +105,7 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    _repin_executors(n_exec)  # before warm: python daemons inherit the pin
 
     warm_log = os.path.join(work, "warmlog")
     generate_changelog(warm_log, n_convs=300, mean_turns=4, n_files=2, seed=3)

@@ -87,8 +87,17 @@ def run_trial(
     work = tempfile.mkdtemp(prefix=f"cscale{n_exec}_", dir="/dev/shm")
     cpus = list(range(cpu_base, cpu_base + 1 + n_exec))  # +1 driver core
     pin: list[str] = []
+    pin_env: dict[str, str] = {}
     if os.environ.get("SCALING_PIN", "1") != "0":
         pin = ["taskset", "-c", ",".join(str(c) for c in cpus)]
+        # the child re-pins (taskset -a) the driver JVM to cpus[0] and the
+        # executor JVMs to cpus[1:] once they register — without this the
+        # lone lo-level executor borrows the idle driver core and the
+        # measured ratio compares ~2 cores of silicon against 5
+        pin_env = {
+            "SCALING_DRIVER_CPUS": str(cpus[0]),
+            "SCALING_EXEC_CPUS": ",".join(str(c) for c in cpus[1:]),
+        }
     child = os.path.join(repo, "tools", "_scaling_cluster_child.py")
     try:
         s0, t0 = _read_cpuset_stat(cpus)
@@ -102,6 +111,7 @@ def run_trial(
             capture_output=True, text=True, timeout=2400,
             env={
                 **os.environ,
+                **pin_env,
                 # keep standalone worker/executor scratch off /opt/spark
                 "SPARK_WORKER_DIR": os.path.join(work, "worker"),
                 "SPARK_LOG_DIR": os.path.join(work, "logs"),
