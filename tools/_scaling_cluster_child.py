@@ -74,9 +74,21 @@ def _repin_executors(n_exec: int) -> None:
             "leaving inherited affinity", file=sys.stderr,
         )
         return
-    for pid in backends:
-        subprocess.run(["taskset", "-a", "-pc", exec_cpus, str(pid)],
-                       capture_output=True)
+    cpu_list = exec_cpus.split(",")
+    spread = os.environ.get("SCALING_EXEC_SPREAD", "1") != "0" and len(
+        cpu_list
+    ) == len(backends)
+    for i, pid in enumerate(sorted(backends)):
+        # spread: executor i gets ITS OWN core (the 1-core-container model —
+        # its JVM threads and forked python workers time-slice there and
+        # nowhere else). A shared 4-CPU set measurably thrashes: 4 JVMs +
+        # 4 python workers migrating across 4 CPUs ran 1.5-2.5x slower.
+        cpus = cpu_list[i] if spread else exec_cpus
+        r = subprocess.run(["taskset", "-a", "-pc", cpus, str(pid)],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"repin: taskset failed for {pid}: {r.stderr.strip()}",
+                  file=sys.stderr)
     for pid in (driver_jvm, os.getpid()):
         subprocess.run(["taskset", "-a", "-pc", drv_cpus, str(pid)],
                        capture_output=True)
