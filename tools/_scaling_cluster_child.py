@@ -106,7 +106,7 @@ def main() -> None:
 
     spark = build_session(
         master=f"local-cluster[{n_exec},1,{EXEC_MEM_MB + 1024}]",
-        shuffle_partitions=n_exec,
+        shuffle_partitions=n_exec * int(os.environ.get("SCALING_SHUFFLE_MULT", "1")),
         extra_conf={
             "spark.executor.memory": f"{EXEC_MEM_MB}m",
             "spark.local.dir": os.path.join(work, "spark-local"),
