@@ -1930,6 +1930,125 @@ FROM c GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# text analysis: PII detection + redaction
+# ---------------------------------------------------------------------------
+
+#: PII patterns — written in the common Java-regex/RE2 subset so Spark
+#: (java.util.regex) and the DuckDB oracle (RE2) match identically.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: scrub emails, phone numbers, and IPv4
+    addresses from document text and report per-doc counts — the
+    pre-release privacy pass every LLM training pipeline runs (no
+    reference analog; pure training-data surface, like ``decontaminate``).
+
+    The synthetic corpus contains no PII, so the query first **injects**
+    deterministic PII derived from ``doc_id`` (emails on ``doc_id%5==0``,
+    phones on ``%7``, IPs on ``%3``; the oracle performs the identical
+    injection) — this makes the redaction path discriminating at every sf
+    while keeping the benchmark self-contained. The redacted text is
+    compared via md5 so the oracle proves byte-identical replacement, not
+    just matching counts.
+
+    Scale shape: pure map-side column expressions (concat, regexp_count,
+    chained regexp_replace, md5) — zero exchanges, embarrassingly
+    parallel, the ideal 100-TB shape. Redaction order is fixed
+    (email → phone → IP) so overlapping matches resolve identically on
+    both engines.
+    """
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" reach u"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call 202-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                F.expr("cast((doc_id div 7) % 256 as string)"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", injected.alias("_txt"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_txt"), _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        _PII_IPV4_RE,
+        "<IP>",
+    )
+    n_email = F.regexp_count(F.col("_txt"), F.lit(_PII_EMAIL_RE))
+    n_phone = F.regexp_count(F.col("_txt"), F.lit(_PII_PHONE_RE))
+    n_ip = F.regexp_count(F.col("_txt"), F.lit(_PII_IPV4_RE))
+    return base.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ip.alias("n_ips"),
+        (n_email + n_phone + n_ip).alias("n_redactions"),
+        ((n_email + n_phone + n_ip) == 0).alias("is_clean"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_SQL_REDACT_PII = f"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' reach u' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' call 202-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                   || CAST((doc_id // 7) % 256 AS VARCHAR)
+              ELSE '' END AS _txt
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, _txt,
+         len(regexp_extract_all(_txt, '{_PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(_txt, '{_PII_PHONE_RE}')) AS n_phones,
+         len(regexp_extract_all(_txt, '{_PII_IPV4_RE}')) AS n_ips
+  FROM inj
+)
+SELECT doc_id,
+       CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_phones AS INTEGER) AS n_phones,
+       CAST(n_ips AS INTEGER) AS n_ips,
+       CAST(n_emails + n_phones + n_ips AS INTEGER) AS n_redactions,
+       (n_emails + n_phones + n_ips) = 0 AS is_clean,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             _txt, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{_PII_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+FROM counted
+"""
+
+# ---------------------------------------------------------------------------
 # sessionization: gap-based session assignment
 # ---------------------------------------------------------------------------
 
@@ -2137,4 +2256,5 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "text_repetition": (q_text_repetition, _SQL_TEXT_REPETITION),
     "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
+    "redact_pii": (q_redact_pii, _SQL_REDACT_PII),
 }

@@ -119,3 +119,40 @@ def test_pack_sequences_boundary_and_overrun(spark, tmpdir_path):
     b0 = got[("srcB", 0)]
     assert (b0["n_docs"], b0["n_tokens"]) == (1, 600)  # atomic overrun
     assert got[("srcB", 1)]["first_doc_id"] == 11
+
+
+def test_redact_pii_injection_counts_and_bytes(spark, tmpdir_path):
+    import hashlib
+
+    from mas_scada_bulkingest_spark.queries import q_redact_pii
+
+    d = _write_docs(
+        spark,
+        [
+            # 105 hits every injection class: %5 (email), %7 (phone), %3 (IP)
+            _doc(105, "base words"),
+            # 1 matches no injection class and carries no PII -> clean
+            _doc(1, "hello world"),
+            # 2 matches no class but the TEXT already contains PII
+            _doc(2, "mail bob@corp.io or 555-867-5309 ok"),
+        ],
+        tmpdir_path,
+    )
+    got = {r["doc_id"]: r for r in q_redact_pii(spark, d).collect()}
+
+    r = got[105]  # 105 // 7 == 15 -> ip 10.0.105.15
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 1, 1)
+    assert r["n_redactions"] == 3 and r["is_clean"] is False
+    expect = "base words reach <EMAIL> call <PHONE> from <IP>"
+    assert r["redacted_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+    r = got[1]
+    assert r["n_redactions"] == 0 and r["is_clean"] is True
+    assert (
+        r["redacted_md5"] == hashlib.md5(b"hello world").hexdigest()
+    )  # untouched text
+
+    r = got[2]  # pre-existing PII is scrubbed even with no injection
+    assert (r["n_emails"], r["n_phones"]) == (1, 1)
+    expect = "mail <EMAIL> or <PHONE> ok"
+    assert r["redacted_md5"] == hashlib.md5(expect.encode()).hexdigest()
