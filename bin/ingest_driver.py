@@ -78,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--deep-verify", action="store_true",
                    help="with --verify-integrity: also assert every stored row hashes"
                         " to the bucket holding it (one Spark job)")
+    p.add_argument("--clone-to", metavar="DEST_PATH",
+                   help="zero-copy (hard-link) clone of --table-path to DEST_PATH "
+                        "and exit; both tables then evolve independently")
     p.add_argument("--purge-key", metavar="CONV_ID",
                    help="right-to-be-forgotten: physically erase every stored trace of"
                         " the key (one-bucket rewrite + snapshot expiry) and exit")
@@ -112,6 +115,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.purge_key:
         n = SnapshotTable(spark, args.table_path).purge_key(args.purge_key)
         print(json.dumps({"purged_rows": n, "key": args.purge_key}))
+        return 0
+
+    if args.clone_to:
+        cl = SnapshotTable(spark, args.table_path).clone(args.clone_to)
+        print(json.dumps({"cloned_to": cl.path, "version": 0,
+                          "n_data_files": sum(len(f) for f in
+                                              cl._snapshot["buckets"].values())}))
         return 0
 
     if not args.changes_dir and not args.bootstrap_dir:

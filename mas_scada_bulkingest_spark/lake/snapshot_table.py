@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from contextlib import contextmanager
@@ -1166,6 +1167,19 @@ class SnapshotTable(LakeTable):
                 "read_changes requires a merge-on-read table: copy-on-write "
                 "rewrites whole buckets and keeps no per-epoch change files"
             )
+        floor = int(self._snapshot.get("feed_floor", 0))
+        if floor and (0 if change_types else since_epoch) < floor:
+            # on a clone()d table the feed starts at the clone point:
+            # pre-clone compaction may have folded delta files this table
+            # never saw, so serving (or classifying against) older epochs
+            # could silently under-report — same contract as vacuum
+            # truncation. The typed feed needs history from epoch 0, so it
+            # always refers back to the source table.
+            raise FileNotFoundError(
+                f"changes feed on this clone starts at epoch {floor} "
+                f"(pre-clone history lives on the source table); "
+                f"recompute downstream state from a full read()"
+            )
         # every epoch delta file referenced by any retained snapshot —
         # history-wide, so compaction cannot hide an epoch from the feed.
         # Snapshots record their per-commit file delta (``added_files``), so
@@ -1760,6 +1774,104 @@ class SnapshotTable(LakeTable):
         self._write_snapshot(snap)
         self._snapshot = snap
         return sum(len(f) for f in new_buckets.values())
+
+    def clone(self, dest_path: str) -> "SnapshotTable":
+        """Zero-copy table clone — the Delta/Iceberg ``CLONE`` analog for
+        dev/test forks, blue-green migrations, and reproducible snapshots.
+
+        Every live data and lineage file is **hard-linked** into the new
+        table (per-file copy fallback when the destination is on another
+        filesystem), so the clone costs O(files) metadata like a shallow
+        clone — no data bytes move — but is *immune to maintenance on the
+        source*, which a pointer-style shallow clone is not: ``vacuum`` /
+        ``compact`` / ``purge_key`` / ``rebucket`` only unlink directory
+        entries, and a linked inode stays alive for the clone. Safe because
+        data files are immutable in this engine — every write creates new
+        files; nothing ever mutates a shared inode. The clone works for
+        both storage modes and is driver-side only (no Spark job): at
+        100 TB it is an object-store manifest copy, not a data copy.
+
+        Carried over: schema, bucket layout, storage mode, type-widening
+        flag, manifest file stats/sizes (data skipping keeps working), and
+        the **committed-epoch set + watermarks** — replaying an epoch the
+        source already committed is a no-op on the clone, so a stream can
+        be pointed at the clone mid-log and resume exactly-once (the
+        handoff invariant, same as ``rebucket``).
+
+        Reset: snapshot history. The clone's history starts at its own v0
+        (Delta ``CLONE`` semantics), so ``versions()`` = [0], time travel
+        below the clone point is gone, and ``read_changes`` for pre-clone
+        epochs raises instead of silently under-reporting epochs whose
+        delta files were compacted away before the clone (``feed_floor``
+        in the snapshot records the boundary; the source table still
+        serves its own full feed).
+        """
+        if os.path.exists(os.path.join(dest_path, _CURRENT)):
+            raise ValueError(f"clone destination already exists: {dest_path}")
+        for d in ("data", "snapshots", "lineage"):
+            os.makedirs(os.path.join(dest_path, d), exist_ok=True)
+
+        def _link_or_copy(rel: str) -> None:
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dest_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-filesystem fallback
+
+        for files in self._snapshot["buckets"].values():
+            for rel in files:
+                _link_or_copy(rel)
+        lin_dir = os.path.join(self.path, "lineage")
+        for name in os.listdir(lin_dir):
+            _link_or_copy(os.path.join("lineage", name))
+
+        committed = list(self._snapshot.get("committed_epochs", []))
+        epoch_nums = [
+            sp[1]
+            for sp in (_split_epoch_key(str(k)) for k in committed)
+            if sp is not None
+        ]
+        for ns_max in self._snapshot.get("epoch_watermarks", {}).values():
+            epoch_nums.append(int(ns_max))
+        live = {f for fs in self._snapshot["buckets"].values() for f in fs}
+        snap = {
+            "version": 0,
+            "schema": self._snapshot["schema"],
+            "n_buckets": self._snapshot["n_buckets"],
+            "key": self._snapshot["key"],
+            "order": self._snapshot["order"],
+            "mode": self._snapshot.get("mode", "cow"),
+            "type_widening": self._snapshot.get("type_widening", False),
+            "buckets": {
+                b: list(fs) for b, fs in self._snapshot["buckets"].items()
+            },
+            "committed_epochs": committed,
+            "epoch_watermarks": dict(
+                self._snapshot.get("epoch_watermarks", {})
+            ),
+            "file_sizes": {
+                f: sz
+                for f, sz in self._snapshot.get("file_sizes", {}).items()
+                if f in live
+            },
+            "file_stats": {
+                f: st
+                for f, st in self._snapshot.get("file_stats", {}).items()
+                if f in live
+            },
+            "parent": None,
+            # read_changes below this epoch cannot be served faithfully
+            # (pre-clone compaction may have folded delta files the clone
+            # never saw) — raise rather than under-report
+            "feed_floor": (max(epoch_nums) + 1) if epoch_nums else 0,
+        }
+        tbl = object.__new__(type(self))
+        tbl.spark, tbl.path = self.spark, dest_path
+        tbl._write_snapshot(snap)
+        tbl._snapshot = snap
+        return tbl
 
     def bootstrap(
         self,
