@@ -81,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--clone-to", metavar="DEST_PATH",
                    help="zero-copy (hard-link) clone of --table-path to DEST_PATH "
                         "and exit; both tables then evolve independently")
+    p.add_argument("--restore-version", type=int, metavar="V",
+                   help="roll --table-path back to snapshot V as a new commit "
+                        "(rolled-back epochs will re-apply on replay) and exit")
     p.add_argument("--purge-key", metavar="CONV_ID",
                    help="right-to-be-forgotten: physically erase every stored trace of"
                         " the key (one-bucket rewrite + snapshot expiry) and exit")
@@ -115,6 +118,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.purge_key:
         n = SnapshotTable(spark, args.table_path).purge_key(args.purge_key)
         print(json.dumps({"purged_rows": n, "key": args.purge_key}))
+        return 0
+
+    if args.restore_version is not None:
+        tbl = SnapshotTable(spark, args.table_path)
+        new_v = tbl.restore(args.restore_version)
+        print(json.dumps({"restored_to": args.restore_version,
+                          "new_version": new_v}))
         return 0
 
     if args.clone_to:

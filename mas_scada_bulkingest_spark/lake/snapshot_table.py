@@ -1190,6 +1190,10 @@ class SnapshotTable(LakeTable):
         seen: dict[str, int] = {}
         epoch_prefix = os.path.join("data", "epoch=")
         snap_dir = os.path.join(self.path, "snapshots")
+        # files restore() rolled back: still in retained history, but not
+        # part of this table's logical past — the feed must not serve them
+        # (nor double-serve an epoch once its repaired replay re-appends)
+        excluded = set(self._snapshot.get("feed_excluded", []))
         for i, v in enumerate(self.versions()):
             with open(os.path.join(snap_dir, f"v{v:08d}.json")) as fh:
                 snap = json.load(fh)
@@ -1197,7 +1201,7 @@ class SnapshotTable(LakeTable):
             if i == 0 or added is None:
                 added = (f for fs in snap["buckets"].values() for f in fs)
             for f in added:
-                if f.startswith(epoch_prefix):
+                if f.startswith(epoch_prefix) and f not in excluded:
                     e = int(f.split("epoch=", 1)[1].split("-", 1)[0])
                     seen.setdefault(f, e)
         # typed classification needs every retained epoch at or below the
@@ -1774,6 +1778,103 @@ class SnapshotTable(LakeTable):
         self._write_snapshot(snap)
         self._snapshot = snap
         return sum(len(f) for f in new_buckets.values())
+
+    def restore(self, version: int) -> int:
+        """Roll the table back (or forward again) to snapshot ``version``
+        as a **new commit** — the Delta ``RESTORE TABLE … TO VERSION AS
+        OF`` / Iceberg ``rollback_to_snapshot`` analog, and the repair
+        path after a bad epoch: restore below it, fix the batch, replay.
+
+        The restored commit's logical content — schema, bucket layout,
+        file lists, **committed-epoch set and watermarks** — is exactly
+        snapshot ``version``'s, written at version ``current + 1``, so
+        history is append-only (the rollback itself is auditable in
+        ``history()`` and can be restored past again). Because the
+        rolled-back epochs leave the committed set, replaying them is NOT
+        a no-op anymore: the stream re-applies them from the changelog —
+        that is the point. Driver-side metadata swap only, O(files); no
+        data moves (files are immutable and still on disk while their
+        snapshot is retained — ``vacuum`` is what expires them, and a
+        restore target expired by vacuum raises ``FileNotFoundError``).
+
+        Changes-feed consistency: delta files that entered the table
+        AFTER the restore target belong to rolled-back epochs, yet stay
+        referenced by the retained post-target snapshots — and a repaired
+        replay re-appends files for the SAME numeric epochs. The restore
+        commit therefore records ``feed_excluded``: every epoch-delta
+        file in retained history that is not in the target's own history
+        (the walk of ``added_files`` over versions ≤ target, mirroring
+        ``read_changes``), and the feed skips them — downstream consumers
+        see the rolled-back epochs disappear and then the repaired
+        batches re-arrive, never both. A later restore recomputes the set
+        from scratch, so restoring forward re-admits files it re-adopts.
+
+        Returns the new current version. Raises
+        :class:`ConcurrentCommitError` if another writer commits first
+        (reload and retry)."""
+        self._snapshot = self._read_current_snapshot()
+        cur = self._snapshot
+        if version == int(cur["version"]):
+            return int(cur["version"])  # no-op: already this content
+        try:
+            target = self.at_version(version)._snapshot
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: its snapshot was "
+                f"expired by vacuum (retained: {self.versions()})"
+            ) from None
+        missing = [
+            f
+            for fs in target["buckets"].values()
+            for f in fs
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: {len(missing)} of its"
+                f" data files were removed (e.g. {missing[0]}); only"
+                f" versions whose files vacuum still retains are restorable"
+            )
+        epoch_prefix = os.path.join("data", "epoch=")
+        snap_dir = os.path.join(self.path, "snapshots")
+
+        def _epoch_files(upto: int | None) -> set:
+            out: set[str] = set()
+            for i, v in enumerate(self.versions()):
+                if upto is not None and v > upto:
+                    continue
+                with open(os.path.join(snap_dir, f"v{v:08d}.json")) as fh:
+                    s = json.load(fh)
+                added = s.get("added_files")
+                if i == 0 or added is None:
+                    added = (f for fs in s["buckets"].values() for f in fs)
+                out.update(f for f in added if f.startswith(epoch_prefix))
+            return out
+
+        snap = {
+            **cur,
+            "version": int(cur["version"]) + 1,
+            "parent": int(cur["version"]),
+            "schema": target["schema"],
+            "n_buckets": target["n_buckets"],
+            "key": target["key"],
+            "order": target["order"],
+            "mode": target.get("mode", "cow"),
+            "type_widening": target.get("type_widening", False),
+            "buckets": {b: list(fs) for b, fs in target["buckets"].items()},
+            "committed_epochs": list(target.get("committed_epochs", [])),
+            "epoch_watermarks": dict(target.get("epoch_watermarks", {})),
+            # union with the target's OWN exclusions: restoring forward to
+            # a version that was itself a restore must not re-admit files
+            # that version had already rolled back
+            "feed_excluded": sorted(
+                (_epoch_files(None) - _epoch_files(version))
+                | set(target.get("feed_excluded", []))
+            ),
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return int(snap["version"])
 
     def clone(self, dest_path: str) -> "SnapshotTable":
         """Zero-copy table clone — the Delta/Iceberg ``CLONE`` analog for
