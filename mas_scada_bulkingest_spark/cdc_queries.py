@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .derived import create_conversation_rollup, refresh_rollup
 from .lake.snapshot_table import SnapshotTable
 from .operators.lww import collapse_lww
 from .pipeline import apply_changes, create_conversations_registry
@@ -448,6 +449,46 @@ WITH {_SQL_CHANGES},
     FROM changes
   )
 SELECT conv_id, CAST(count(*) AS BIGINT) AS live_turns
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+GROUP BY conv_id
+"""
+
+
+def q_cdc_derived_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading CDC through a PERSISTED derived table (``derived.py``):
+    the replayed source's changes feed is folded into a second exactly-once
+    SnapshotTable in two refreshes (epochs [0,1], then [2,3]) — resume
+    cursor = the derived table's own committed-epoch log, affected-key
+    recompute with bucket pruning, refresh-epoch LWW order. A third refresh
+    must report "caught up" (the exactly-once handoff), asserted inline.
+    The oracle is the INDEPENDENT from-scratch recompute of the rollup over
+    the globally LWW-reduced changelog, so the driver's hash proves the
+    split incremental maintenance ≡ one-shot recompute."""
+    source = _replayed_table(spark, sf_dir, epoching="blocked")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_derived_", dir=base)
+    derived = create_conversation_rollup(spark, os.path.join(work, "rollup"))
+    refresh_rollup(source, derived, to_epoch=1)
+    refresh_rollup(source, derived)
+    if refresh_rollup(source, derived) is not None:
+        raise AssertionError("refresh after catch-up must return None")
+    return derived.read().select(
+        "conv_id", "live_turns", "total_chars", "last_ts", "max_lsn"
+    )
+
+
+_SQL_CDC_DERIVED_ROLLUP = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  )
+SELECT conv_id,
+       CAST(count(*) AS BIGINT)                       AS live_turns,
+       CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+       max(ts)                                        AS last_ts,
+       CAST(max(lsn) AS BIGINT)                       AS max_lsn
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 GROUP BY conv_id
 """
@@ -1455,6 +1496,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_changes_feed": (q_cdc_changes_feed, _SQL_CDC_CHANGES_FEED),
     "cdc_cdf_typed": (q_cdc_cdf_typed, _SQL_CDC_CDF_TYPED),
     "cdc_ivm_rollup": (q_cdc_ivm_rollup, _SQL_CDC_IVM_ROLLUP),
+    "cdc_derived_rollup": (q_cdc_derived_rollup, _SQL_CDC_DERIVED_ROLLUP),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),

@@ -493,6 +493,23 @@ class SnapshotTable(LakeTable):
             w + 1 for w in self._snapshot.get("epoch_watermarks", {}).values()
         )
 
+    @property
+    def last_committed_epoch(self) -> int:
+        """Highest committed numeric epoch id across all namespaces, −1 for
+        a table that never committed one. The resume cursor for consumers
+        that fold this table's changes feed into a derived table (see
+        ``derived.refresh_rollup``): the NEXT refresh covers
+        ``[last + 1, source.last_committed_epoch]``. O(watermarks + sparse
+        extras), no expansion."""
+        best = -1
+        for w in self._snapshot.get("epoch_watermarks", {}).values():
+            best = max(best, int(w))
+        for k in self._snapshot.get("committed_epochs", []):
+            sp = _split_epoch_key(str(k))
+            if sp is not None:
+                best = max(best, sp[1])
+        return best
+
     def is_epoch_committed(self, epoch_id: int | str) -> bool:
         """Watermark-aware membership check (no expansion)."""
         k = _epoch_key(epoch_id)

@@ -1,0 +1,147 @@
+"""Cascading CDC: persisted derived rollup maintained off the changes feed.
+
+Contracts pinned here: incremental refresh ≡ from-scratch recompute for any
+split of the epoch range; the derived table's own epoch log is the resume
+cursor (replayed refreshes no-op); fully-deleted conversations tombstone
+out; and — the regression that motivates the refresh-epoch LWW order —
+deleting the turn that held a conversation's max (ts, lsn) must not let
+the stale rollup win.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from mas_scada_bulkingest_spark.derived import (
+    create_conversation_rollup,
+    refresh_rollup,
+    rollup_state,
+)
+from mas_scada_bulkingest_spark.pipeline import (
+    apply_changes,
+    create_transcripts_table,
+)
+
+_COLS = (
+    "lsn long, op string, conv_id string, turn_idx int, role string,"
+    " text string, tool string, ts timestamp_ntz"
+)
+
+
+def _apply(spark, tbl, rows, epoch):
+    return apply_changes(tbl, spark.createDataFrame(rows, _COLS), epoch_id=epoch)
+
+
+def _derived_state(derived):
+    return (
+        derived.read()
+        .select("conv_id", "live_turns", "total_chars", "last_ts", "max_lsn")
+        .orderBy("conv_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def _recompute(source):
+    return (
+        rollup_state(source.read())
+        .orderBy("conv_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture()
+def source(spark, tmpdir_path):
+    tbl = create_transcripts_table(
+        spark, tmpdir_path + "/src", n_buckets=4, mode="mor"
+    )
+    _apply(
+        spark,
+        tbl,
+        [
+            (i, "update", f"c{i % 3}", i // 3, "u", "x" * (i + 1), None,
+             datetime(2024, 1, 1, 0, 0, i))
+            for i in range(9)
+        ],
+        0,
+    )
+    _apply(
+        spark,
+        tbl,
+        [
+            (20, "update", "c0", 0, "u", "longer text", None,
+             datetime(2024, 1, 2)),
+            (21, "delete", "c1", 1, None, None, None, datetime(2024, 1, 2, 1)),
+        ],
+        1,
+    )
+    return tbl
+
+
+def test_incremental_equals_recompute_any_split(spark, tmpdir_path, source):
+    derived = create_conversation_rollup(spark, tmpdir_path + "/d")
+    # split the range: epoch 0 first, then the rest
+    st1 = refresh_rollup(source, derived, to_epoch=0)
+    assert st1 is not None and not st1.was_noop
+    mid = _derived_state(derived)
+    assert set(mid["conv_id"]) == {"c0", "c1", "c2"}
+    st2 = refresh_rollup(source, derived)
+    assert st2 is not None and not st2.was_noop
+    final = _derived_state(derived)
+    ref = _recompute(source)
+    assert final.equals(ref), f"\n{final}\nvs\n{ref}"
+    # caught up: another refresh is None; a replayed range no-ops
+    assert refresh_rollup(source, derived) is None
+    assert derived.last_committed_epoch == source.last_committed_epoch
+
+
+def test_single_shot_equals_split(spark, tmpdir_path, source):
+    d1 = create_conversation_rollup(spark, tmpdir_path + "/d1")
+    refresh_rollup(source, d1)  # one refresh over the whole range
+    d2 = create_conversation_rollup(spark, tmpdir_path + "/d2")
+    refresh_rollup(source, d2, to_epoch=0)
+    refresh_rollup(source, d2)
+    assert _derived_state(d1).equals(_derived_state(d2))
+
+
+def test_fully_deleted_conversation_tombstones_out(spark, tmpdir_path, source):
+    derived = create_conversation_rollup(spark, tmpdir_path + "/d")
+    refresh_rollup(source, derived)
+    assert "c2" in set(_derived_state(derived)["conv_id"])
+    _apply(
+        spark,
+        source,
+        [
+            (30 + t, "delete", "c2", t, None, None, None,
+             datetime(2024, 1, 3, 0, t))
+            for t in range(3)
+        ],
+        2,
+    )
+    refresh_rollup(source, derived)
+    final = _derived_state(derived)
+    assert "c2" not in set(final["conv_id"])
+    assert final.equals(_recompute(source))
+
+
+def test_max_lsn_regression_stale_rollup_must_not_win(spark, tmpdir_path, source):
+    # delete the turn holding c0's max lsn (20): the recomputed aggregate's
+    # (ts, lsn) go BACKWARDS vs the previous rollup row — only the
+    # refresh-epoch LWW order keeps the new row the winner
+    derived = create_conversation_rollup(spark, tmpdir_path + "/d")
+    refresh_rollup(source, derived)
+    before = _derived_state(derived)
+    assert int(before[before["conv_id"] == "c0"]["max_lsn"].iloc[0]) == 20
+    _apply(
+        spark,
+        source,
+        [(40, "delete", "c0", 0, None, None, None, datetime(2024, 1, 4))],
+        2,
+    )
+    refresh_rollup(source, derived)
+    final = _derived_state(derived)
+    assert int(final[final["conv_id"] == "c0"]["max_lsn"].iloc[0]) < 20
+    assert final.equals(_recompute(source))
