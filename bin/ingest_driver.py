@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stream", action="store_true", help="continuous tail (default: drain+stop)")
     p.add_argument("--cores", type=int, default=None, help="local[N] when not on a cluster")
     p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--mode", choices=("mor", "cow"), default="mor",
+                   help="storage mode when CREATING the table (ignored if it "
+                        "exists): merge-on-read (O(batch) epochs, changes "
+                        "feed, the flagship default) or copy-on-write")
+    p.add_argument("--rollup-path", metavar="PATH",
+                   help="maintain a per-conversation derived rollup table at "
+                        "PATH after the run: incremental refresh off the "
+                        "changes feed (MoR tables) or full rebuild (CoW)")
     p.add_argument("--files-per-epoch", type=int, default=4)
     p.add_argument("--hot-key-threshold", type=int, default=None,
                    help="force the salted two-phase collapse when a conversation exceeds this event count (default: plain collapse — map-side partial agg absorbs skew)")
@@ -144,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
         args.table_path,
         TRANSCRIPT_SCHEMA,
         n_buckets=args.n_buckets,
+        mode=args.mode,
         type_widening=args.type_widening,
     )
 
@@ -214,6 +223,22 @@ def main(argv: list[str] | None = None) -> int:
             )
 
     table = SnapshotTable(spark, args.table_path)
+    if args.rollup_path:
+        from mas_scada_bulkingest_spark.derived import (
+            create_conversation_rollup,
+            rebuild_rollup,
+            refresh_rollup,
+        )
+
+        rollup = create_conversation_rollup(spark, args.rollup_path)
+        fn = refresh_rollup if table.mode == "mor" else rebuild_rollup
+        st = fn(table, rollup)
+        print(
+            f"rollup[{fn.__name__}]: "
+            + ("caught up (no-op)" if st is None else
+               f"epoch={st.epoch_id} applied={st.applied} deleted={st.deleted}"),
+            file=sys.stderr,
+        )
     if args.vacuum:
         n = table.vacuum()
         print(f"vacuum: removed {n} superseded data files", file=sys.stderr)

@@ -130,3 +130,50 @@ def refresh_rollup(
     )
     batch = live.unionByName(gone.select(*live.columns))
     return derived.merge_changes(batch, epoch_id=latest)
+
+
+def rebuild_rollup(
+    source: SnapshotTable, derived: SnapshotTable
+) -> MergeStats | None:
+    """Full-recompute fallback for when the incremental feed cannot serve
+    the pending range — exactly the cases where ``read_changes`` raises
+    ``FileNotFoundError`` telling the consumer to "recompute downstream
+    state from a full read()": a vacuum-truncated feed, or a ``clone()``d
+    source whose feed floor sits above the derived cursor.
+
+    One O(table) pass: re-aggregate every conversation from live source
+    state, upsert all, and tombstone derived keys whose conversation no
+    longer exists. Commits under the source's latest epoch id, so the
+    incremental cursor is caught up afterwards and :func:`refresh_rollup`
+    resumes incrementally from there. Idempotent like any refresh (rerun
+    no-ops); returns ``None`` when the derived table is already caught up.
+
+    NOT the recovery path after ``source.restore()``: a restore moves the
+    source's epoch cursor BACKWARDS, which this cursor scheme cannot
+    express — restore the derived table to its matching earlier version
+    too (it is a SnapshotTable; ``restore`` works on it), or start a fresh
+    derived table.
+    """
+    last = derived.last_committed_epoch
+    latest = source.last_committed_epoch
+    if latest <= last:
+        return None
+    key = source.key[0]
+    live = (
+        rollup_state(source.read(), key)
+        .withColumn("refresh_epoch", F.lit(latest).cast("long"))
+        .withColumn("op", F.lit("update"))
+    )
+    gone = (
+        derived.read()
+        .select(key)
+        .join(live.select(key), key, "left_anti")
+        .withColumn("live_turns", F.lit(None).cast("long"))
+        .withColumn("total_chars", F.lit(None).cast("long"))
+        .withColumn("last_ts", F.lit(None).cast("timestamp_ntz"))
+        .withColumn("max_lsn", F.lit(None).cast("long"))
+        .withColumn("refresh_epoch", F.lit(latest).cast("long"))
+        .withColumn("op", F.lit("delete"))
+    )
+    batch = live.unionByName(gone.select(*live.columns))
+    return derived.merge_changes(batch, epoch_id=latest)

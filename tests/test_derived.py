@@ -16,6 +16,7 @@ import pytest
 
 from mas_scada_bulkingest_spark.derived import (
     create_conversation_rollup,
+    rebuild_rollup,
     refresh_rollup,
     rollup_state,
 )
@@ -122,6 +123,53 @@ def test_fully_deleted_conversation_tombstones_out(spark, tmpdir_path, source):
         2,
     )
     refresh_rollup(source, derived)
+    final = _derived_state(derived)
+    assert "c2" not in set(final["conv_id"])
+    assert final.equals(_recompute(source))
+
+
+def test_rebuild_when_feed_truncated(spark, tmpdir_path, source):
+    # derived never refreshed; source history compacted + vacuumed so the
+    # incremental feed for the pending range is gone
+    derived = create_conversation_rollup(spark, tmpdir_path + "/d")
+    source.compact(max_files=1)
+    source.vacuum()
+    with pytest.raises(FileNotFoundError):
+        refresh_rollup(source, derived)
+    st = rebuild_rollup(source, derived)
+    assert st is not None and not st.was_noop
+    assert _derived_state(derived).equals(_recompute(source))
+    # cursor caught up: rebuild again is None, and a NEW source epoch
+    # resumes incrementally
+    assert rebuild_rollup(source, derived) is None
+    _apply(
+        spark,
+        source,
+        [(50, "update", "c1", 0, "u", "post-rebuild", None,
+          datetime(2024, 1, 5))],
+        2,
+    )
+    st2 = refresh_rollup(source, derived)
+    assert st2 is not None and not st2.was_noop
+    assert _derived_state(derived).equals(_recompute(source))
+
+
+def test_rebuild_tombstones_vanished_conversations(spark, tmpdir_path, source):
+    derived = create_conversation_rollup(spark, tmpdir_path + "/d")
+    refresh_rollup(source, derived)
+    assert "c2" in set(_derived_state(derived)["conv_id"])
+    # c2 fully deleted in epoch 2, then the feed range is truncated
+    _apply(
+        spark,
+        source,
+        [(30 + t, "delete", "c2", t, None, None, None,
+          datetime(2024, 1, 3, 0, t)) for t in range(3)],
+        2,
+    )
+    source.compact(max_files=1)
+    source.vacuum()
+    st = rebuild_rollup(source, derived)
+    assert st is not None
     final = _derived_state(derived)
     assert "c2" not in set(final["conv_id"])
     assert final.equals(_recompute(source))
