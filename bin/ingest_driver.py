@@ -204,6 +204,8 @@ def main(argv: list[str] | None = None) -> int:
                 available_now=not args.stream,
                 normalize=args.normalize,
                 hot_key_threshold=args.hot_key_threshold,
+                # CoW tables fall back to the post-run rebuild below
+                rollup_path=args.rollup_path if table.mode == "mor" else None,
             )
         q.awaitTermination()
     else:

@@ -157,6 +157,7 @@ def run_stream(
     transform: Callable | None = None,
     prepare_batch: Callable | None = None,
     sink: Callable | None = None,
+    rollup_path: str | None = None,
     **apply_kwargs,
 ):
     """Structured-Streaming tail of the change-log directory.
@@ -183,8 +184,28 @@ def run_stream(
     ``apply_changes`` entirely (``table_path`` may then be None) — the seam
     :func:`run_stream_routed` uses for multi-table fan-out; the sink owns
     its own exactly-once guarantees (per-table epoch commit logs).
+
+    ``rollup_path`` cascades the per-conversation derived rollup INSIDE the
+    micro-batch loop (``derived.refresh_rollup`` after each merge), so the
+    derived table is fresh to within one micro-batch. Crash-safe by the
+    cursor design: the refresh commits under the source's latest epoch id,
+    so a crash between merge and refresh just widens the next refresh's
+    range, and a replayed batch no-ops both merges. Requires the default
+    single-table sink on a merge-on-read table.
     """
     table = None if sink is not None else SnapshotTable(spark, table_path)
+    rollup = None
+    if rollup_path is not None:
+        if table is None:
+            raise ValueError("rollup_path requires the default single-table sink")
+        if getattr(table, "mode", None) != "mor":
+            raise ValueError(
+                "rollup_path requires a merge-on-read table (the refresh "
+                "reads the changes feed); use derived.rebuild_rollup for CoW"
+            )
+        from ..derived import create_conversation_rollup, refresh_rollup
+
+        rollup = create_conversation_rollup(spark, rollup_path)
     # Namespace epoch ids by checkpoint lineage: the same checkpoint replays
     # the same batch ids (-> no-ops), while a NEW checkpoint must not collide
     # with previously committed ids (its batch ids restart at 0). Re-applied
@@ -199,6 +220,8 @@ def run_stream(
             sink(batch_df, epoch_key)
         else:
             apply_changes(table, batch_df, epoch_key, **apply_kwargs)
+            if rollup is not None:
+                refresh_rollup(table, rollup)
 
     rs = spark.readStream.option(
         "maxFilesPerTrigger", max_files_per_trigger or 1000000

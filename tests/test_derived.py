@@ -175,6 +175,34 @@ def test_rebuild_tombstones_vanished_conversations(spark, tmpdir_path, source):
     assert final.equals(_recompute(source))
 
 
+def test_streaming_cascade_keeps_rollup_fresh(spark, tmpdir_path):
+    # rollup maintained INSIDE the micro-batch loop: after the availableNow
+    # drain (multiple micro-batches), the derived table equals the full
+    # recompute with no explicit post-run refresh
+    from mas_scada_bulkingest_spark.sources import generate_changelog
+    from mas_scada_bulkingest_spark.streaming import run_stream
+
+    d = tmpdir_path
+    generate_changelog(d + "/log", n_convs=40, mean_turns=4, seed=5)
+    tbl = create_transcripts_table(spark, d + "/t", n_buckets=4, mode="mor")
+    q = run_stream(
+        spark, d + "/log", d + "/t", d + "/ckpt",
+        max_files_per_trigger=2, available_now=True, rollup_path=d + "/r",
+    )
+    q.awaitTermination()
+    from mas_scada_bulkingest_spark.derived import create_conversation_rollup
+
+    from mas_scada_bulkingest_spark.lake import SnapshotTable
+
+    tbl = SnapshotTable(spark, d + "/t")  # reload: the stream's own handle committed
+    derived = create_conversation_rollup(spark, d + "/r")  # open-existing
+    assert derived.committed_epoch_count > 1  # refreshed per batch, not once
+    assert _derived_state(derived).equals(_recompute(tbl))
+    # restart on a drained log: no new batches, rollup unchanged
+    st = refresh_rollup(tbl, derived)
+    assert st is None
+
+
 def test_max_lsn_regression_stale_rollup_must_not_win(spark, tmpdir_path, source):
     # delete the turn holding c0's max lsn (20): the recomputed aggregate's
     # (ts, lsn) go BACKWARDS vs the previous rollup row — only the
