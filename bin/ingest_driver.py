@@ -234,7 +234,17 @@ def main(argv: list[str] | None = None) -> int:
 
         rollup = create_conversation_rollup(spark, args.rollup_path)
         fn = refresh_rollup if table.mode == "mor" else rebuild_rollup
-        st = fn(table, rollup)
+        try:
+            st = fn(table, rollup)
+        except FileNotFoundError as exc:
+            # feed cannot serve the pending state (truncated range /
+            # bootstrap load / clone floor): absorb via full rebuild.
+            # ValueError (source cursor moved backwards) propagates —
+            # that needs an operator decision, not an O(table) rebuild.
+            print(f"rollup: incremental refresh unavailable ({exc}); "
+                  f"falling back to full rebuild", file=sys.stderr)
+            fn = rebuild_rollup
+            st = rebuild_rollup(table, rollup)
         print(
             f"rollup[{fn.__name__}]: "
             + ("caught up (no-op)" if st is None else

@@ -25,6 +25,23 @@ pipeline is the input of the next:
   read time. Refresh epochs only grow, so later refreshes always win
   (regression-pinned in tests/test_derived.py).
 
+Cursor integrity — the cases the numeric cursor cannot express fail LOUDLY
+instead of silently diverging:
+
+* **bootstrap loads** commit a non-numeric epoch ("bootstrap-0") and write
+  files the changes feed never serves; ``refresh_rollup`` refuses until one
+  ``rebuild_rollup`` has absorbed that state (tracked by a cover marker in
+  the derived table's own epoch log).
+* **source restore** moves the source cursor backwards; ``refresh_rollup``
+  raises so the operator restores the derived table to its matching
+  version (it is a SnapshotTable — ``restore`` works on it) or rebuilds.
+* **checkpoint-lineage restarts** reuse low numeric batch ids under a new
+  namespace. When the new lineage merely replays the same changelog (the
+  engine's documented overlap semantics) the folded state is already
+  correct; if it delivers genuinely NEW data under batch ids at or below
+  the cursor, run ``rebuild_rollup`` once — the same escape hatch as a
+  truncated feed.
+
 Correctness invariant (driver-checked by the ``cdc_derived_rollup`` oracle
 entry): fold-of-deltas ≡ recompute-from-scratch — any split of the epoch
 range into refreshes lands the same derived state as one full build.
@@ -36,7 +53,12 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
-from .lake.snapshot_table import MergeStats, SnapshotTable, _bucket_expr
+from .lake.snapshot_table import (
+    MergeStats,
+    SnapshotTable,
+    _bucket_expr,
+    _split_epoch_key,
+)
 
 #: per-conversation rollup maintained by :func:`refresh_rollup`
 ROLLUP_SCHEMA = T.StructType(
@@ -81,6 +103,49 @@ def rollup_state(state: DataFrame, key: str = "conv_id") -> DataFrame:
     )
 
 
+def _bootstrap_cover_key(source: SnapshotTable) -> str | None:
+    """Cover-marker id for the source's non-numeric (bootstrap-style)
+    committed epochs — the state the changes feed cannot serve. None when
+    the source has none."""
+    boot = sorted(
+        str(k)
+        for k in source._snapshot.get("committed_epochs", [])
+        if _split_epoch_key(str(k)) is None
+    )
+    return ("cover:" + "|".join(boot)) if boot else None
+
+
+def _live_rollup(state: DataFrame, key: str, order_epoch: int) -> DataFrame:
+    return (
+        rollup_state(state, key)
+        .withColumn("refresh_epoch", F.lit(order_epoch).cast("long"))
+        .withColumn("op", F.lit("update"))
+    )
+
+
+def _merge_with_tombstones(
+    derived: SnapshotTable,
+    live: DataFrame,
+    gone_keys: DataFrame,
+    key: str,
+    order_epoch: int,
+    epoch_id: int | str,
+) -> MergeStats:
+    """Shared tail of both maintenance paths: tombstone ``gone_keys``
+    (schema-driven NULL payload — one place to extend when ROLLUP_SCHEMA
+    grows), union with ``live``, MERGE exactly-once under ``epoch_id``."""
+    gone = gone_keys
+    for f in ROLLUP_SCHEMA.fields:
+        if f.name in (key, "refresh_epoch"):
+            continue
+        gone = gone.withColumn(f.name, F.lit(None).cast(f.dataType))
+    gone = gone.withColumn(
+        "refresh_epoch", F.lit(order_epoch).cast("long")
+    ).withColumn("op", F.lit("delete"))
+    batch = live.unionByName(gone.select(*live.columns))
+    return derived.merge_changes(batch, epoch_id=epoch_id)
+
+
 def refresh_rollup(
     source: SnapshotTable,
     derived: SnapshotTable,
@@ -95,10 +160,37 @@ def refresh_rollup(
     re-aggregate per key — robust to ANY change shape, including the
     non-incrementable aggregates like max); conversations whose every turn
     is gone become tombstones in the derived table.
+
+    Raises ``FileNotFoundError`` when the feed cannot serve the pending
+    state (vacuum-truncated range, clone feed floor, unabsorbed bootstrap
+    load) — :func:`rebuild_rollup` is the escape hatch, and callers may
+    catch this type to fall back automatically. Raises ``ValueError`` when
+    the source cursor moved BACKWARDS (a ``restore``) — rebuild is NOT the
+    remedy there; restore the derived table too. See the module docstring
+    for the checkpoint-lineage caveat.
     """
     last = derived.last_committed_epoch
     latest = source.last_committed_epoch if to_epoch is None else int(to_epoch)
-    if latest <= last:
+    cover = _bootstrap_cover_key(source)
+    if cover is not None and not derived.is_epoch_committed(cover):
+        # same family as a vacuum-truncated feed (FileNotFoundError): the
+        # feed cannot serve this state, and rebuild_rollup is the remedy —
+        # callers may catch this type and fall back automatically. The
+        # backwards-cursor case below is ValueError on purpose: rebuild is
+        # NOT its remedy and it must not be auto-absorbed.
+        raise FileNotFoundError(
+            "source holds bootstrap-loaded state the changes feed cannot "
+            "serve; run rebuild_rollup once to absorb it, then resume "
+            "incremental refreshes"
+        )
+    if latest < last:
+        raise ValueError(
+            f"source epoch cursor moved backwards (latest {latest} < derived"
+            f" cursor {last}) — a restore() rolled the source below the "
+            f"derived table's fold point; restore the derived table to its "
+            f"matching earlier version too, or rebuild into a fresh one"
+        )
+    if latest == last:
         return None
     key = source.key[0]
     feed = source.read_changes(last + 1, latest)
@@ -114,39 +206,29 @@ def refresh_rollup(
         .collect()
     )
     state = source.read(buckets=b_ids)
-    live = (
-        rollup_state(state.join(F.broadcast(affected), key, "left_semi"), key)
-        .withColumn("refresh_epoch", F.lit(latest).cast("long"))
-        .withColumn("op", F.lit("update"))
+    live = _live_rollup(
+        state.join(F.broadcast(affected), key, "left_semi"), key, latest
     )
-    gone = (
-        affected.join(live.select(key), key, "left_anti")
-        .withColumn("live_turns", F.lit(None).cast("long"))
-        .withColumn("total_chars", F.lit(None).cast("long"))
-        .withColumn("last_ts", F.lit(None).cast("timestamp_ntz"))
-        .withColumn("max_lsn", F.lit(None).cast("long"))
-        .withColumn("refresh_epoch", F.lit(latest).cast("long"))
-        .withColumn("op", F.lit("delete"))
-    )
-    batch = live.unionByName(gone.select(*live.columns))
-    return derived.merge_changes(batch, epoch_id=latest)
+    gone_keys = affected.join(live.select(key), key, "left_anti")
+    return _merge_with_tombstones(derived, live, gone_keys, key, latest, latest)
 
 
 def rebuild_rollup(
     source: SnapshotTable, derived: SnapshotTable
 ) -> MergeStats | None:
-    """Full-recompute fallback for when the incremental feed cannot serve
-    the pending range — exactly the cases where ``read_changes`` raises
-    ``FileNotFoundError`` telling the consumer to "recompute downstream
-    state from a full read()": a vacuum-truncated feed, or a ``clone()``d
-    source whose feed floor sits above the derived cursor.
+    """Full-recompute fallback for the states the incremental feed cannot
+    serve: a vacuum-truncated range, a ``clone()``d source whose feed floor
+    sits above the derived cursor, a bootstrap-loaded source (the bootstrap
+    files never enter the feed — absorbing them is recorded as a cover
+    marker in the derived epoch log so :func:`refresh_rollup` knows), or a
+    checkpoint-lineage restart that delivered new data under old batch ids.
 
     One O(table) pass: re-aggregate every conversation from live source
     state, upsert all, and tombstone derived keys whose conversation no
-    longer exists. Commits under the source's latest epoch id, so the
-    incremental cursor is caught up afterwards and :func:`refresh_rollup`
-    resumes incrementally from there. Idempotent like any refresh (rerun
-    no-ops); returns ``None`` when the derived table is already caught up.
+    longer exists. Commits under the source's latest numeric epoch id when
+    one is pending (catching the incremental cursor up), else under the
+    bootstrap cover marker. Idempotent (rerun no-ops); returns ``None``
+    when there is nothing to absorb.
 
     NOT the recovery path after ``source.restore()``: a restore moves the
     source's epoch cursor BACKWARDS, which this cursor scheme cannot
@@ -156,24 +238,24 @@ def rebuild_rollup(
     """
     last = derived.last_committed_epoch
     latest = source.last_committed_epoch
-    if latest <= last:
+    cover = _bootstrap_cover_key(source)
+    covered = cover is None or derived.is_epoch_committed(cover)
+    if covered and latest <= last:
         return None
     key = source.key[0]
-    live = (
-        rollup_state(source.read(), key)
-        .withColumn("refresh_epoch", F.lit(latest).cast("long"))
-        .withColumn("op", F.lit("update"))
+    live = _live_rollup(source.read(), key, latest)
+    gone_keys = (
+        derived.read().select(key).join(live.select(key), key, "left_anti")
     )
-    gone = (
-        derived.read()
-        .select(key)
-        .join(live.select(key), key, "left_anti")
-        .withColumn("live_turns", F.lit(None).cast("long"))
-        .withColumn("total_chars", F.lit(None).cast("long"))
-        .withColumn("last_ts", F.lit(None).cast("timestamp_ntz"))
-        .withColumn("max_lsn", F.lit(None).cast("long"))
-        .withColumn("refresh_epoch", F.lit(latest).cast("long"))
-        .withColumn("op", F.lit("delete"))
+    epoch_id: int | str = latest if latest > last else cover
+    st = _merge_with_tombstones(
+        derived, live, gone_keys, key, latest, epoch_id
     )
-    batch = live.unionByName(gone.select(*live.columns))
-    return derived.merge_changes(batch, epoch_id=latest)
+    if not covered and epoch_id != cover:
+        # the content went in under the numeric epoch; record the cover
+        # marker with an empty merge so refresh_rollup stops refusing.
+        # Crash between the two commits is safe: the next rebuild re-runs
+        # the (idempotent) content merge under the cover id.
+        empty = derived.read().limit(0).withColumn("op", F.lit("update"))
+        derived.merge_changes(empty, epoch_id=cover)
+    return st

@@ -1889,6 +1889,22 @@ class SnapshotTable(LakeTable):
                 | set(target.get("feed_excluded", []))
             ),
         }
+        # seed the stats carry-forward with the TARGET's entries too:
+        # files the restore re-adds (dropped since `version`) would
+        # otherwise need a parquet-footer read each. Metadata-only and
+        # immutable-file-derived, so harmless if the commit below loses
+        # the CAS race (the caller reloads on ConcurrentCommitError).
+        self._snapshot = {
+            **cur,
+            "file_sizes": {
+                **target.get("file_sizes", {}),
+                **cur.get("file_sizes", {}),
+            },
+            "file_stats": {
+                **target.get("file_stats", {}),
+                **cur.get("file_stats", {}),
+            },
+        }
         self._write_snapshot(snap)
         self._snapshot = snap
         return int(snap["version"])
@@ -1953,7 +1969,6 @@ class SnapshotTable(LakeTable):
         ]
         for ns_max in self._snapshot.get("epoch_watermarks", {}).values():
             epoch_nums.append(int(ns_max))
-        live = {f for fs in self._snapshot["buckets"].values() for f in fs}
         snap = {
             "version": 0,
             "schema": self._snapshot["schema"],
@@ -1969,16 +1984,6 @@ class SnapshotTable(LakeTable):
             "epoch_watermarks": dict(
                 self._snapshot.get("epoch_watermarks", {})
             ),
-            "file_sizes": {
-                f: sz
-                for f, sz in self._snapshot.get("file_sizes", {}).items()
-                if f in live
-            },
-            "file_stats": {
-                f: st
-                for f, st in self._snapshot.get("file_stats", {}).items()
-                if f in live
-            },
             "parent": None,
             # read_changes below this epoch cannot be served faithfully
             # (pre-clone compaction may have folded delta files the clone
@@ -1987,6 +1992,17 @@ class SnapshotTable(LakeTable):
         }
         tbl = object.__new__(type(self))
         tbl.spark, tbl.path = self.spark, dest_path
+        # seed the stats carry-forward: _write_snapshot rebuilds
+        # file_sizes/file_stats from its `prev` snapshot and falls back to
+        # parquet-footer reads for files it has no entry for — hand the
+        # source's entries over so the clone opens ZERO data files (the
+        # O(files)-metadata promise above). Empty buckets keep the
+        # added_files delta = every file, correct for a root snapshot.
+        tbl._snapshot = {
+            "buckets": {},
+            "file_sizes": dict(self._snapshot.get("file_sizes", {})),
+            "file_stats": dict(self._snapshot.get("file_stats", {})),
+        }
         tbl._write_snapshot(snap)
         tbl._snapshot = snap
         return tbl

@@ -203,7 +203,11 @@ def run_stream(
                 "rollup_path requires a merge-on-read table (the refresh "
                 "reads the changes feed); use derived.rebuild_rollup for CoW"
             )
-        from ..derived import create_conversation_rollup, refresh_rollup
+        from ..derived import (
+            create_conversation_rollup,
+            rebuild_rollup,
+            refresh_rollup,
+        )
 
         rollup = create_conversation_rollup(spark, rollup_path)
     # Namespace epoch ids by checkpoint lineage: the same checkpoint replays
@@ -221,7 +225,15 @@ def run_stream(
         else:
             apply_changes(table, batch_df, epoch_key, **apply_kwargs)
             if rollup is not None:
-                refresh_rollup(table, rollup)
+                try:
+                    refresh_rollup(table, rollup)
+                except FileNotFoundError:
+                    # feed cannot serve the pending state (bootstrap load,
+                    # vacuumed range): absorb once via full rebuild, which
+                    # also catches the cursor up so later batches refresh
+                    # incrementally. ValueError (source restored backwards)
+                    # propagates and fails the stream loudly.
+                    rebuild_rollup(table, rollup)
 
     rs = spark.readStream.option(
         "maxFilesPerTrigger", max_files_per_trigger or 1000000

@@ -175,6 +175,92 @@ def test_rebuild_tombstones_vanished_conversations(spark, tmpdir_path, source):
     assert final.equals(_recompute(source))
 
 
+_STATE_COLS = (
+    "conv_id string, turn_idx int, role string, text string, tool string,"
+    " ts timestamp_ntz, lsn long"
+)
+
+
+def test_bootstrap_state_must_be_absorbed_by_rebuild(spark, tmpdir_path):
+    # bootstrap commits a non-numeric epoch and writes files the changes
+    # feed never serves — refresh must refuse (not silently skip), rebuild
+    # absorbs it and records the cover marker, then incremental resumes
+    tbl = create_transcripts_table(spark, tmpdir_path + "/src",
+                                   n_buckets=4, mode="mor")
+    state = spark.createDataFrame(
+        [(f"b{i}", 0, "u", f"boot{i}", None, datetime(2024, 1, 1), i)
+         for i in range(5)],
+        _STATE_COLS,
+    )
+    tbl.bootstrap(state, epoch_id="bootstrap-0")
+    derived = create_conversation_rollup(spark, tmpdir_path + "/d")
+
+    with pytest.raises(FileNotFoundError, match="bootstrap"):
+        refresh_rollup(tbl, derived)
+    st = rebuild_rollup(tbl, derived)
+    assert st is not None and not st.was_noop
+    assert _derived_state(derived).equals(_recompute(tbl))
+    assert rebuild_rollup(tbl, derived) is None  # idempotent
+    assert refresh_rollup(tbl, derived) is None  # covered + caught up
+
+    # incremental resumes over the bootstrap-loaded baseline
+    _apply(
+        spark, tbl,
+        [(100, "update", "b0", 0, "u", "changed", None, datetime(2024, 1, 2))],
+        0,
+    )
+    st2 = refresh_rollup(tbl, derived)
+    assert st2 is not None and not st2.was_noop
+    assert _derived_state(derived).equals(_recompute(tbl))
+
+
+def test_bootstrap_plus_change_epochs_before_first_rebuild(spark, tmpdir_path):
+    # content goes in under the numeric epoch AND the cover marker is
+    # recorded (two commits) — refresh stops refusing afterwards
+    tbl = create_transcripts_table(spark, tmpdir_path + "/src",
+                                   n_buckets=4, mode="mor")
+    tbl.bootstrap(
+        spark.createDataFrame(
+            [(f"b{i}", 0, "u", f"boot{i}", None, datetime(2024, 1, 1), i)
+             for i in range(4)],
+            _STATE_COLS,
+        ),
+        epoch_id="bootstrap-0",
+    )
+    _apply(
+        spark, tbl,
+        [(50, "update", "b1", 1, "u", "turn2", None, datetime(2024, 1, 2))],
+        0,
+    )
+    derived = create_conversation_rollup(spark, tmpdir_path + "/d")
+    with pytest.raises(FileNotFoundError, match="bootstrap"):
+        refresh_rollup(tbl, derived)
+    rebuild_rollup(tbl, derived)
+    assert _derived_state(derived).equals(_recompute(tbl))
+    assert derived.last_committed_epoch == 0  # numeric cursor caught up
+    assert refresh_rollup(tbl, derived) is None  # cover marker recorded
+
+
+def test_refresh_raises_when_source_restored_below_cursor(spark, tmpdir_path):
+    tbl = create_transcripts_table(spark, tmpdir_path + "/src",
+                                   n_buckets=2, mode="mor")
+    _apply(spark, tbl,
+           [(1, "update", "c0", 0, "u", "a", None, datetime(2024, 1, 1))], 0)
+    v_e0 = tbl._snapshot["version"]
+    _apply(spark, tbl,
+           [(2, "update", "c1", 0, "u", "b", None, datetime(2024, 1, 2))], 1)
+    derived = create_conversation_rollup(spark, tmpdir_path + "/d")
+    refresh_rollup(tbl, derived)  # cursor at 1
+
+    tbl.restore(v_e0)  # source cursor back to 0
+    with pytest.raises(ValueError, match="backwards"):
+        refresh_rollup(tbl, derived)
+    # the documented remedy: a fresh derived table rebuilt from state
+    d2 = create_conversation_rollup(spark, tmpdir_path + "/d2")
+    rebuild_rollup(tbl, d2)
+    assert _derived_state(d2).equals(_recompute(tbl))
+
+
 def test_streaming_cascade_keeps_rollup_fresh(spark, tmpdir_path):
     # rollup maintained INSIDE the micro-batch loop: after the availableNow
     # drain (multiple micro-batches), the derived table equals the full

@@ -43,6 +43,11 @@ def main() -> None:
     pct = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    if not 0 < pct <= 100:
+        sys.exit(f"pct_changed must be in (0, 100], got {pct}")
+    # hash-modulo selection: actual selectivity is 1/denom, which matches
+    # pct only when 100/pct is (near-)integral — report the real fraction
+    denom = max(1, round(100 / pct))
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="bench_derived_", dir=base)
@@ -70,11 +75,11 @@ def main() -> None:
         d_inc = create_conversation_rollup(spark, os.path.join(work, "d_inc"))
         refresh_rollup(src, d_inc)
 
-        # a small epoch touching pct% of conversations
-        k = max(1, int(n_convs * pct / 100))
+        # a small epoch touching ~1/denom of conversations
+        k = max(1, round(n_convs / denom))
         small = (
             changes.filter(
-                F.abs(F.xxhash64("conv_id")) % F.lit(int(100 / pct)) == 0
+                F.abs(F.xxhash64("conv_id")) % F.lit(denom) == 0
             )
             .withColumn("lsn", F.col("lsn") + F.lit(10_000_000))
             .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
@@ -97,7 +102,7 @@ def main() -> None:
                     "n_events": man.n_events,
                     "table_rows": n_rows,
                     "n_buckets": n_buckets,
-                    "pct_changed": pct,
+                    "pct_changed": round(100 / denom, 4),
                     "changed_convs_target": k,
                     "refresh_applied": st.applied if st else 0,
                     "incremental_refresh_sec": round(inc_sec, 2),
