@@ -47,7 +47,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .derived import create_conversation_rollup, refresh_rollup
+from .derived import (
+    create_conversation_index,
+    create_conversation_rollup,
+    index_state,
+    refresh_derived,
+    refresh_rollup,
+)
 from .lake.snapshot_table import SnapshotTable
 from .operators.lww import collapse_lww
 from .pipeline import apply_changes, create_conversations_registry
@@ -489,6 +495,40 @@ SELECT conv_id,
        CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
        max(ts)                                        AS last_ts,
        CAST(max(lsn) AS BIGINT)                       AS max_lsn
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+GROUP BY conv_id
+"""
+
+
+def q_cdc_derived_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERIC derived-table machinery (``refresh_derived``) under a
+    second aggregate: a latest-turn serving index (per conversation, the
+    live row with the highest turn_idx — the point-lookup artifact a chat
+    frontend reads). Maintained in two incremental refreshes off the same
+    replayed source as ``cdc_derived_rollup``; the oracle is DuckDB's
+    independent arg_max over the globally LWW-reduced changelog."""
+    source = _replayed_table(spark, sf_dir, epoching="blocked")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_dindex_", dir=base)
+    index = create_conversation_index(spark, os.path.join(work, "index"))
+    refresh_derived(source, index, index_state, to_epoch=2)
+    refresh_derived(source, index, index_state)
+    return index.read().select(
+        "conv_id", "last_turn_idx", "last_role", "last_text"
+    )
+
+
+_SQL_CDC_DERIVED_INDEX = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  )
+SELECT conv_id,
+       CAST(max(turn_idx) AS INTEGER) AS last_turn_idx,
+       arg_max(role, turn_idx)        AS last_role,
+       arg_max(text, turn_idx)        AS last_text
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 GROUP BY conv_id
 """
@@ -1497,6 +1537,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_cdf_typed": (q_cdc_cdf_typed, _SQL_CDC_CDF_TYPED),
     "cdc_ivm_rollup": (q_cdc_ivm_rollup, _SQL_CDC_IVM_ROLLUP),
     "cdc_derived_rollup": (q_cdc_derived_rollup, _SQL_CDC_DERIVED_ROLLUP),
+    "cdc_derived_index": (q_cdc_derived_index, _SQL_CDC_DERIVED_INDEX),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),

@@ -1,4 +1,4 @@
-"""Cascading CDC: maintain a PERSISTED derived table off a source table's
+"""Cascading CDC: maintain PERSISTED derived tables off a source table's
 changes feed, exactly-once and incrementally.
 
 The reference pipeline stops at the fact table; real deployments hang
@@ -6,7 +6,11 @@ derived artifacts off it (per-conversation rollups, serving indexes,
 registries) and keep them fresh without rescanning the source — the
 Delta-CDF → downstream-MERGE pattern. This module implements that pattern
 over this engine's own primitives, so the output of one exactly-once
-pipeline is the input of the next:
+pipeline is the input of the next. :func:`refresh_derived` /
+:func:`rebuild_derived` are generic over any per-key aggregate
+(``aggregate(state_df, key) -> one row per key``); the conversation
+rollup (:func:`rollup_state`) and latest-turn serving index
+(:func:`index_state`) are the bundled instances.
 
 * **cursor** — the derived table's own committed-epoch log doubles as the
   feed cursor: a refresh covering source epochs ``[a, b]`` commits into the
@@ -29,25 +33,28 @@ Cursor integrity — the cases the numeric cursor cannot express fail LOUDLY
 instead of silently diverging:
 
 * **bootstrap loads** commit a non-numeric epoch ("bootstrap-0") and write
-  files the changes feed never serves; ``refresh_rollup`` refuses until one
-  ``rebuild_rollup`` has absorbed that state (tracked by a cover marker in
-  the derived table's own epoch log).
-* **source restore** moves the source cursor backwards; ``refresh_rollup``
+  files the changes feed never serves; ``refresh_derived`` refuses until
+  one ``rebuild_derived`` has absorbed that state (tracked by a cover
+  marker in the derived table's own epoch log).
+* **source restore** moves the source cursor backwards; ``refresh_derived``
   raises so the operator restores the derived table to its matching
   version (it is a SnapshotTable — ``restore`` works on it) or rebuilds.
 * **checkpoint-lineage restarts** reuse low numeric batch ids under a new
   namespace. When the new lineage merely replays the same changelog (the
   engine's documented overlap semantics) the folded state is already
   correct; if it delivers genuinely NEW data under batch ids at or below
-  the cursor, run ``rebuild_rollup`` once — the same escape hatch as a
+  the cursor, run ``rebuild_derived`` once — the same escape hatch as a
   truncated feed.
 
-Correctness invariant (driver-checked by the ``cdc_derived_rollup`` oracle
-entry): fold-of-deltas ≡ recompute-from-scratch — any split of the epoch
-range into refreshes lands the same derived state as one full build.
+Correctness invariant (driver-checked by the ``cdc_derived_rollup`` and
+``cdc_derived_index`` oracle entries): fold-of-deltas ≡
+recompute-from-scratch — any split of the epoch range into refreshes lands
+the same derived state as one full build.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -60,7 +67,7 @@ from .lake.snapshot_table import (
     _split_epoch_key,
 )
 
-#: per-conversation rollup maintained by :func:`refresh_rollup`
+#: per-conversation rollup maintained via :func:`rollup_state`
 ROLLUP_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
@@ -72,21 +79,56 @@ ROLLUP_SCHEMA = T.StructType(
     ]
 )
 
+#: per-conversation latest-turn serving index via :func:`index_state`
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("last_turn_idx", T.IntegerType()),
+        T.StructField("last_role", T.StringType()),
+        T.StructField("last_text", T.StringType()),
+        T.StructField("refresh_epoch", T.LongType()),
+    ]
+)
+
+
+def create_derived_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    key: tuple[str, ...] = ("conv_id",),
+    n_buckets: int = 8,
+    mode: str = "mor",
+) -> SnapshotTable:
+    """CREATE IF NOT EXISTS a derived table maintained by
+    :func:`refresh_derived`: keyed by ``key``, LWW-ordered by
+    ``refresh_epoch`` (see module docstring for why NOT (ts, lsn)).
+    ``schema`` must contain the key columns and a ``refresh_epoch long``."""
+    return SnapshotTable.create(
+        spark,
+        path,
+        schema,
+        n_buckets=n_buckets,
+        key=key,
+        order=("refresh_epoch",),
+        mode=mode,
+    )
+
 
 def create_conversation_rollup(
     spark: SparkSession, path: str, n_buckets: int = 8, mode: str = "mor"
 ) -> SnapshotTable:
-    """CREATE IF NOT EXISTS the per-conversation rollup table. Keyed by
-    ``conv_id``, LWW-ordered by ``refresh_epoch`` (see module docstring for
-    why NOT (ts, lsn))."""
-    return SnapshotTable.create(
-        spark,
-        path,
-        ROLLUP_SCHEMA,
-        n_buckets=n_buckets,
-        key=("conv_id",),
-        order=("refresh_epoch",),
-        mode=mode,
+    """The per-conversation rollup table (``ROLLUP_SCHEMA``)."""
+    return create_derived_table(
+        spark, path, ROLLUP_SCHEMA, n_buckets=n_buckets, mode=mode
+    )
+
+
+def create_conversation_index(
+    spark: SparkSession, path: str, n_buckets: int = 8, mode: str = "mor"
+) -> SnapshotTable:
+    """The per-conversation latest-turn serving index (``INDEX_SCHEMA``)."""
+    return create_derived_table(
+        spark, path, INDEX_SCHEMA, n_buckets=n_buckets, mode=mode
     )
 
 
@@ -103,6 +145,17 @@ def rollup_state(state: DataFrame, key: str = "conv_id") -> DataFrame:
     )
 
 
+def index_state(state: DataFrame, key: str = "conv_id") -> DataFrame:
+    """Latest-turn serving-index aggregate: the live row with the highest
+    ``turn_idx`` per conversation (unique per key, so ``max_by`` is
+    deterministic)."""
+    return state.groupBy(key).agg(
+        F.max("turn_idx").cast("int").alias("last_turn_idx"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+        F.max_by("text", "turn_idx").alias("last_text"),
+    )
+
+
 def _bootstrap_cover_key(source: SnapshotTable) -> str | None:
     """Cover-marker id for the source's non-numeric (bootstrap-style)
     committed epochs — the state the changes feed cannot serve. None when
@@ -115,9 +168,11 @@ def _bootstrap_cover_key(source: SnapshotTable) -> str | None:
     return ("cover:" + "|".join(boot)) if boot else None
 
 
-def _live_rollup(state: DataFrame, key: str, order_epoch: int) -> DataFrame:
+def _live(
+    state: DataFrame, key: str, order_epoch: int, aggregate: Callable
+) -> DataFrame:
     return (
-        rollup_state(state, key)
+        aggregate(state, key)
         .withColumn("refresh_epoch", F.lit(order_epoch).cast("long"))
         .withColumn("op", F.lit("update"))
     )
@@ -132,10 +187,11 @@ def _merge_with_tombstones(
     epoch_id: int | str,
 ) -> MergeStats:
     """Shared tail of both maintenance paths: tombstone ``gone_keys``
-    (schema-driven NULL payload — one place to extend when ROLLUP_SCHEMA
-    grows), union with ``live``, MERGE exactly-once under ``epoch_id``."""
+    (NULL payload driven by the DERIVED table's schema — one place,
+    whatever the aggregate), union with ``live``, MERGE exactly-once under
+    ``epoch_id``."""
     gone = gone_keys
-    for f in ROLLUP_SCHEMA.fields:
+    for f in derived.schema.fields:
         if f.name in (key, "refresh_epoch"):
             continue
         gone = gone.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -146,15 +202,18 @@ def _merge_with_tombstones(
     return derived.merge_changes(batch, epoch_id=epoch_id)
 
 
-def refresh_rollup(
+def refresh_derived(
     source: SnapshotTable,
     derived: SnapshotTable,
+    aggregate: Callable = rollup_state,
     to_epoch: int | None = None,
 ) -> MergeStats | None:
     """Fold source epochs ``(derived.last_committed_epoch, to_epoch]`` into
-    the derived rollup, exactly once. Returns the merge stats, or ``None``
+    the derived table, exactly once. Returns the merge stats, or ``None``
     when the derived table is already caught up. ``to_epoch=None`` = the
-    source's latest committed epoch.
+    source's latest committed epoch. ``aggregate(state_df, key)`` must
+    return one row per key with columns matching the derived schema
+    (minus ``refresh_epoch``).
 
     Affected conversations are recomputed from source state (delete +
     re-aggregate per key — robust to ANY change shape, including the
@@ -163,7 +222,7 @@ def refresh_rollup(
 
     Raises ``FileNotFoundError`` when the feed cannot serve the pending
     state (vacuum-truncated range, clone feed floor, unabsorbed bootstrap
-    load) — :func:`rebuild_rollup` is the escape hatch, and callers may
+    load) — :func:`rebuild_derived` is the escape hatch, and callers may
     catch this type to fall back automatically. Raises ``ValueError`` when
     the source cursor moved BACKWARDS (a ``restore``) — rebuild is NOT the
     remedy there; restore the derived table too. See the module docstring
@@ -174,13 +233,13 @@ def refresh_rollup(
     cover = _bootstrap_cover_key(source)
     if cover is not None and not derived.is_epoch_committed(cover):
         # same family as a vacuum-truncated feed (FileNotFoundError): the
-        # feed cannot serve this state, and rebuild_rollup is the remedy —
+        # feed cannot serve this state, and rebuild_derived is the remedy —
         # callers may catch this type and fall back automatically. The
         # backwards-cursor case below is ValueError on purpose: rebuild is
         # NOT its remedy and it must not be auto-absorbed.
         raise FileNotFoundError(
             "source holds bootstrap-loaded state the changes feed cannot "
-            "serve; run rebuild_rollup once to absorb it, then resume "
+            "serve; run rebuild_derived once to absorb it, then resume "
             "incremental refreshes"
         )
     if latest < last:
@@ -206,21 +265,26 @@ def refresh_rollup(
         .collect()
     )
     state = source.read(buckets=b_ids)
-    live = _live_rollup(
-        state.join(F.broadcast(affected), key, "left_semi"), key, latest
+    live = _live(
+        state.join(F.broadcast(affected), key, "left_semi"),
+        key,
+        latest,
+        aggregate,
     )
     gone_keys = affected.join(live.select(key), key, "left_anti")
     return _merge_with_tombstones(derived, live, gone_keys, key, latest, latest)
 
 
-def rebuild_rollup(
-    source: SnapshotTable, derived: SnapshotTable
+def rebuild_derived(
+    source: SnapshotTable,
+    derived: SnapshotTable,
+    aggregate: Callable = rollup_state,
 ) -> MergeStats | None:
     """Full-recompute fallback for the states the incremental feed cannot
     serve: a vacuum-truncated range, a ``clone()``d source whose feed floor
     sits above the derived cursor, a bootstrap-loaded source (the bootstrap
     files never enter the feed — absorbing them is recorded as a cover
-    marker in the derived epoch log so :func:`refresh_rollup` knows), or a
+    marker in the derived epoch log so :func:`refresh_derived` knows), or a
     checkpoint-lineage restart that delivered new data under old batch ids.
 
     One O(table) pass: re-aggregate every conversation from live source
@@ -243,7 +307,7 @@ def rebuild_rollup(
     if covered and latest <= last:
         return None
     key = source.key[0]
-    live = _live_rollup(source.read(), key, latest)
+    live = _live(source.read(), key, latest, aggregate)
     gone_keys = (
         derived.read().select(key).join(live.select(key), key, "left_anti")
     )
@@ -253,9 +317,25 @@ def rebuild_rollup(
     )
     if not covered and epoch_id != cover:
         # the content went in under the numeric epoch; record the cover
-        # marker with an empty merge so refresh_rollup stops refusing.
+        # marker with an empty merge so refresh_derived stops refusing.
         # Crash between the two commits is safe: the next rebuild re-runs
         # the (idempotent) content merge under the cover id.
         empty = derived.read().limit(0).withColumn("op", F.lit("update"))
         derived.merge_changes(empty, epoch_id=cover)
     return st
+
+
+def refresh_rollup(
+    source: SnapshotTable,
+    derived: SnapshotTable,
+    to_epoch: int | None = None,
+) -> MergeStats | None:
+    """:func:`refresh_derived` with the conversation-rollup aggregate."""
+    return refresh_derived(source, derived, rollup_state, to_epoch)
+
+
+def rebuild_rollup(
+    source: SnapshotTable, derived: SnapshotTable
+) -> MergeStats | None:
+    """:func:`rebuild_derived` with the conversation-rollup aggregate."""
+    return rebuild_derived(source, derived, rollup_state)

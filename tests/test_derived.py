@@ -175,6 +175,35 @@ def test_rebuild_tombstones_vanished_conversations(spark, tmpdir_path, source):
     assert final.equals(_recompute(source))
 
 
+def test_generic_refresh_with_index_aggregate(spark, tmpdir_path, source):
+    # the machinery is aggregate-generic: the latest-turn serving index
+    # maintained incrementally equals its from-scratch recompute
+    from mas_scada_bulkingest_spark.derived import (
+        create_conversation_index,
+        index_state,
+        refresh_derived,
+    )
+
+    idx = create_conversation_index(spark, tmpdir_path + "/i")
+    refresh_derived(source, idx, index_state, to_epoch=0)
+    refresh_derived(source, idx, index_state)
+    got = (
+        idx.read()
+        .select("conv_id", "last_turn_idx", "last_role", "last_text")
+        .orderBy("conv_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    ref = (
+        index_state(source.read())
+        .orderBy("conv_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref), f"\n{got}\nvs\n{ref}"
+    assert refresh_derived(source, idx, index_state) is None
+
+
 _STATE_COLS = (
     "conv_id string, turn_idx int, role string, text string, tool string,"
     " ts timestamp_ntz, lsn long"
