@@ -2217,6 +2217,173 @@ FROM r GROUP BY lang
 """
 
 # ---------------------------------------------------------------------------
+# dedup: cross-corpus exact span dedup (C4-style duplicate-chunk removal)
+# ---------------------------------------------------------------------------
+
+#: words per chunk — the span granularity of the cross-document dedup.
+_CHUNK_W = 8
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus CHUNK-level exact dedup (the C4 "remove duplicated
+    spans across the corpus, keep the first occurrence" step — doc-level
+    dedup misses boilerplate repeated inside otherwise-distinct pages).
+
+    Documents split into consecutive ``_CHUNK_W``-word chunks map-side
+    (``transform`` + ``slice`` — no shuffle); the global first occurrence
+    of each chunk fingerprint is chosen with a **map-side-combinable
+    ``min(struct(doc_id, chunk_idx))`` aggregate**, NOT a ``row_number``
+    window: a boilerplate chunk repeated 10^8 times across a 100 TB corpus
+    would put all 10^8 rows into one window reducer, while the algebraic
+    min collapses each hot fingerprint to ≤1 row per map task before the
+    exchange (AQE skew-join handles the probe side of the join back).
+    Survivors reassemble per document in chunk order. Three exchanges
+    (winner agg by fp, join by fp, reassembly by doc_id), each keyed and
+    partial-aggregated. Output is one row per document with counts and the
+    md5 of the cleaned text (byte-exact vs the oracle's reassembly).
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = _CHUNK_W
+    chunks_expr = (
+        f"transform(sequence(0, int(ceil(size(_toks) / {w}.0)) - 1), "
+        f"i -> concat_ws(' ', slice(_toks, i * {w} + 1, {w})))"
+    )
+    ch = (
+        d.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("_toks"))
+        .filter(F.size("_toks") >= 1)
+        .select(
+            "doc_id", F.posexplode(F.expr(chunks_expr)).alias("chunk_idx", "chunk")
+        )
+        .withColumn("fp", F.md5("chunk"))
+    )
+    winners = ch.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    )
+    flagged = ch.join(winners, "fp").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("w.doc_id"))
+        & (F.col("chunk_idx") == F.col("w.chunk_idx")),
+    )
+    out = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("_clean"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.md5("_clean")).alias("clean_fp"),
+    )
+
+
+_SQL_DEDUP_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(text), ' ')) AS tok,
+         generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, (pos - 1) // {_CHUNK_W} AS chunk_idx,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM toks GROUP BY doc_id, (pos - 1) // {_CHUNK_W}
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (
+           PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx
+         ) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CASE WHEN count(*) FILTER (WHERE rn = 1) > 0
+            THEN md5(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                     FILTER (WHERE rn = 1))
+       END AS clean_fp
+FROM ranked GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# corpus management: deterministic train/valid/test split
+# ---------------------------------------------------------------------------
+
+#: exclusive upper bounds on the first two md5 hex digits (of 256 buckets):
+#: < 0xcc train (~79.7 %), < 0xe6 valid (~10.2 %), else test (~10.1 %).
+_SPLIT_BOUNDS = {"train": 0xCC, "valid": 0xE6}
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/valid/test corpus split with
+    per-split profile stats. Membership is a pure function of
+    ``md5('split:' || doc_id)`` — like :func:`q_stratified_sample`, it is
+    reproducible across engines, partitionings, cluster sizes and reruns
+    (no RNG state, no scan-order dependence), which is what makes a split
+    auditable on a 100 TB corpus: any engine can re-derive which split a
+    document belongs to from the document alone. The split itself is a
+    zero-shuffle map; the profile (doc/token/char totals, language
+    coverage) is one algebraic rollup over 3 groups.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 2)
+    split = (
+        F.when(h2 < F.lit(format(_SPLIT_BOUNDS["train"], "02x")), F.lit("train"))
+        .when(h2 < F.lit(format(_SPLIT_BOUNDS["valid"], "02x")), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    n_toks = F.size(F.split(F.trim(F.col("text")), " "))
+    return (
+        d.select(
+            split.alias("split"), n_toks.alias("_n_toks"), "n_chars", "lang", "doc_id"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_toks").alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+_SQL_CORPUS_SPLIT = f"""
+WITH s AS (
+  SELECT CASE
+           WHEN substring(md5('split:' || doc_id), 1, 2)
+                < '{format(_SPLIT_BOUNDS["train"], "02x")}' THEN 'train'
+           WHEN substring(md5('split:' || doc_id), 1, 2)
+                < '{format(_SPLIT_BOUNDS["valid"], "02x")}' THEN 'valid'
+           ELSE 'test'
+         END AS split,
+         len(string_split(trim(text), ' ')) AS n_toks,
+         n_chars, lang, doc_id
+  FROM documents
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM s GROUP BY split
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2257,4 +2424,6 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "text_repetition": (q_text_repetition, _SQL_TEXT_REPETITION),
     "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
     "redact_pii": (q_redact_pii, _SQL_REDACT_PII),
+    "dedup_chunks": (q_dedup_chunks, _SQL_DEDUP_CHUNKS),
+    "corpus_split": (q_corpus_split, _SQL_CORPUS_SPLIT),
 }
