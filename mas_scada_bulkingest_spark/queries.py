@@ -2317,6 +2317,50 @@ FROM ranked GROUP BY doc_id
 """
 
 # ---------------------------------------------------------------------------
+# OLAP: multi-level rollup via CUBE (grouping sets)
+# ---------------------------------------------------------------------------
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate over ``events`` via ``CUBE(event_type, day)``
+    — all four grouping sets (per type+day, per type, per day, grand
+    total) in ONE pass. Spark plans this as an Expand (4× row multiplier)
+    feeding a single hash aggregate whose map-side partial absorbs the
+    expansion before the only exchange; the distinct-user count rides the
+    same pass via the standard two-level distinct-aggregate rewrite. At
+    100 TB the knob is choosing ROLLUP / explicit GROUPING SETS over full
+    CUBE when not all 2^d sets are needed — the Expand multiplier is the
+    cost driver, not the shuffle. Money sums go through exact DECIMAL and
+    only cast to double at the end (float sum order differs across
+    engines; decimal addition is associative).
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("_v"),
+            "user_id",
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_v").cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_SQL_EVENTS_CUBE = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+# ---------------------------------------------------------------------------
 # corpus management: deterministic train/valid/test split
 # ---------------------------------------------------------------------------
 
@@ -2334,7 +2378,8 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     auditable on a 100 TB corpus: any engine can re-derive which split a
     document belongs to from the document alone. The split itself is a
     zero-shuffle map; the profile (doc/token/char totals, language
-    coverage) is one algebraic rollup over 3 groups.
+    coverage) is one rollup over 3 groups (two exchanges in the plan only
+    because of the countDistinct two-level rewrite, both partial-agg'd).
     """
     d = _t(spark, sf_dir, "documents")
     h2 = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 2)
@@ -2426,4 +2471,5 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "redact_pii": (q_redact_pii, _SQL_REDACT_PII),
     "dedup_chunks": (q_dedup_chunks, _SQL_DEDUP_CHUNKS),
     "corpus_split": (q_corpus_split, _SQL_CORPUS_SPLIT),
+    "events_cube": (q_events_cube, _SQL_EVENTS_CUBE),
 }
