@@ -95,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--purge-key", metavar="CONV_ID",
                    help="right-to-be-forgotten: physically erase every stored trace of"
                         " the key (one-bucket rewrite + snapshot expiry) and exit")
+    p.add_argument("--drop-column", metavar="NAME",
+                   help="drop a value column from the table schema (metadata-only; "
+                        "no file rewrite; later batches cannot re-add the name) "
+                        "and exit")
     p.add_argument("--demo", action="store_true", help="self-contained run on generated data")
     args = p.parse_args(argv)
 
@@ -132,6 +136,13 @@ def main(argv: list[str] | None = None) -> int:
         tbl = SnapshotTable(spark, args.table_path)
         new_v = tbl.restore(args.restore_version)
         print(json.dumps({"restored_to": args.restore_version,
+                          "new_version": new_v}))
+        return 0
+
+    if args.drop_column:
+        tbl = SnapshotTable(spark, args.table_path)
+        new_v = tbl.drop_column(args.drop_column)
+        print(json.dumps({"dropped_column": args.drop_column,
                           "new_version": new_v}))
         return 0
 

@@ -1005,7 +1005,10 @@ class SnapshotTable(LakeTable):
             }.get(str(t))
 
         declared = {f.name: f.dataType for f in self._storage_schema().fields}
-        helper_ok = {"_max_lsn"}  # delta-file helper, hidden by readers
+        # delta-file helper + drop_column'd names: retained files written
+        # before a drop legitimately still carry the column (pruned by the
+        # schema-pinned readers), so they are expected, not drift
+        helper_ok = {"_max_lsn"} | set(self._snapshot.get("dropped_columns", []))
         drift = []
         for rel in referenced:
             if rel in missing_set:
@@ -1878,6 +1881,10 @@ class SnapshotTable(LakeTable):
             "order": target["order"],
             "mode": target.get("mode", "cow"),
             "type_widening": target.get("type_widening", False),
+            # logical content is the target's — including which columns
+            # count as dropped (restoring below a drop_column resurrects
+            # the column AND clears its registry entry)
+            "dropped_columns": list(target.get("dropped_columns", [])),
             "buckets": {b: list(fs) for b, fs in target["buckets"].items()},
             "committed_epochs": list(target.get("committed_epochs", [])),
             "epoch_watermarks": dict(target.get("epoch_watermarks", {})),
@@ -1904,6 +1911,67 @@ class SnapshotTable(LakeTable):
                 **target.get("file_stats", {}),
                 **cur.get("file_stats", {}),
             },
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return int(snap["version"])
+
+    def drop_column(self, name: str) -> int:
+        """Drop a value column from the table schema — the Iceberg
+        ``ALTER TABLE … DROP COLUMN`` analog (the reference's schema
+        handling is fixed destination DDL plus additive passthrough,
+        DBConnector.java:453-455 / MonitorTable.java:49-120; drops are
+        beyond it). **Metadata-only and O(1)**: no data file is rewritten.
+        Every read path is pinned to the snapshot schema
+        (``spark.read.schema(…)``), so retained files that still carry
+        the column simply have it pruned at scan time; CoW rewrites,
+        ``compact()`` and ``rebucket()`` shed the stored bytes over time.
+
+        The dropped name enters the snapshot's ``dropped_columns``
+        registry and additive schema evolution IGNORES batch columns with
+        that name from then on. This is the name-based analog of
+        Iceberg's field-id rule: without the registry, the next batch
+        still carrying the column would re-ADD it, and the schema-pinned
+        read would then resurrect the OLD values from retained files —
+        exactly the hazard field ids exist to prevent. Re-using the name
+        for a genuinely new column therefore requires a new name (or a
+        rebuild via clone + bootstrap); that restriction is deliberate
+        and loud rather than silently wrong.
+
+        Key columns and LWW order columns raise ``ValueError`` (they are
+        the table's identity); so do unknown or already-dropped names.
+        Time travel is unaffected — ``read(version=…)`` below the drop
+        still shows the column — and ``restore()`` to a pre-drop version
+        resurrects it (the restore adopts the target's schema AND its
+        ``dropped_columns`` registry). Concurrent writers: the commit
+        goes through the same version-CAS as every other maintenance op
+        and raises :class:`ConcurrentCommitError` on a lost race (reload
+        and retry). Returns the new version.
+        """
+        protected = set(self.key) | set(self.order)
+        if name in protected:
+            raise ValueError(
+                f"drop_column: {name!r} is a key/LWW-order column — "
+                f"dropping it would change row identity"
+            )
+        if name not in self.schema.fieldNames():
+            if name in set(self._snapshot.get("dropped_columns", [])):
+                raise ValueError(f"drop_column: {name!r} is already dropped")
+            raise ValueError(
+                f"drop_column: no column {name!r} "
+                f"(have {self.schema.fieldNames()})"
+            )
+        cur = self._snapshot
+        snap = {
+            **cur,
+            "version": int(cur["version"]) + 1,
+            "parent": int(cur["version"]),
+            "schema": T.StructType(
+                [f for f in self.schema.fields if f.name != name]
+            ).jsonValue(),
+            "dropped_columns": sorted(
+                set(cur.get("dropped_columns", [])) | {name}
+            ),
         }
         self._write_snapshot(snap)
         self._snapshot = snap
@@ -2061,8 +2129,13 @@ class SnapshotTable(LakeTable):
         nb = self.n_buckets
         key = list(self.key)
         has_op = "op" in state.columns
+        _dropped = set(self._snapshot.get("dropped_columns", []))
         incoming = T.StructType(
-            [f for f in state.schema.fields if f.name not in ("op", "_max_lsn")]
+            [
+                f
+                for f in state.schema.fields
+                if f.name not in ("op", "_max_lsn") and f.name not in _dropped
+            ]
         )
         new_schema = merge_schemas(
             self.schema, incoming, allow_widening=self.type_widening
@@ -2292,8 +2365,17 @@ class SnapshotTable(LakeTable):
         order = list(self.order)
         bucket_col = key[0]
         has_max_lsn = "_max_lsn" in batch.columns
+        # dropped names never re-evolve in: a batch still carrying a
+        # drop_column'd column must not re-add it (the schema-pinned read
+        # would resurrect the OLD values from retained files — see
+        # drop_column's field-id note)
+        _dropped = set(self._snapshot.get("dropped_columns", []))
         incoming_schema = T.StructType(
-            [f for f in batch.schema.fields if f.name not in ("op", "_max_lsn")]
+            [
+                f
+                for f in batch.schema.fields
+                if f.name not in ("op", "_max_lsn") and f.name not in _dropped
+            ]
         )
         new_schema = merge_schemas(
             self.schema, incoming_schema, allow_widening=self.type_widening
@@ -2709,8 +2791,22 @@ class SnapshotTable(LakeTable):
             return {
                 **self._snapshot,
                 "version": self._snapshot["version"] + 1,
+                # re-filter by the CURRENT dropped set: a concurrent
+                # drop_column may have landed between our schema merge and
+                # this (rebased) commit — its drop must win
                 "schema": merge_schemas(
-                    self.schema, new_schema, allow_widening=self.type_widening
+                    self.schema,
+                    T.StructType(
+                        [
+                            f
+                            for f in new_schema.fields
+                            if f.name
+                            not in set(
+                                self._snapshot.get("dropped_columns", [])
+                            )
+                        ]
+                    ),
+                    allow_widening=self.type_widening,
                 ).jsonValue(),
                 "buckets": new_buckets,
                 "committed_epochs": folded,
