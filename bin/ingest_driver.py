@@ -99,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop a value column from the table schema (metadata-only; "
                         "no file rewrite; later batches cannot re-add the name) "
                         "and exit")
+    p.add_argument("--rename-column", nargs=2, metavar=("OLD", "NEW"),
+                   help="rename a value column (metadata-only; old-name files "
+                        "resolve via read-time alias coalesce; lagging batches "
+                        "using OLD are mapped onto NEW) and exit")
     p.add_argument("--demo", action="store_true", help="self-contained run on generated data")
     args = p.parse_args(argv)
 
@@ -143,6 +147,14 @@ def main(argv: list[str] | None = None) -> int:
         tbl = SnapshotTable(spark, args.table_path)
         new_v = tbl.drop_column(args.drop_column)
         print(json.dumps({"dropped_column": args.drop_column,
+                          "new_version": new_v}))
+        return 0
+
+    if args.rename_column:
+        old, new = args.rename_column
+        tbl = SnapshotTable(spark, args.table_path)
+        new_v = tbl.rename_column(old, new)
+        print(json.dumps({"renamed_column": [old, new],
                           "new_version": new_v}))
         return 0
 

@@ -588,6 +588,63 @@ class SnapshotTable(LakeTable):
             list(self.schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())]
         )
 
+    def _alias_read(self, files: list[str], pinned: T.StructType) -> DataFrame:
+        """Schema-pinned parquet read that resolves ``rename_column``
+        aliases. The read schema is widened with each current column's
+        FORMER names (same type — renames never retype), and the projection
+        coalesces newest-name-first, so files written before a rename
+        contribute their values under the CURRENT name with zero rewrite —
+        the name-mapping trick Iceberg gets from field ids, expressed as
+        columns. A file holds either the old or the new name (never both
+        from this engine), so the coalesce is a disjoint fill, not a
+        precedence gamble. With no aliases registered this is exactly the
+        plain pinned read every caller used before."""
+        aliases = self._snapshot.get("column_aliases", {})
+        names = {f.name for f in pinned.fields}
+        aliases = {n: olds for n, olds in aliases.items() if olds and n in names}
+        if not aliases:
+            return self.spark.read.schema(pinned).parquet(*files)
+        by_name = {f.name: f for f in pinned.fields}
+        wide = T.StructType(
+            list(pinned.fields)
+            + [
+                T.StructField(o, by_name[new].dataType)
+                for new, olds in aliases.items()
+                for o in olds
+            ]
+        )
+        df = self.spark.read.schema(wide).parquet(*files)
+        return df.select(
+            *[
+                (
+                    F.coalesce(
+                        F.col(f.name),
+                        *[F.col(o) for o in reversed(aliases[f.name])],
+                    ).alias(f.name)
+                    if f.name in aliases
+                    else F.col(f.name)
+                )
+                for f in pinned.fields
+            ]
+        )
+
+    def _canonicalize_batch_columns(self, df: DataFrame) -> DataFrame:
+        """Map former column names in an incoming batch onto their current
+        (renamed) names — CDC sources routinely lag a destination rename.
+        A batch carrying BOTH the old and the new name is ambiguous and
+        raises rather than guessing."""
+        aliases = self._snapshot.get("column_aliases", {})
+        for new, olds in aliases.items():
+            for o in olds:
+                if o in df.columns:
+                    if new in df.columns:
+                        raise ValueError(
+                            f"batch carries both {o!r} and its renamed "
+                            f"form {new!r} — ambiguous; drop one upstream"
+                        )
+                    df = df.withColumnRenamed(o, new)
+        return df
+
     def _read_collapsed_local(
         self,
         buckets: list[int] | None = None,
@@ -650,8 +707,9 @@ class SnapshotTable(LakeTable):
             # serially on the driver (measured 3x slower than the global
             # collapse at 32 buckets). Files predating an additive column —
             # or predating tombstones — read NULL for it, which the coalesce
-            # below normalizes.
-            df = self.spark.read.schema(storage).parquet(*files)
+            # below normalizes; files predating a rename_column resolve
+            # through _alias_read's name coalesce.
+            df = self._alias_read(files, storage)
             df = df.withColumn(
                 _TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False))
             )
@@ -1005,6 +1063,12 @@ class SnapshotTable(LakeTable):
             }.get(str(t))
 
         declared = {f.name: f.dataType for f in self._storage_schema().fields}
+        # rename_column aliases: a footer holding a column's FORMER name is
+        # healthy — audit it against the current (renamed) declared type
+        for _new, _olds in self._snapshot.get("column_aliases", {}).items():
+            if _new in declared:
+                for _o in _olds:
+                    declared.setdefault(_o, declared[_new])
         # delta-file helper + drop_column'd names: retained files written
         # before a drop legitimately still carry the column (pruned by the
         # schema-pinned readers), so they are expected, not drift
@@ -1271,7 +1335,7 @@ class SnapshotTable(LakeTable):
         out_fields = [f.name for f in self.schema.fields]
         branches = []
         for e in sorted(by_epoch):
-            df = self.spark.read.schema(delta_schema).parquet(*by_epoch[e])
+            df = self._alias_read(by_epoch[e], delta_schema)
             branches.append(
                 df.select(
                     *out_fields,
@@ -1363,8 +1427,9 @@ class SnapshotTable(LakeTable):
         # typed NULLs, files with NARROWER types than the current schema
         # (type_widening tables: int32 files under a long column) upcast in
         # the parquet reader itself. mergeSchema would instead FAIL to merge
-        # int32/int64 footers and pay a footer-merge pass per read.
-        df = self.spark.read.schema(self._storage_schema()).parquet(*files)
+        # int32/int64 footers and pay a footer-merge pass per read. Files
+        # predating a rename_column resolve through _alias_read.
+        df = self._alias_read(files, self._storage_schema())
         return df.withColumn(_TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
 
     def lineage(self) -> DataFrame:
@@ -1883,8 +1948,10 @@ class SnapshotTable(LakeTable):
             "type_widening": target.get("type_widening", False),
             # logical content is the target's — including which columns
             # count as dropped (restoring below a drop_column resurrects
-            # the column AND clears its registry entry)
+            # the column AND clears its registry entry) and which names
+            # are rename aliases
             "dropped_columns": list(target.get("dropped_columns", [])),
+            "column_aliases": dict(target.get("column_aliases", {})),
             "buckets": {b: list(fs) for b, fs in target["buckets"].items()},
             "committed_epochs": list(target.get("committed_epochs", [])),
             "epoch_watermarks": dict(target.get("epoch_watermarks", {})),
@@ -1962,6 +2029,10 @@ class SnapshotTable(LakeTable):
                 f"(have {self.schema.fieldNames()})"
             )
         cur = self._snapshot
+        # a dropped column takes its former names with it: retained files
+        # under ANY of its names are equally dead, and none may re-evolve
+        aliases = dict(cur.get("column_aliases", {}))
+        olds = aliases.pop(name, [])
         snap = {
             **cur,
             "version": int(cur["version"]) + 1,
@@ -1970,8 +2041,86 @@ class SnapshotTable(LakeTable):
                 [f for f in self.schema.fields if f.name != name]
             ).jsonValue(),
             "dropped_columns": sorted(
-                set(cur.get("dropped_columns", [])) | {name}
+                set(cur.get("dropped_columns", [])) | {name} | set(olds)
             ),
+            "column_aliases": aliases,
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return int(snap["version"])
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a value column — the Iceberg ``ALTER TABLE … RENAME
+        COLUMN`` analog. **Metadata-only and O(1)**: no data file is
+        rewritten. Files written before the rename keep the old name on
+        disk; the snapshot records ``column_aliases[new] = [former names…]``
+        and every schema-pinned read resolves them through
+        :meth:`_alias_read` — the read schema is widened with the former
+        names and the projection coalesces newest-first, which is the
+        columnar expression of the name-mapping Iceberg gets from field
+        ids. Renames chain (a→b→c keeps a-era files readable) and never
+        retype.
+
+        Incoming batches using the OLD name are mapped onto the new one at
+        merge/bootstrap time (CDC sources routinely lag a destination
+        rename); a batch carrying both names raises. The old name stays
+        reserved forever — evolution can never re-add it as an unrelated
+        column, because retained files would alias their old values into
+        it.
+
+        Key and LWW-order columns refuse (row identity); the new name must
+        not collide with a live column, a dropped name (resurrection
+        hazard), or another column's former name. Time travel below the
+        rename shows the old name; ``restore()`` adopts the target's alias
+        registry. Returns the new version.
+        """
+        protected = set(self.key) | set(self.order)
+        if old in protected:
+            raise ValueError(
+                f"rename_column: {old!r} is a key/LWW-order column — "
+                f"renaming it would change row identity"
+            )
+        if old not in self.schema.fieldNames():
+            raise ValueError(
+                f"rename_column: no column {old!r} "
+                f"(have {self.schema.fieldNames()})"
+            )
+        cur = self._snapshot
+        aliases = dict(cur.get("column_aliases", {}))
+        reserved = {o for olds in aliases.values() for o in olds}
+        if new == old:
+            raise ValueError("rename_column: old and new name are equal")
+        if new in self.schema.fieldNames():
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        if new in set(cur.get("dropped_columns", [])):
+            raise ValueError(
+                f"rename_column: {new!r} was dropped — retained files still "
+                f"carry its old values, which the rename would resurrect; "
+                f"pick a fresh name"
+            )
+        if new in reserved:
+            raise ValueError(
+                f"rename_column: {new!r} is a former name of another "
+                f"column — retained files would alias into it"
+            )
+        if new.startswith("_"):
+            raise ValueError("rename_column: underscore names are reserved")
+        aliases[new] = aliases.pop(old, []) + [old]
+        snap = {
+            **cur,
+            "version": int(cur["version"]) + 1,
+            "parent": int(cur["version"]),
+            "schema": T.StructType(
+                [
+                    (
+                        T.StructField(new, f.dataType, f.nullable)
+                        if f.name == old
+                        else f
+                    )
+                    for f in self.schema.fields
+                ]
+            ).jsonValue(),
+            "column_aliases": aliases,
         }
         self._write_snapshot(snap)
         self._snapshot = snap
@@ -2128,6 +2277,7 @@ class SnapshotTable(LakeTable):
             )
         nb = self.n_buckets
         key = list(self.key)
+        state = self._canonicalize_batch_columns(state)
         has_op = "op" in state.columns
         _dropped = set(self._snapshot.get("dropped_columns", []))
         incoming = T.StructType(
@@ -2364,6 +2514,11 @@ class SnapshotTable(LakeTable):
         key = list(self.key)
         order = list(self.order)
         bucket_col = key[0]
+        # sources lagging a rename_column deliver under the old name —
+        # map them onto the current schema before any schema work
+        batch = self._canonicalize_batch_columns(batch)
+        if stats_source is not None:
+            stats_source = self._canonicalize_batch_columns(stats_source)
         has_max_lsn = "_max_lsn" in batch.columns
         # dropped names never re-evolve in: a batch still carrying a
         # drop_column'd column must not re-add it (the schema-pinned read
@@ -2791,9 +2946,12 @@ class SnapshotTable(LakeTable):
             return {
                 **self._snapshot,
                 "version": self._snapshot["version"] + 1,
-                # re-filter by the CURRENT dropped set: a concurrent
-                # drop_column may have landed between our schema merge and
-                # this (rebased) commit — its drop must win
+                # re-filter by the CURRENT dropped + renamed-away sets: a
+                # concurrent drop_column/rename_column may have landed
+                # between our schema merge and this (rebased) commit — its
+                # change must win. Delta files this epoch wrote under a
+                # concurrently-renamed old name stay readable through the
+                # alias registry's read-time coalesce.
                 "schema": merge_schemas(
                     self.schema,
                     T.StructType(
@@ -2801,8 +2959,15 @@ class SnapshotTable(LakeTable):
                             f
                             for f in new_schema.fields
                             if f.name
-                            not in set(
-                                self._snapshot.get("dropped_columns", [])
+                            not in (
+                                set(self._snapshot.get("dropped_columns", []))
+                                | {
+                                    o
+                                    for olds in self._snapshot.get(
+                                        "column_aliases", {}
+                                    ).values()
+                                    for o in olds
+                                }
                             )
                         ]
                     ),
