@@ -222,6 +222,29 @@ class IcebergTable(LakeTable):
         )
         return f"DELETE FROM {self.identifier} WHERE _tombstone{horizon}"
 
+    def drop_column_sql(self, name: str) -> str:
+        """≙ ``SnapshotTable.drop_column``: metadata-only on Iceberg too
+        (field-id based — no file rewrite, and the catalog itself prevents
+        the resurrect-on-re-add hazard the parquet backend's
+        ``dropped_columns`` registry exists for). Key/order columns refuse,
+        mirroring the parquet backend."""
+        if name in (*self._key, *self._order):
+            raise ValueError(
+                f"drop_column: {name!r} is a key/LWW-order column"
+            )
+        return f"ALTER TABLE {self.identifier} DROP COLUMN {name}"
+
+    def rename_column_sql(self, old: str, new: str) -> str:
+        """≙ ``SnapshotTable.rename_column``: Iceberg renames are native
+        field-id operations — old files resolve through the catalog's name
+        mapping, which is exactly what the parquet backend's
+        ``column_aliases`` + ``_alias_read`` coalesce re-implements."""
+        if old in (*self._key, *self._order):
+            raise ValueError(
+                f"rename_column: {old!r} is a key/LWW-order column"
+            )
+        return f"ALTER TABLE {self.identifier} RENAME COLUMN {old} TO {new}"
+
     # ---- LakeTable surface (thin wrappers over the SQL above) ------------
     @property
     def schema(self):

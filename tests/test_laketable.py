@@ -82,6 +82,22 @@ def test_iceberg_sql_builders_encode_the_contract():
     assert opts == {"start-snapshot-id": "1234", "end-snapshot-id": "5678"}
     assert IcebergTable.changes_scan_options(9) == {"start-snapshot-id": "9"}
 
+    # schema-evolution DDL ≙ SnapshotTable.drop_column / rename_column;
+    # key/order columns refuse on both backends
+    assert (
+        t.drop_column_sql("tool")
+        == "ALTER TABLE cat.db.transcripts DROP COLUMN tool"
+    )
+    assert (
+        t.rename_column_sql("tool", "tool_name")
+        == "ALTER TABLE cat.db.transcripts RENAME COLUMN tool TO tool_name"
+    )
+    for bad in ("conv_id", "turn_idx", "ts", "lsn"):
+        with pytest.raises(ValueError):
+            t.drop_column_sql(bad)
+        with pytest.raises(ValueError):
+            t.rename_column_sql(bad, "x")
+
 
 def test_negative_epoch_ids_never_silently_committed(spark, tmpdir_path):
     tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4)
