@@ -103,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="rename a value column (metadata-only; old-name files "
                         "resolve via read-time alias coalesce; lagging batches "
                         "using OLD are mapped onto NEW) and exit")
+    p.add_argument("--add-constraint", nargs=3, metavar=("NAME", "MODE", "EXPR"),
+                   help="register a CHECK constraint (MODE fail|drop|warn; EXPR "
+                        "is a SQL boolean; a row violates iff it is FALSE; "
+                        "deletes exempt) and exit")
+    p.add_argument("--drop-constraint", metavar="NAME",
+                   help="remove a CHECK constraint and exit")
     p.add_argument("--demo", action="store_true", help="self-contained run on generated data")
     args = p.parse_args(argv)
 
@@ -155,6 +161,21 @@ def main(argv: list[str] | None = None) -> int:
         tbl = SnapshotTable(spark, args.table_path)
         new_v = tbl.rename_column(old, new)
         print(json.dumps({"renamed_column": [old, new],
+                          "new_version": new_v}))
+        return 0
+
+    if args.add_constraint:
+        name, mode, expr = args.add_constraint
+        tbl = SnapshotTable(spark, args.table_path)
+        new_v = tbl.add_constraint(name, expr, mode=mode)
+        print(json.dumps({"added_constraint": name, "mode": mode,
+                          "expr": expr, "new_version": new_v}))
+        return 0
+
+    if args.drop_constraint:
+        tbl = SnapshotTable(spark, args.table_path)
+        new_v = tbl.drop_constraint(args.drop_constraint)
+        print(json.dumps({"dropped_constraint": args.drop_constraint,
                           "new_version": new_v}))
         return 0
 

@@ -534,6 +534,108 @@ GROUP BY conv_id
 """
 
 
+#: constraint set the ``cdc_constraints`` entry registers (kept in lockstep
+#: with the literals in ``_SQL_CDC_CONSTRAINTS``)
+_CONSTRAINT_SET = [
+    ("no_turn7", "turn_idx <> 7", "drop"),
+    ("has_tool", "tool IS NOT NULL", "warn"),
+]
+_CONSTRAINED_CACHE: dict[str, tuple[str, dict]] = {}
+
+
+def q_cdc_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints / expectations enforced at the MERGE boundary
+    (``SnapshotTable.add_constraint`` — the Delta ``ADD CONSTRAINT`` / DLT
+    expectations analog; the reference's nearest relative is its
+    discard-pattern filter, ParseTagname.java discardPatterns). The same
+    block-epoched changelog as ``cdc_cdf_typed`` replays into a FRESH table
+    carrying one drop-mode and one warn-mode constraint; enforcement sees
+    each epoch's LWW-collapsed winners (what ``apply_changes`` submits), so
+    the oracle ranks per (key, epoch) first, counts violations over the
+    non-delete winners, drop-filters them, and re-ranks globally for the
+    final state. Violation flags ride the merge write job as map-side
+    conditional sums (zero extra passes); delete rows are exempt.
+
+    Output: one row per constraint with its summed violation count, plus
+    final-state proof columns — ``state_rows`` differs from the
+    unconstrained replay's count (drop-mode removed winners) and
+    ``state_null_tool`` is nonzero (warn-mode rows WERE applied).
+    """
+    ck = os.path.normpath(sf_dir)
+    if ck not in _CONSTRAINED_CACHE:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work = tempfile.mkdtemp(prefix="cdc_constr_", dir=base)
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(work, "t"),
+            TRANSCRIPT_SCHEMA,
+            n_buckets=8,
+            mode="mor",
+        )
+        for name, expr, mode in _CONSTRAINT_SET:
+            table.add_constraint(name, expr, mode=mode)
+        changes = _events_changelog(spark, sf_dir)
+        epoch_of = F.pmod(F.floor(F.col("lsn") / F.lit(8)), F.lit(_N_EPOCHS))
+        totals = {name: 0 for name, _, _ in _CONSTRAINT_SET}
+        for e in range(_N_EPOCHS):
+            st = apply_changes(table, changes.filter(epoch_of == e), epoch_id=e)
+            for name, n in (st.violations or {}).items():
+                totals[name] += n
+        _CONSTRAINED_CACHE[ck] = (table.path, totals)
+    table_path, totals = _CONSTRAINED_CACHE[ck]
+    table = SnapshotTable(spark, table_path)
+    state = table.read().agg(
+        F.count(F.lit(1)).alias("state_rows"),
+        F.sum(F.col("tool").isNull().cast("long")).alias("state_null_tool"),
+    )
+    counts = spark.createDataFrame(
+        [
+            (name, mode, totals[name])
+            for name, _, mode in _CONSTRAINT_SET
+        ],
+        "constraint_name string, mode string, violations long",
+    )
+    return counts.crossJoin(F.broadcast(state))
+
+
+_SQL_CDC_CONSTRAINTS = f"""
+WITH {_SQL_CHANGES_BLOCKED},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, epoch
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  ),
+  w AS (SELECT * FROM ranked WHERE rn = 1),
+  kept AS (
+    SELECT * FROM w WHERE op = 'delete' OR (turn_idx <> 7) IS NOT FALSE
+  ),
+  final_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn2
+    FROM kept
+  ),
+  state AS (SELECT * FROM final_ranked WHERE rn2 = 1 AND op <> 'delete'),
+  s AS (SELECT CAST(count(*) AS BIGINT) AS state_rows,
+               CAST(count(*) FILTER (WHERE tool IS NULL) AS BIGINT)
+                 AS state_null_tool
+        FROM state),
+  v AS (
+    SELECT 'no_turn7' AS constraint_name, 'drop' AS mode,
+           CAST(count(*) FILTER (WHERE op <> 'delete'
+                                 AND (turn_idx <> 7) IS FALSE) AS BIGINT)
+             AS violations
+    FROM w
+    UNION ALL
+    SELECT 'has_tool', 'warn',
+           CAST(count(*) FILTER (WHERE op <> 'delete'
+                                 AND (tool IS NOT NULL) IS FALSE) AS BIGINT)
+    FROM w
+  )
+SELECT v.constraint_name, v.mode, v.violations, s.state_rows, s.state_null_tool
+FROM v CROSS JOIN s
+"""
+
+
 def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium envelope ingestion end-to-end: render each ``events`` row as
     a Debezium JSON envelope (``before``/``after``/``op``/``ts_ms``/
@@ -1538,6 +1640,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_ivm_rollup": (q_cdc_ivm_rollup, _SQL_CDC_IVM_ROLLUP),
     "cdc_derived_rollup": (q_cdc_derived_rollup, _SQL_CDC_DERIVED_ROLLUP),
     "cdc_derived_index": (q_cdc_derived_index, _SQL_CDC_DERIVED_INDEX),
+    "cdc_constraints": (q_cdc_constraints, _SQL_CDC_CONSTRAINTS),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),

@@ -2,6 +2,7 @@ from .base import LakeTable  # noqa: F401
 from .iceberg import IcebergTable, iceberg_available  # noqa: F401
 from .snapshot_table import (  # noqa: F401
     ConcurrentCommitError,
+    ConstraintViolationError,
     MergeStats,
     SnapshotTable,
 )

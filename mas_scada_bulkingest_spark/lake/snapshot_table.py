@@ -83,6 +83,24 @@ class ConcurrentCommitError(RuntimeError):
     against a specific file set and must re-run the merge)."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A ``fail``-mode CHECK constraint (:meth:`SnapshotTable.add_constraint`)
+    rejected rows in the batch. The epoch was NOT committed: nothing became
+    visible, replaying the epoch after fixing the data (or dropping the
+    constraint) applies it normally. Files the aborted write already
+    produced are uncommitted orphans — ``vacuum``'s orphan accounting
+    reclaims them, the same story as a crash between write and commit.
+    ``violations`` maps constraint name → violating-row count."""
+
+    def __init__(self, epoch_id, violations: dict):
+        self.epoch_id = epoch_id
+        self.violations = dict(violations)
+        super().__init__(
+            f"epoch {epoch_id!r} aborted before commit — fail-mode CHECK "
+            f"constraint violations: {self.violations}"
+        )
+
+
 @dataclass
 class MergeStats:
     epoch_id: int | str
@@ -93,6 +111,10 @@ class MergeStats:
     was_noop: bool
     #: wall-clock seconds per merge phase (pre_pass, write, lineage, commit)
     timings: dict | None = None
+    #: CHECK-constraint violation counts by constraint name (None when the
+    #: table has no constraints registered); drop-mode violations were
+    #: filtered from the batch, warn-mode ones were applied anyway
+    violations: dict | None = None
 
 
 def _epoch_key(epoch_id: int | str) -> str:
@@ -1952,6 +1974,9 @@ class SnapshotTable(LakeTable):
             # are rename aliases
             "dropped_columns": list(target.get("dropped_columns", [])),
             "column_aliases": dict(target.get("column_aliases", {})),
+            "constraints": {
+                n: dict(c) for n, c in target.get("constraints", {}).items()
+            },
             "buckets": {b: list(fs) for b, fs in target["buckets"].items()},
             "committed_epochs": list(target.get("committed_epochs", [])),
             "epoch_watermarks": dict(target.get("epoch_watermarks", {})),
@@ -2126,6 +2151,146 @@ class SnapshotTable(LakeTable):
         self._snapshot = snap
         return int(snap["version"])
 
+    @property
+    def constraints(self) -> dict:
+        """Registered CHECK constraints: ``{name: {"expr": sql, "mode":
+        "fail"|"drop"|"warn"}}`` (a copy — mutate via
+        :meth:`add_constraint` / :meth:`drop_constraint`)."""
+        return {
+            n: dict(c) for n, c in self._snapshot.get("constraints", {}).items()
+        }
+
+    def add_constraint(self, name: str, expr: str, mode: str = "fail") -> int:
+        """Register a CHECK constraint / expectation on incoming data — the
+        Delta Lake ``ALTER TABLE ADD CONSTRAINT`` / DLT-expectations analog.
+        The reference's nearest relatives are its discard-pattern filter and
+        null→default coercion (ParseTagname.java discardPatterns,
+        DBConnector.java:428-433 null handling); a declarative per-row data
+        contract is beyond it, but is table stakes for a lakehouse CDC sink.
+
+        ``expr`` is a SQL boolean expression over table columns. A row
+        VIOLATES iff the expression evaluates to **FALSE** — SQL CHECK
+        semantics, so NULL/UNKNOWN passes. That matters twice: constraints
+        over nullable columns don't reject absent values unless the
+        expression says ``IS NOT NULL``, and a batch from a source that does
+        not send a referenced column yet (additive schema evolution lag)
+        evaluates it as NULL and passes. ``op='delete'`` rows are exempt —
+        their payload is NULL by contract and a delete must never be blocked
+        by a payload rule.
+
+        ``mode``:
+
+        * ``"fail"`` — a violating batch ABORTS the epoch before the
+          snapshot commit (:class:`ConstraintViolationError`); nothing
+          violating ever becomes visible. Delta's CHECK behavior.
+        * ``"drop"`` — violating rows are filtered from the batch and the
+          kept rows commit normally (DLT ``expect_or_drop``).
+        * ``"warn"`` — violating rows are applied, only counted (DLT
+          ``expect``).
+
+        Enforcement is free at scale: the violation flags ride the merge's
+        existing write job as map-side conditional sums (``Observation`` /
+        CollectMetrics) — zero extra passes over the data, no shuffle, no
+        Python in the row path — and the drop-mode filter is a map-side
+        predicate Catalyst fuses into the scan-side stage. Per-constraint
+        counts surface in ``MergeStats.violations``.
+
+        For ``fail`` and ``drop``, the CURRENT table state is validated
+        first (one bounded existence probe) and a violating live row raises
+        ``ValueError`` — Delta does the same on ADD CONSTRAINT, because a
+        constraint the table already breaks turns every later epoch's
+        guarantee into a lie. ``warn`` skips the probe (advisory).
+        Committed via the same version-CAS as every maintenance op;
+        ``clone()`` carries constraints, ``restore()`` adopts the target
+        version's set. Returns the new version."""
+        if mode not in ("fail", "drop", "warn"):
+            raise ValueError(
+                f"add_constraint: mode must be fail|drop|warn, got {mode!r}"
+            )
+        if not name or not name.replace("_", "").isalnum() or name[0].isdigit():
+            raise ValueError(f"add_constraint: invalid constraint name {name!r}")
+        cur = self._snapshot
+        if name in cur.get("constraints", {}):
+            raise ValueError(f"add_constraint: constraint {name!r} already exists")
+        try:
+            self.read().limit(0).select(F.expr(expr).cast("boolean")).schema
+        except Exception as e:
+            raise ValueError(
+                f"add_constraint: expression {expr!r} does not resolve "
+                f"against the table schema as a boolean: {e}"
+            ) from None
+        if mode in ("fail", "drop"):
+            bad = (
+                self.read()
+                .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"add_constraint: existing table rows violate {expr!r}; "
+                    f"clean the data first (or register it as mode='warn')"
+                )
+        snap = {
+            **cur,
+            "version": int(cur["version"]) + 1,
+            "parent": int(cur["version"]),
+            "constraints": {
+                **cur.get("constraints", {}),
+                name: {"expr": expr, "mode": mode},
+            },
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return int(snap["version"])
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint. Returns the new version."""
+        cur = self._snapshot
+        cons = dict(cur.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(
+                f"drop_constraint: no constraint {name!r} "
+                f"(have {sorted(cons)})"
+            )
+        cons.pop(name)
+        snap = {
+            **cur,
+            "version": int(cur["version"]) + 1,
+            "parent": int(cur["version"]),
+            "constraints": cons,
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return int(snap["version"])
+
+    def _constraint_checks(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, dict[str, object], list[str]]:
+        """``(augmented_df, violation_flag_by_name, helper_col_names)`` for
+        the registered constraints. Table columns the batch does not carry
+        (schema-evolution lag) are added as typed NULLs so every expression
+        resolves — and evaluates to UNKNOWN → passes, per CHECK semantics;
+        the helpers are dropped again by the caller after the observe/filter
+        so they never enter schema evolution. Returns ``(df, {}, [])`` when
+        no constraints are registered."""
+        cons = self._snapshot.get("constraints", {})
+        if not cons:
+            return df, {}, []
+        added = [f for f in self.schema.fields if f.name not in df.columns]
+        aug = df
+        for f in added:
+            aug = aug.withColumn(f.name, F.lit(None).cast(f.dataType))
+        exempt = (
+            (F.col("op") == "delete") if "op" in aug.columns else F.lit(False)
+        )
+        flags = {
+            n: (~exempt)
+            & ~F.coalesce(F.expr(c["expr"]).cast("boolean"), F.lit(True))
+            for n, c in cons.items()
+        }
+        return aug, flags, [f.name for f in added]
+
     def clone(self, dest_path: str) -> "SnapshotTable":
         """Zero-copy table clone — the Delta/Iceberg ``CLONE`` analog for
         dev/test forks, blue-green migrations, and reproducible snapshots.
@@ -2194,6 +2359,20 @@ class SnapshotTable(LakeTable):
             "order": self._snapshot["order"],
             "mode": self._snapshot.get("mode", "cow"),
             "type_widening": self._snapshot.get("type_widening", False),
+            # schema-evolution registries MUST carry over: without
+            # column_aliases the clone reads NULL from hard-linked
+            # pre-rename files (silent data loss), without dropped_columns
+            # the next batch re-admits a dropped name, and constraints are
+            # part of the table's logical contract like both of those
+            "dropped_columns": list(self._snapshot.get("dropped_columns", [])),
+            "column_aliases": {
+                n: list(o)
+                for n, o in self._snapshot.get("column_aliases", {}).items()
+            },
+            "constraints": {
+                n: dict(c)
+                for n, c in self._snapshot.get("constraints", {}).items()
+            },
             "buckets": {
                 b: list(fs) for b, fs in self._snapshot["buckets"].items()
             },
@@ -2278,6 +2457,31 @@ class SnapshotTable(LakeTable):
         nb = self.n_buckets
         key = list(self.key)
         state = self._canonicalize_batch_columns(state)
+        # CHECK constraints apply to the bulk load exactly as to a merge
+        # batch (same flags, same Observation riding the write job, deletes
+        # exempt): a table contract that only binds incremental epochs
+        # would be bypassable through the snapshot phase.
+        _cons = self._snapshot.get("constraints", {})
+        _c_obs = None
+        if _cons:
+            _aug, _flags, _helpers = self._constraint_checks(state)
+            _c_obs = Observation()
+            _aug = _aug.observe(
+                _c_obs,
+                *[
+                    F.sum(F.when(v, 1).otherwise(0)).alias(f"v_{n}")
+                    for n, v in _flags.items()
+                ],
+            )
+            _drop_flags = [
+                _flags[n] for n, c in _cons.items() if c["mode"] == "drop"
+            ]
+            if _drop_flags:
+                _pred = _drop_flags[0]
+                for _p in _drop_flags[1:]:
+                    _pred = _pred | _p
+                _aug = _aug.filter(~_pred)
+            state = _aug.drop(*_helpers) if _helpers else _aug
         has_op = "op" in state.columns
         _dropped = set(self._snapshot.get("dropped_columns", []))
         incoming = T.StructType(
@@ -2344,6 +2548,21 @@ class SnapshotTable(LakeTable):
         applied = sum(r for r, _ in lin_by_bucket.values())
         lsn_vals = [m for _, m in lin_by_bucket.values() if m is not None]
         max_lsn = max(lsn_vals) if lsn_vals else None
+
+        # CHECK-constraint verdicts (counted by the write job above);
+        # fail-mode aborts before lineage + commit — the written files are
+        # uncommitted orphans, same as merge_changes
+        _violations: dict[str, int] = {}
+        if _cons:
+            _vm = _c_obs.get
+            _violations = {n: int(_vm[f"v_{n}"] or 0) for n in _cons}
+            _failed = {
+                n: _violations[n]
+                for n, c in _cons.items()
+                if c["mode"] == "fail" and _violations[n]
+            }
+            if _failed:
+                raise ConstraintViolationError(epoch_id, _failed)
 
         now = datetime.now()
         wall = round(time.perf_counter() - t0, 3)
@@ -2417,6 +2636,7 @@ class SnapshotTable(LakeTable):
             return MergeStats(
                 epoch_id, applied, 0, 0, max_lsn, was_noop=False,
                 timings={"bootstrap": wall},
+                violations=_violations if _cons else None,
             )
         raise ConcurrentCommitError(
             f"gave up committing bootstrap {epoch_id} after 10 attempts"
@@ -2519,6 +2739,36 @@ class SnapshotTable(LakeTable):
         batch = self._canonicalize_batch_columns(batch)
         if stats_source is not None:
             stats_source = self._canonicalize_batch_columns(stats_source)
+
+        # ---- CHECK constraints: flags + counts ride the batch's own plan
+        # (Observation = CollectMetrics, map-side conditional sums — zero
+        # extra passes); drop-mode rows are filtered BEFORE the pre-pass so
+        # bucket stats and the write see only kept rows. stats_source rows
+        # are deliberately NOT filtered: they only drive the affected-bucket
+        # superset, and a superset is correct (an untouched bucket rewrites
+        # to identical content under CoW, is simply absent under MoR).
+        _cons = self._snapshot.get("constraints", {})
+        _c_obs = None
+        if _cons:
+            _aug, _flags, _helpers = self._constraint_checks(batch)
+            _c_obs = Observation()
+            _aug = _aug.observe(
+                _c_obs,
+                *[
+                    F.sum(F.when(v, 1).otherwise(0)).alias(f"v_{n}")
+                    for n, v in _flags.items()
+                ],
+            )
+            _drop_flags = [
+                _flags[n] for n, c in _cons.items() if c["mode"] == "drop"
+            ]
+            if _drop_flags:
+                _pred = _drop_flags[0]
+                for _p in _drop_flags[1:]:
+                    _pred = _pred | _p
+                _aug = _aug.filter(~_pred)
+            batch = _aug.drop(*_helpers) if _helpers else _aug
+
         has_max_lsn = "_max_lsn" in batch.columns
         # dropped names never re-evolve in: a batch still carrying a
         # drop_column'd column must not re-add it (the schema-pinned read
@@ -2685,6 +2935,16 @@ class SnapshotTable(LakeTable):
 
         applied = skipped = deleted = 0
         lin_by_bucket: dict[int, tuple[int, int, int]] = {}
+        # whether ANY action will have executed the (observed) batch plan:
+        # the write job (affected is None = deferred MoR stats, or a
+        # non-empty affected set), or the batch-path pre-pass collect.
+        # Observation.get BLOCKS until an action completes — never read it
+        # when no action ran (then the batch was empty: zero violations).
+        _cons_counted = bool(_cons) and (
+            affected is None
+            or bool(affected)
+            or (pre_stats is None and stats_source is None and not defer_stats)
+        )
         rel_dir = os.path.join("data", f"epoch={_epoch_num(epoch_id)}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         if affected is None or affected:
@@ -2828,6 +3088,25 @@ class SnapshotTable(LakeTable):
             applied = sum(v[0] for v in lin_by_bucket.values())
             skipped = sum(v[1] for v in lin_by_bucket.values())
             deleted = sum(v[2] for v in lin_by_bucket.values())
+
+        # ---- CHECK-constraint verdicts (counts came from the same job that
+        # wrote the data). fail-mode aborts HERE — after the write, before
+        # lineage and the snapshot commit — so nothing violating is ever
+        # visible; the orphaned files are vacuum's to reap, exactly like a
+        # crash between write and commit.
+        _violations: dict[str, int] = {}
+        if _cons_counted:
+            _vm = _c_obs.get
+            _violations = {n: int(_vm[f"v_{n}"] or 0) for n in _cons}
+            _failed = {
+                n: _violations[n]
+                for n, c in _cons.items()
+                if c["mode"] == "fail" and _violations[n]
+            }
+            if _failed:
+                raise ConstraintViolationError(epoch_id, _failed)
+        elif _cons:
+            _violations = {n: 0 for n in _cons}
 
         # map written files back to buckets from the partition directories:
         # CoW replaces each affected bucket's file list (the rewrite carried
@@ -3014,5 +3293,12 @@ class SnapshotTable(LakeTable):
             if n:
                 _timings["compact"] = round(time.perf_counter() - _t0, 3)
         return MergeStats(
-            epoch_id, applied, skipped, deleted, max_lsn, was_noop=False, timings=_timings
+            epoch_id,
+            applied,
+            skipped,
+            deleted,
+            max_lsn,
+            was_noop=False,
+            timings=_timings,
+            violations=_violations if _cons else None,
         )
