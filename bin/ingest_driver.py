@@ -109,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
                         "deletes exempt) and exit")
     p.add_argument("--drop-constraint", metavar="NAME",
                    help="remove a CHECK constraint and exit")
+    p.add_argument("--quarantine-summary", action="store_true",
+                   help="print per-epoch per-constraint quarantined-row "
+                        "counts as JSON and exit")
+    p.add_argument("--clear-quarantine", metavar="EPOCH",
+                   help="deregister quarantined rows after triage ('all' or "
+                        "an epoch id); vacuum reclaims the files once no "
+                        "retained snapshot references them")
     p.add_argument("--demo", action="store_true", help="self-contained run on generated data")
     args = p.parse_args(argv)
 
@@ -177,6 +184,30 @@ def main(argv: list[str] | None = None) -> int:
         new_v = tbl.drop_constraint(args.drop_constraint)
         print(json.dumps({"dropped_constraint": args.drop_constraint,
                           "new_version": new_v}))
+        return 0
+
+    if args.quarantine_summary:
+        from pyspark.sql import functions as F
+        tbl = SnapshotTable(spark, args.table_path)
+        rows = (
+            tbl.read_quarantine()
+            .select("_epoch_key", F.explode("_violated").alias("constraint"))
+            .groupBy("_epoch_key", "constraint")
+            .count()
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["_epoch_key"], {})[r["constraint"]] = int(r["count"])
+        print(json.dumps({"quarantine": out}))
+        return 0
+
+    if args.clear_quarantine:
+        tbl = SnapshotTable(spark, args.table_path)
+        which = None if args.clear_quarantine == "all" else args.clear_quarantine
+        n = tbl.clear_quarantine(which)
+        print(json.dumps({"cleared_quarantine_epochs": n,
+                          "scope": args.clear_quarantine}))
         return 0
 
     if args.clone_to:

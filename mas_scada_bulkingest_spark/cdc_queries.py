@@ -636,6 +636,81 @@ FROM v CROSS JOIN s
 """
 
 
+_QUARANTINE_CACHE: dict[str, str] = {}
+
+
+def q_cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-mode CHECK constraints (``add_constraint(mode=
+    "quarantine")`` — the DLT "quarantine bad records" pattern; see
+    ``cdc_constraints`` for the fail/drop/warn trio). The block-epoched
+    changelog replays into a FRESH table where ``turn_idx = 7`` rows are
+    quarantined instead of dropped: filtered from the committed state AND
+    persisted to the table's quarantine store, registered in the same
+    atomic snapshot commit as the epoch (exactly-once: a replayed epoch
+    never double-quarantines). Enforcement sees each epoch's LWW-collapsed
+    winners, so the quarantined set is exactly the non-delete per-(key,
+    epoch) winners violating the expression — which is what the oracle
+    derives independently.
+
+    Output: the quarantined rows themselves (strong content check — the
+    engine side reads them back via ``read_quarantine()``), each carrying
+    the firing constraint name and the final committed-state row count
+    (identical to ``cdc_constraints``' drop-mode state: quarantine ≡ drop
+    for table content, + the persisted side store).
+    """
+    ck = os.path.normpath(sf_dir)
+    if ck not in _QUARANTINE_CACHE:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work = tempfile.mkdtemp(prefix="cdc_quar_", dir=base)
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(work, "t"),
+            TRANSCRIPT_SCHEMA,
+            n_buckets=8,
+            mode="mor",
+        )
+        table.add_constraint("no_turn7", "turn_idx <> 7", mode="quarantine")
+        changes = _events_changelog(spark, sf_dir)
+        epoch_of = F.pmod(F.floor(F.col("lsn") / F.lit(8)), F.lit(_N_EPOCHS))
+        for e in range(_N_EPOCHS):
+            apply_changes(table, changes.filter(epoch_of == e), epoch_id=e)
+        _QUARANTINE_CACHE[ck] = table.path
+    table = SnapshotTable(spark, _QUARANTINE_CACHE[ck])
+    state = table.read().agg(F.count(F.lit(1)).alias("state_rows"))
+    quarantined = table.read_quarantine().select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        F.element_at("_violated", 1).alias("violated"),
+    )
+    return quarantined.crossJoin(F.broadcast(state))
+
+
+_SQL_CDC_QUARANTINE = f"""
+WITH {_SQL_CHANGES_BLOCKED},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, epoch
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  ),
+  w AS (SELECT * FROM ranked WHERE rn = 1),
+  kept AS (
+    SELECT * FROM w WHERE op = 'delete' OR (turn_idx <> 7) IS NOT FALSE
+  ),
+  final_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn2
+    FROM kept
+  ),
+  s AS (SELECT CAST(count(*) AS BIGINT) AS state_rows
+        FROM final_ranked WHERE rn2 = 1 AND op <> 'delete')
+SELECT w.conv_id, CAST(w.turn_idx AS INTEGER) AS turn_idx,
+       CAST(w.lsn AS BIGINT) AS lsn, 'no_turn7' AS violated, s.state_rows
+FROM w CROSS JOIN s
+WHERE w.op <> 'delete' AND (w.turn_idx <> 7) IS FALSE
+"""
+
+
 def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium envelope ingestion end-to-end: render each ``events`` row as
     a Debezium JSON envelope (``before``/``after``/``op``/``ts_ms``/
@@ -1641,6 +1716,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_derived_rollup": (q_cdc_derived_rollup, _SQL_CDC_DERIVED_ROLLUP),
     "cdc_derived_index": (q_cdc_derived_index, _SQL_CDC_DERIVED_INDEX),
     "cdc_constraints": (q_cdc_constraints, _SQL_CDC_CONSTRAINTS),
+    "cdc_quarantine": (q_cdc_quarantine, _SQL_CDC_QUARANTINE),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),

@@ -1067,7 +1067,17 @@ class SnapshotTable(LakeTable):
         snap = self._snapshot
         referenced = [f for fs in snap["buckets"].values() for f in fs]
         referenced_set = set(referenced)
-        missing = [f for f in referenced if not os.path.exists(os.path.join(self.path, f))]
+        # quarantine files get the existence check but NOT the footer
+        # audit below: their schema legitimately carries _violated /
+        # _epoch_key / op beyond the table schema
+        q_referenced = [
+            f for fs in snap.get("quarantine_files", {}).values() for f in fs
+        ]
+        missing = [
+            f
+            for f in referenced + q_referenced
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
         missing_set = set(missing)
 
         # footer-vs-declared schema audit
@@ -1150,19 +1160,26 @@ class SnapshotTable(LakeTable):
         # orphans: on disk under data/, referenced by NO retained snapshot
         retained: set[str] = set()
         for v in self.versions():
+            _vs = self.at_version(v)._snapshot
+            retained.update(f for fs in _vs["buckets"].values() for f in fs)
             retained.update(
                 f
-                for fs in self.at_version(v)._snapshot["buckets"].values()
+                for fs in _vs.get("quarantine_files", {}).values()
                 for f in fs
             )
         on_disk = []
-        data_root = os.path.join(self.path, "data")
-        for dirpath, _dirs, files in os.walk(data_root):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    on_disk.append(
-                        os.path.relpath(os.path.join(dirpath, fn), self.path)
-                    )
+        for sub in ("data", "quarantine"):
+            sub_root = os.path.join(self.path, sub)
+            if not os.path.isdir(sub_root):
+                continue
+            for dirpath, _dirs, files in os.walk(sub_root):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        on_disk.append(
+                            os.path.relpath(
+                                os.path.join(dirpath, fn), self.path
+                            )
+                        )
         orphans = [f for f in on_disk if f not in retained]
         orphan_bytes = sum(
             os.path.getsize(os.path.join(self.path, f)) for f in orphans
@@ -1551,17 +1568,26 @@ class SnapshotTable(LakeTable):
                 s = json.load(f)
             for files in s["buckets"].values():
                 referenced.update(files)
-        data_dir = os.path.join(self.path, "data")
+            # quarantine files live under the same accounting: referenced
+            # by a retained snapshot = kept; an aborted epoch's orphaned
+            # quarantine dir (crash/fail-mode between write and commit) or
+            # one only expired snapshots reference = reaped
+            for files in s.get("quarantine_files", {}).values():
+                referenced.update(files)
         deleted = 0
-        for root, _dirs, files in os.walk(data_dir, topdown=False):
-            for fn in files:
-                full = os.path.join(root, fn)
-                rel = os.path.relpath(full, self.path)
-                if rel not in referenced:  # parquet or _SUCCESS markers
-                    os.remove(full)
-                    deleted += 1 if fn.endswith(".parquet") else 0
-            if root != data_dir and not os.listdir(root):
-                os.rmdir(root)
+        for sub in ("data", "quarantine"):
+            base = os.path.join(self.path, sub)
+            if not os.path.isdir(base):
+                continue
+            for root, _dirs, files in os.walk(base, topdown=False):
+                for fn in files:
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, self.path)
+                    if rel not in referenced:  # parquet or _SUCCESS markers
+                        os.remove(full)
+                        deleted += 1 if fn.endswith(".parquet") else 0
+                if root != base and not os.listdir(root):
+                    os.rmdir(root)
         for v in versions:
             if v not in keep_versions:
                 os.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
@@ -1632,6 +1658,86 @@ class SnapshotTable(LakeTable):
         self._snapshot = snap
         return int(n_purge)
 
+    def _purge_quarantine_key(self, key_cols: list, key_values: tuple) -> int:
+        """Erase the key's rows from the quarantine store — right-to-be-
+        forgotten covers quarantined deliveries too (a rejected row still
+        HOLDS the subject's data). Two bounded jobs: one count pass over
+        the registered quarantine files finds which epochs hold the key,
+        then only those epochs' files are rewritten. Returns rows removed;
+        the updated registry commits via the usual version CAS (rebase on
+        conflict — concurrent merges may register NEW quarantine epochs,
+        which are kept)."""
+        qmap = self._snapshot.get("quarantine_files", {})
+        if not qmap:
+            return 0
+        all_paths = [
+            os.path.join(self.path, f) for fs in qmap.values() for f in fs
+        ]
+        qdf = self.spark.read.option("mergeSchema", "true").parquet(*all_paths)
+        pred = None
+        for col, val in zip(key_cols, key_values):
+            term = F.col(col) == F.lit(val)
+            pred = term if pred is None else pred & term
+        hit = F.coalesce(pred, F.lit(False))
+        per_epoch = (
+            qdf.groupBy("_epoch_key")
+            .agg(
+                F.sum(hit.cast("long")).alias("_hits"),
+                F.count(F.lit(1)).alias("_total"),
+            )
+            .filter(F.col("_hits") > 0)
+            .collect()
+        )
+        if not per_epoch:
+            return 0
+        new_map = {k: list(v) for k, v in qmap.items()}
+        removed = 0
+        for r in per_epoch:
+            ek = r["_epoch_key"]
+            removed += int(r["_hits"])
+            if int(r["_hits"]) == int(r["_total"]):
+                new_map.pop(ek, None)
+                continue
+            paths = [os.path.join(self.path, f) for f in qmap[ek]]
+            keep = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths)
+                .filter(~hit)
+            )
+            rel_dir = os.path.join(
+                "quarantine", f"scrub-{uuid.uuid4().hex[:8]}"
+            )
+            out_dir = os.path.join(self.path, rel_dir)
+            keep.write.mode("overwrite").parquet(out_dir)
+            new_map[ek] = [
+                os.path.join(rel_dir, fn)
+                for fn in os.listdir(out_dir)
+                if fn.endswith(".parquet")
+            ]
+        for _attempt in range(10):
+            merged = {
+                **self._snapshot.get("quarantine_files", {}),
+                **{k: v for k, v in new_map.items()},
+            }
+            for ek in set(qmap) - set(new_map):  # fully-scrubbed epochs
+                merged.pop(ek, None)
+            snap = {
+                **self._snapshot,
+                "version": self._snapshot["version"] + 1,
+                "parent": self._snapshot["version"],
+                "quarantine_files": merged,
+            }
+            try:
+                self._write_snapshot(snap)
+            except ConcurrentCommitError:
+                self._snapshot = self._read_current_snapshot()
+                continue
+            self._snapshot = snap
+            return removed
+        raise ConcurrentCommitError(
+            "gave up committing quarantine scrub after 10 rebase attempts"
+        )
+
     def purge_key(self, *key_values, expire_history: bool = True) -> int:
         """Physically erase every stored row — live, superseded-in-delta,
         and tombstone — for one key (or key prefix): right-to-be-forgotten
@@ -1659,6 +1765,12 @@ class SnapshotTable(LakeTable):
         ``read_changes`` range truncated by the vacuum raises loudly
         rather than silently omitting epochs).
 
+        Erasure also reaches the **quarantine store**: a delivery a
+        quarantine-mode constraint rejected still holds the subject's
+        data, so the key's quarantined rows are scrubbed first (their own
+        CAS commit, affected epochs' files rewritten) and counted in the
+        return value.
+
         ``key_values`` follow ``self.key`` order, as in ``lookup``:
         ``purge_key("conv-7")`` erases the conversation,
         ``purge_key("conv-7", 3)`` one turn. Returns rows physically
@@ -1668,9 +1780,14 @@ class SnapshotTable(LakeTable):
         """
         key = self._validate_key_prefix("purge_key", key_values)
         b = self._bucket_of(key_values[0])
+        # quarantine scrub first (its own CAS commit): a rejected delivery
+        # still holds the subject's data, so erasure must reach it too
+        n_quarantine = self._purge_quarantine_key(key, key_values)
         inputs = set(self._snapshot["buckets"].get(str(b), []))
         if not inputs:
-            return 0
+            if n_quarantine and expire_history:
+                self.vacuum(retain_versions=1)
+            return n_quarantine
         if self.mode == "mor":
             rows = self._read_collapsed_local(buckets=[b])
         else:
@@ -1686,7 +1803,9 @@ class SnapshotTable(LakeTable):
         hit = F.coalesce(pred, F.lit(False))
         n_purge = rows.filter(hit).count()
         if n_purge == 0:
-            return 0
+            if n_quarantine and expire_history:
+                self.vacuum(retain_versions=1)
+            return n_quarantine
         keep = rows.filter(~hit)
         rel_dir = os.path.join("data", f"purgekey-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
@@ -1722,7 +1841,7 @@ class SnapshotTable(LakeTable):
             self._snapshot = snap
             if expire_history:
                 self.vacuum(retain_versions=1)
-            return int(n_purge)
+            return int(n_purge) + n_quarantine
         raise ConcurrentCommitError(
             "gave up committing key purge after 10 rebase attempts"
         )
@@ -1977,6 +2096,14 @@ class SnapshotTable(LakeTable):
             "constraints": {
                 n: dict(c) for n, c in target.get("constraints", {}).items()
             },
+            # the quarantine view rewinds with the table: epochs rolled
+            # back take their quarantined rows with them (their files stay
+            # on disk while a retained snapshot references them — same
+            # lifetime rule as data files)
+            "quarantine_files": {
+                k: list(v)
+                for k, v in target.get("quarantine_files", {}).items()
+            },
             "buckets": {b: list(fs) for b, fs in target["buckets"].items()},
             "committed_epochs": list(target.get("committed_epochs", [])),
             "epoch_watermarks": dict(target.get("epoch_watermarks", {})),
@@ -2187,25 +2314,39 @@ class SnapshotTable(LakeTable):
           kept rows commit normally (DLT ``expect_or_drop``).
         * ``"warn"`` — violating rows are applied, only counted (DLT
           ``expect``).
+        * ``"quarantine"`` — violating rows are filtered from the batch
+          like ``drop``, but ADDITIONALLY persisted to the table's
+          quarantine store (``quarantine/`` next to ``data/``) with a
+          ``_violated`` constraint-name list and the epoch key, readable
+          via :meth:`read_quarantine` — the DLT "quarantine bad records"
+          pattern, for triage/replay instead of silent loss. The
+          quarantine write is registered in the SAME atomic snapshot
+          commit as the epoch, so replays never double-quarantine and a
+          crash before commit leaves only vacuum-reclaimable orphans.
 
         Enforcement is free at scale: the violation flags ride the merge's
         existing write job as map-side conditional sums (``Observation`` /
         CollectMetrics) — zero extra passes over the data, no shuffle, no
-        Python in the row path — and the drop-mode filter is a map-side
-        predicate Catalyst fuses into the scan-side stage. Per-constraint
-        counts surface in ``MergeStats.violations``.
+        Python in the row path — and the drop/quarantine filter is a
+        map-side predicate Catalyst fuses into the scan-side stage.
+        Per-constraint counts surface in ``MergeStats.violations``. The
+        one exception: when a quarantine-mode constraint actually FIRES,
+        persisting the violators costs one extra pass over the batch
+        lineage (violation-free epochs pay nothing — the counts from the
+        write job gate the extra pass).
 
-        For ``fail`` and ``drop``, the CURRENT table state is validated
-        first (one bounded existence probe) and a violating live row raises
-        ``ValueError`` — Delta does the same on ADD CONSTRAINT, because a
-        constraint the table already breaks turns every later epoch's
-        guarantee into a lie. ``warn`` skips the probe (advisory).
-        Committed via the same version-CAS as every maintenance op;
-        ``clone()`` carries constraints, ``restore()`` adopts the target
-        version's set. Returns the new version."""
-        if mode not in ("fail", "drop", "warn"):
+        For ``fail``, ``drop`` and ``quarantine``, the CURRENT table state
+        is validated first (one bounded existence probe) and a violating
+        live row raises ``ValueError`` — Delta does the same on ADD
+        CONSTRAINT, because a constraint the table already breaks turns
+        every later epoch's guarantee into a lie. ``warn`` skips the probe
+        (advisory). Committed via the same version-CAS as every
+        maintenance op; ``clone()`` carries constraints, ``restore()``
+        adopts the target version's set. Returns the new version."""
+        if mode not in ("fail", "drop", "warn", "quarantine"):
             raise ValueError(
-                f"add_constraint: mode must be fail|drop|warn, got {mode!r}"
+                f"add_constraint: mode must be fail|drop|warn|quarantine, "
+                f"got {mode!r}"
             )
         if not name or not name.replace("_", "").isalnum() or name[0].isdigit():
             raise ValueError(f"add_constraint: invalid constraint name {name!r}")
@@ -2219,7 +2360,7 @@ class SnapshotTable(LakeTable):
                 f"add_constraint: expression {expr!r} does not resolve "
                 f"against the table schema as a boolean: {e}"
             ) from None
-        if mode in ("fail", "drop"):
+        if mode in ("fail", "drop", "quarantine"):
             bad = (
                 self.read()
                 .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
@@ -2291,6 +2432,98 @@ class SnapshotTable(LakeTable):
         }
         return aug, flags, [f.name for f in added]
 
+    def _quarantine_df(
+        self, aug: DataFrame, flags: dict, q_names: list[str], epoch_id
+    ) -> DataFrame:
+        """The quarantine-mode violators of this batch, as a FRESH plan over
+        the pre-``observe`` augmented batch (the merge's Observation fires
+        once, on the main write job — re-executing an observed plan for the
+        quarantine write would corrupt the counts). Carries every batch
+        column (helpers included: typed NULLs, so each epoch's quarantine
+        file records the full table schema of its day) plus ``_violated``
+        (which quarantine constraints the row broke) and ``_epoch_key``;
+        the ``_max_lsn`` merge helper is stripped like everywhere else."""
+        pred = flags[q_names[0]]
+        for n in q_names[1:]:
+            pred = pred | flags[n]
+        violated = F.filter(
+            F.array(*[F.when(flags[n], F.lit(n)) for n in q_names]),
+            lambda x: x.isNotNull(),
+        )
+        out = (
+            aug.filter(pred)
+            .withColumn("_violated", violated)
+            .withColumn("_epoch_key", F.lit(_epoch_key(epoch_id)))
+        )
+        return out.drop("_max_lsn") if "_max_lsn" in out.columns else out
+
+    def _write_quarantine(self, qdf: DataFrame, epoch_id) -> list[str]:
+        """Persist quarantine rows under ``quarantine/epoch=…``; returns the
+        relative file list for the snapshot's ``quarantine_files`` registry.
+        Crash before the registering commit leaves the directory as an
+        unreferenced orphan — ``vacuum`` reaps it, same as data files."""
+        rel_dir = os.path.join(
+            "quarantine", f"epoch={_epoch_num(epoch_id)}-{uuid.uuid4().hex[:8]}"
+        )
+        out_dir = os.path.join(self.path, rel_dir)
+        qdf.write.mode("overwrite").parquet(out_dir)
+        return [
+            os.path.join(rel_dir, fn)
+            for fn in os.listdir(out_dir)
+            if fn.endswith(".parquet")
+        ]
+
+    def read_quarantine(self, epoch_id=None) -> DataFrame:
+        """Rows quarantined by ``mode="quarantine"`` constraints — the batch
+        row as delivered plus ``_violated`` (array of constraint names that
+        flagged it) and ``_epoch_key``. ``epoch_id`` narrows to one epoch's
+        quarantine; default is every registered epoch. Only files the
+        snapshot registry references are read (an aborted epoch's orphaned
+        quarantine never surfaces here), so the view is transactionally
+        consistent with the table: ``restore()`` rewinds it, ``clone()``
+        carries it, ``purge_key`` scrubs it. Empty registry returns an
+        empty DataFrame over the table schema + the quarantine columns."""
+        qmap = self._snapshot.get("quarantine_files", {})
+        if epoch_id is not None:
+            files = list(qmap.get(_epoch_key(epoch_id), []))
+        else:
+            files = [f for _k, fs in sorted(qmap.items()) for f in fs]
+        if not files:
+            fields = list(self.schema.fields) + [
+                T.StructField("op", T.StringType()),
+                T.StructField("_violated", T.ArrayType(T.StringType())),
+                T.StructField("_epoch_key", T.StringType()),
+            ]
+            return self.spark.createDataFrame([], T.StructType(fields))
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
+    def clear_quarantine(self, epoch_id=None) -> int:
+        """Deregister quarantined rows after triage — one epoch's, or all.
+        Metadata-only commit (same version CAS as every maintenance op);
+        the files themselves become unreferenced once the snapshots naming
+        them expire, and ``vacuum`` reclaims them then. Returns the number
+        of epochs cleared."""
+        cur = self._snapshot
+        qmap = {k: list(v) for k, v in cur.get("quarantine_files", {}).items()}
+        if epoch_id is not None:
+            cleared = 1 if qmap.pop(_epoch_key(epoch_id), None) is not None else 0
+        else:
+            cleared = len(qmap)
+            qmap = {}
+        if not cleared:
+            return 0
+        snap = {
+            **cur,
+            "version": int(cur["version"]) + 1,
+            "parent": int(cur["version"]),
+            "quarantine_files": qmap,
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return cleared
+
     def clone(self, dest_path: str) -> "SnapshotTable":
         """Zero-copy table clone — the Delta/Iceberg ``CLONE`` analog for
         dev/test forks, blue-green migrations, and reproducible snapshots.
@@ -2339,6 +2572,9 @@ class SnapshotTable(LakeTable):
         for files in self._snapshot["buckets"].values():
             for rel in files:
                 _link_or_copy(rel)
+        for files in self._snapshot.get("quarantine_files", {}).values():
+            for rel in files:
+                _link_or_copy(rel)
         lin_dir = os.path.join(self.path, "lineage")
         for name in os.listdir(lin_dir):
             _link_or_copy(os.path.join("lineage", name))
@@ -2372,6 +2608,10 @@ class SnapshotTable(LakeTable):
             "constraints": {
                 n: dict(c)
                 for n, c in self._snapshot.get("constraints", {}).items()
+            },
+            "quarantine_files": {
+                k: list(v)
+                for k, v in self._snapshot.get("quarantine_files", {}).items()
             },
             "buckets": {
                 b: list(fs) for b, fs in self._snapshot["buckets"].items()
@@ -2463,8 +2703,12 @@ class SnapshotTable(LakeTable):
         # would be bypassable through the snapshot phase.
         _cons = self._snapshot.get("constraints", {})
         _c_obs = None
+        _q_names = [n for n, c in _cons.items() if c["mode"] == "quarantine"]
+        _q_df = None
         if _cons:
             _aug, _flags, _helpers = self._constraint_checks(state)
+            if _q_names:
+                _q_df = self._quarantine_df(_aug, _flags, _q_names, epoch_id)
             _c_obs = Observation()
             _aug = _aug.observe(
                 _c_obs,
@@ -2474,7 +2718,9 @@ class SnapshotTable(LakeTable):
                 ],
             )
             _drop_flags = [
-                _flags[n] for n, c in _cons.items() if c["mode"] == "drop"
+                _flags[n]
+                for n, c in _cons.items()
+                if c["mode"] in ("drop", "quarantine")
             ]
             if _drop_flags:
                 _pred = _drop_flags[0]
@@ -2564,6 +2810,13 @@ class SnapshotTable(LakeTable):
             if _failed:
                 raise ConstraintViolationError(epoch_id, _failed)
 
+        # quarantine persist, gated on the write job's counts (same
+        # contract as merge_changes: registered by the commit below,
+        # orphaned on a crash before it, never re-run on a replay)
+        _q_files: list[str] = []
+        if _q_df is not None and any(_violations.get(n, 0) for n in _q_names):
+            _q_files = self._write_quarantine(_q_df, epoch_id)
+
         now = datetime.now()
         wall = round(time.perf_counter() - t0, 3)
         if lin_by_bucket:
@@ -2619,6 +2872,16 @@ class SnapshotTable(LakeTable):
                 "committed_epochs": folded,
                 "epoch_watermarks": watermarks,
                 "parent": self._snapshot["version"],
+                **(
+                    {
+                        "quarantine_files": {
+                            **self._snapshot.get("quarantine_files", {}),
+                            _epoch_key(epoch_id): _q_files,
+                        }
+                    }
+                    if _q_files
+                    else {}
+                ),
             }
             try:
                 self._write_snapshot(snap)
@@ -2742,15 +3005,22 @@ class SnapshotTable(LakeTable):
 
         # ---- CHECK constraints: flags + counts ride the batch's own plan
         # (Observation = CollectMetrics, map-side conditional sums — zero
-        # extra passes); drop-mode rows are filtered BEFORE the pre-pass so
-        # bucket stats and the write see only kept rows. stats_source rows
-        # are deliberately NOT filtered: they only drive the affected-bucket
-        # superset, and a superset is correct (an untouched bucket rewrites
-        # to identical content under CoW, is simply absent under MoR).
+        # extra passes); drop/quarantine-mode rows are filtered BEFORE the
+        # pre-pass so bucket stats and the write see only kept rows.
+        # stats_source rows are deliberately NOT filtered: they only drive
+        # the affected-bucket superset, and a superset is correct (an
+        # untouched bucket rewrites to identical content under CoW, is
+        # simply absent under MoR). Quarantine violators are captured as a
+        # SEPARATE pre-observe plan, executed only if the write job's
+        # counts say any exist (see the verdicts block below).
         _cons = self._snapshot.get("constraints", {})
         _c_obs = None
+        _q_names = [n for n, c in _cons.items() if c["mode"] == "quarantine"]
+        _q_df = None
         if _cons:
             _aug, _flags, _helpers = self._constraint_checks(batch)
+            if _q_names:
+                _q_df = self._quarantine_df(_aug, _flags, _q_names, epoch_id)
             _c_obs = Observation()
             _aug = _aug.observe(
                 _c_obs,
@@ -2760,7 +3030,9 @@ class SnapshotTable(LakeTable):
                 ],
             )
             _drop_flags = [
-                _flags[n] for n, c in _cons.items() if c["mode"] == "drop"
+                _flags[n]
+                for n, c in _cons.items()
+                if c["mode"] in ("drop", "quarantine")
             ]
             if _drop_flags:
                 _pred = _drop_flags[0]
@@ -3074,16 +3346,20 @@ class SnapshotTable(LakeTable):
                     max_lsn = int(max(vals))
                 _timings["lineage_stats"] = round(time.perf_counter() - _t0, 3)
             elif per_bucket:
+                # F.sum over ZERO observed rows is NULL, not 0 — reachable
+                # when a drop/quarantine constraint filters every batch row
+                # of an affected bucket (the bucket still rewrites: the
+                # affected set comes from the unfiltered stats_source)
                 metrics = obs.get
                 for bk in affected:
                     a, sk, dl = metrics[f"a_{bk}"], metrics[f"s_{bk}"], metrics[f"d_{bk}"]
-                    lin_by_bucket[bk] = (int(a), int(sk), int(dl))
+                    lin_by_bucket[bk] = (int(a or 0), int(sk or 0), int(dl or 0))
             else:
                 metrics = obs.get
                 lin_by_bucket[-1] = (
-                    int(metrics["a_all"]),
-                    int(metrics["s_all"]),
-                    int(metrics["d_all"]),
+                    int(metrics["a_all"] or 0),
+                    int(metrics["s_all"] or 0),
+                    int(metrics["d_all"] or 0),
                 )
             applied = sum(v[0] for v in lin_by_bucket.values())
             skipped = sum(v[1] for v in lin_by_bucket.values())
@@ -3107,6 +3383,19 @@ class SnapshotTable(LakeTable):
                 raise ConstraintViolationError(epoch_id, _failed)
         elif _cons:
             _violations = {n: 0 for n in _cons}
+
+        # ---- quarantine persist: only when the write job's counts say a
+        # quarantine-mode constraint actually fired — violation-free epochs
+        # never pay the extra batch pass. Written BEFORE the snapshot
+        # commit; the commit registers the files, so a crash in between
+        # leaves unregistered orphans (vacuum's to reap) and a replayed
+        # committed epoch never double-quarantines (the top-of-merge
+        # was_noop short-circuit).
+        _q_files: list[str] = []
+        if _q_df is not None and any(_violations.get(n, 0) for n in _q_names):
+            _t0 = time.perf_counter()
+            _q_files = self._write_quarantine(_q_df, epoch_id)
+            _timings["quarantine"] = round(time.perf_counter() - _t0, 3)
 
         # map written files back to buckets from the partition directories:
         # CoW replaces each affected bucket's file list (the rewrite carried
@@ -3256,6 +3545,16 @@ class SnapshotTable(LakeTable):
                 "committed_epochs": folded,
                 "epoch_watermarks": watermarks,
                 "parent": self._snapshot["version"],
+                **(
+                    {
+                        "quarantine_files": {
+                            **self._snapshot.get("quarantine_files", {}),
+                            _epoch_key(epoch_id): _q_files,
+                        }
+                    }
+                    if _q_files
+                    else {}
+                ),
             }
 
         _t0 = time.perf_counter()

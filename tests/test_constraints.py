@@ -177,6 +177,150 @@ def test_bootstrap_enforces_same_contract(spark, tmpdir_path):
     assert t2.read().count() == 0 and not t2.is_epoch_committed("bootstrap-0")
 
 
+def test_quarantine_mode_persists_and_filters(spark, tmpdir_path):
+    tbl = create_transcripts_table(spark, tmpdir_path + "/tq", n_buckets=2)
+    tbl.add_constraint("no_turn7", "turn_idx <> 7", mode="quarantine")
+    batch = spark.createDataFrame(
+        [
+            _row(1, "c1", 1, tool="search"),
+            _row(2, "c1", 7),               # quarantined
+            _row(3, "c2", 7),               # quarantined
+            _row(4, "c3", 7, op="delete"),  # delete: exempt
+        ],
+        _COLS,
+    )
+    st = apply_changes(tbl, batch, epoch_id=0)
+    assert st.violations == {"no_turn7": 2}
+    # committed state excludes the violators (quarantine ≡ drop for state)
+    assert {(r.conv_id, r.turn_idx) for r in tbl.read().collect()} == {("c1", 1)}
+    q = tbl.read_quarantine().collect()
+    assert {(r.conv_id, r.turn_idx, r.lsn) for r in q} == {
+        ("c1", 7, 2),
+        ("c2", 7, 3),
+    }
+    assert all(r._violated == ["no_turn7"] for r in q)
+    assert all(r._epoch_key == "0" for r in q)
+    # exactly-once: replaying the committed epoch never double-quarantines
+    st2 = apply_changes(tbl, batch, epoch_id=0)
+    assert st2.was_noop
+    assert tbl.read_quarantine().count() == 2
+    # a violation-free epoch registers nothing (and pays no extra pass)
+    apply_changes(
+        tbl, spark.createDataFrame([_row(5, "c4", 1)], _COLS), epoch_id=1
+    )
+    assert tbl.read_quarantine(epoch_id=1).count() == 0
+    assert tbl.read_quarantine().count() == 2
+    # fresh-handle read sees the same registry (snapshot round-trip)
+    assert SnapshotTable(spark, tbl.path).read_quarantine().count() == 2
+
+
+def test_quarantine_orphans_and_clear(spark, tmpdir_path):
+    import os
+
+    tbl = create_transcripts_table(spark, tmpdir_path + "/to", n_buckets=2)
+    tbl.add_constraint("no_turn7", "turn_idx <> 7", mode="quarantine")
+    apply_changes(
+        tbl,
+        spark.createDataFrame([_row(1, "c1", 1), _row(2, "c2", 7)], _COLS),
+        epoch_id=0,
+    )
+    # an unregistered quarantine dir (crash between write and commit) is
+    # an orphan: visible to verify_integrity, reaped by vacuum
+    orphan_dir = os.path.join(tbl.path, "quarantine", "epoch=99-deadbeef")
+    os.makedirs(orphan_dir)
+    qfile = next(
+        os.path.join(d, f)
+        for d, _s, fs in os.walk(os.path.join(tbl.path, "quarantine"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    import shutil
+
+    shutil.copy(qfile, os.path.join(orphan_dir, "part-orphan.parquet"))
+    rep = tbl.verify_integrity()
+    assert rep["ok"] and rep["orphan_files"] >= 1
+    tbl.vacuum(retain_versions=1)
+    assert not os.path.exists(orphan_dir)
+    assert tbl.read_quarantine().count() == 1  # registered rows survive
+    # triage done: clear the registry, then vacuum reclaims the bytes
+    assert tbl.clear_quarantine() == 1
+    assert tbl.read_quarantine().count() == 0
+    tbl.vacuum(retain_versions=1)
+    assert not any(
+        f.endswith(".parquet")
+        for _d, _s, fs in os.walk(os.path.join(tbl.path, "quarantine"))
+        for f in fs
+    )
+    # registered quarantine file goes missing -> hard integrity failure
+    apply_changes(
+        tbl,
+        spark.createDataFrame([_row(9, "c9", 7)], _COLS),
+        epoch_id=5,
+    )
+    qfile2 = os.path.join(
+        tbl.path, tbl._snapshot["quarantine_files"]["5"][0]
+    )
+    os.remove(qfile2)
+    rep = tbl.verify_integrity()
+    assert not rep["ok"] and rep["missing_files"]
+
+
+def test_quarantine_clone_restore_purge(spark, tmpdir_path):
+    tbl = create_transcripts_table(spark, tmpdir_path + "/tp", n_buckets=2)
+    tbl.add_constraint("no_turn7", "turn_idx <> 7", mode="quarantine")
+    apply_changes(
+        tbl,
+        spark.createDataFrame(
+            [_row(1, "c1", 1), _row(2, "c1", 7), _row(3, "c2", 7)], _COLS
+        ),
+        epoch_id=0,
+    )
+    v_one_epoch = tbl._snapshot["version"]
+    apply_changes(
+        tbl, spark.createDataFrame([_row(4, "c3", 7)], _COLS), epoch_id=1
+    )
+    assert tbl.read_quarantine().count() == 3
+    # clone carries the quarantine store (hard-linked, registry intact)
+    clone = tbl.clone(tmpdir_path + "/tp_clone")
+    assert clone.read_quarantine().count() == 3
+    # restore rewinds the quarantine view with the table
+    tbl.restore(v_one_epoch)
+    assert tbl.read_quarantine().count() == 2
+    assert sorted(tbl._snapshot["quarantine_files"]) == ["0"]
+    # GDPR: purge_key scrubs the subject's quarantined rows too
+    n = tbl.purge_key("c1")
+    assert n >= 2  # the live c1 turn + the quarantined c1 turn-7
+    left = tbl.read_quarantine().collect()
+    assert {(r.conv_id, r.turn_idx) for r in left} == {("c2", 7)}
+    assert tbl.read().filter("conv_id = 'c1'").count() == 0
+    # a key that exists ONLY in quarantine still purges (and counts)
+    assert tbl.purge_key("c2") == 1
+    assert tbl.read_quarantine().count() == 0
+
+
+def test_bootstrap_quarantines(spark, tmpdir_path):
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp_ntz, lsn long"
+    )
+    tbl = SnapshotTable.create(
+        spark, tmpdir_path + "/tbq",
+        spark.createDataFrame([], schema).schema, n_buckets=2,
+    )
+    tbl.add_constraint("pos_lsn", "lsn > 0", mode="quarantine")
+    dump = spark.createDataFrame(
+        [
+            ("a", 1, "u", "x", None, datetime(2024, 1, 1), 5),
+            ("b", 2, "u", "y", None, datetime(2024, 1, 1), -4),
+        ],
+        schema,
+    )
+    st = tbl.bootstrap(dump)
+    assert st.violations == {"pos_lsn": 1} and st.applied == 1
+    q = tbl.read_quarantine().collect()
+    assert len(q) == 1 and q[0].conv_id == "b" and q[0]._violated == ["pos_lsn"]
+
+
 def test_clone_carries_and_restore_adopts(spark, tmpdir_path):
     tbl = create_transcripts_table(spark, tmpdir_path + "/tc", n_buckets=2)
     apply_changes(
