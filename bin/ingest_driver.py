@@ -109,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
                         "deletes exempt) and exit")
     p.add_argument("--drop-constraint", metavar="NAME",
                    help="remove a CHECK constraint and exit")
+    p.add_argument("--add-generated-column", nargs=2, metavar=("NAME", "EXPR"),
+                   help="register a generated column (Delta GENERATED ALWAYS "
+                        "AS analog; empty table only; batches omitting it get "
+                        "it computed, batches supplying it are validated) "
+                        "and exit")
     p.add_argument("--quarantine-summary", action="store_true",
                    help="print per-epoch per-constraint quarantined-row "
                         "counts as JSON and exit")
@@ -183,6 +188,14 @@ def main(argv: list[str] | None = None) -> int:
         tbl = SnapshotTable(spark, args.table_path)
         new_v = tbl.drop_constraint(args.drop_constraint)
         print(json.dumps({"dropped_constraint": args.drop_constraint,
+                          "new_version": new_v}))
+        return 0
+
+    if args.add_generated_column:
+        name, expr = args.add_generated_column
+        tbl = SnapshotTable(spark, args.table_path)
+        new_v = tbl.add_generated_column(name, expr)
+        print(json.dumps({"added_generated_column": name, "expr": expr,
                           "new_version": new_v}))
         return 0
 

@@ -636,6 +636,66 @@ FROM v CROSS JOIN s
 """
 
 
+_GENERATED_CACHE: dict[str, str] = {}
+
+
+def q_cdc_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (``SnapshotTable.add_generated_column`` — the
+    Delta ``GENERATED ALWAYS AS`` analog; the reference's nearest relative
+    is its constant-column injection, SURVEY §2 P3). A FRESH table
+    declares two generation expressions (``text_len = length(text)``,
+    ``ts_day = CAST(ts AS DATE)``) before any data, then replays the
+    block-epoched changelog: every batch omits the columns, so the merge
+    boundary computes them map-side (a ``withColumn`` fused into the write
+    stage — zero extra passes) while the auto-registered ``gen_*``
+    fail-mode constraints (``col <=> (expr)``, NULL-safe — validation
+    cannot be dodged with NULLs) ride the write job's Observation.
+
+    Output: the final replayed state's key/order columns plus both
+    generated columns — the oracle recomputes them independently from the
+    LWW winners, proving the per-epoch generation over collapsed batches
+    composes to exactly the declarative definition over final state.
+    """
+    ck = os.path.normpath(sf_dir)
+    if ck not in _GENERATED_CACHE:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work = tempfile.mkdtemp(prefix="cdc_gen_", dir=base)
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(work, "t"),
+            TRANSCRIPT_SCHEMA,
+            n_buckets=8,
+            mode="mor",
+        )
+        table.add_generated_column("text_len", "length(text)")
+        table.add_generated_column("ts_day", "CAST(ts AS DATE)")
+        changes = _events_changelog(spark, sf_dir)
+        epoch_of = F.pmod(F.floor(F.col("lsn") / F.lit(8)), F.lit(_N_EPOCHS))
+        for e in range(_N_EPOCHS):
+            apply_changes(table, changes.filter(epoch_of == e), epoch_id=e)
+        _GENERATED_CACHE[ck] = table.path
+    table = SnapshotTable(spark, _GENERATED_CACHE[ck])
+    return table.read().select(
+        "conv_id", "turn_idx", "lsn", "text_len", "ts_day"
+    )
+
+
+_SQL_CDC_GENERATED = f"""
+WITH {_SQL_CHANGES_BLOCKED},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  )
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       CAST(lsn AS BIGINT) AS lsn,
+       CAST(length(text) AS INTEGER) AS text_len,
+       CAST(ts AS DATE) AS ts_day
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 _QUARANTINE_CACHE: dict[str, str] = {}
 
 
@@ -1717,6 +1777,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_derived_index": (q_cdc_derived_index, _SQL_CDC_DERIVED_INDEX),
     "cdc_constraints": (q_cdc_constraints, _SQL_CDC_CONSTRAINTS),
     "cdc_quarantine": (q_cdc_quarantine, _SQL_CDC_QUARANTINE),
+    "cdc_generated": (q_cdc_generated, _SQL_CDC_GENERATED),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),

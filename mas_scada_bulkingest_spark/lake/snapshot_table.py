@@ -2096,6 +2096,7 @@ class SnapshotTable(LakeTable):
             "constraints": {
                 n: dict(c) for n, c in target.get("constraints", {}).items()
             },
+            "generated_columns": dict(target.get("generated_columns", {})),
             # the quarantine view rewinds with the table: epochs rolled
             # back take their quarantined rows with them (their files stay
             # on disk while a retained snapshot references them — same
@@ -2181,10 +2182,32 @@ class SnapshotTable(LakeTable):
                 f"(have {self.schema.fieldNames()})"
             )
         cur = self._snapshot
+        # expressions that would stop resolving make the drop refuse:
+        # a metadata-only schema change must never strand a registered
+        # constraint / generation expr that every later merge would fail
+        # to compile. The dropped column's OWN implicit gen_* constraint
+        # is exempt — it retires with the column below.
+        refs = [
+            (k, n)
+            for k, n in self._exprs_referencing(name)
+            if not (k == "constraint" and n == f"gen_{name}")
+        ]
+        if refs:
+            raise ValueError(
+                f"drop_column: {name!r} is referenced by "
+                + ", ".join(f"{k} {n!r}" for k, n in refs)
+                + " — drop those first"
+            )
         # a dropped column takes its former names with it: retained files
-        # under ANY of its names are equally dead, and none may re-evolve
+        # under ANY of its names are equally dead, and none may re-evolve.
+        # A generated column takes its expression and implicit validation
+        # constraint with it.
         aliases = dict(cur.get("column_aliases", {}))
         olds = aliases.pop(name, [])
+        gen = dict(cur.get("generated_columns", {}))
+        cons = dict(cur.get("constraints", {}))
+        if gen.pop(name, None) is not None:
+            cons.pop(f"gen_{name}", None)
         snap = {
             **cur,
             "version": int(cur["version"]) + 1,
@@ -2196,6 +2219,8 @@ class SnapshotTable(LakeTable):
                 set(cur.get("dropped_columns", [])) | {name} | set(olds)
             ),
             "column_aliases": aliases,
+            "generated_columns": gen,
+            "constraints": cons,
         }
         self._write_snapshot(snap)
         self._snapshot = snap
@@ -2257,6 +2282,20 @@ class SnapshotTable(LakeTable):
             )
         if new.startswith("_"):
             raise ValueError("rename_column: underscore names are reserved")
+        if old in cur.get("generated_columns", {}):
+            raise ValueError(
+                f"rename_column: {old!r} is a generated column — its "
+                f"expression and implicit constraint are name-bound; drop "
+                f"it and re-declare under the new name"
+            )
+        refs = self._exprs_referencing(old)
+        if refs:
+            raise ValueError(
+                f"rename_column: {old!r} is referenced by "
+                + ", ".join(f"{k} {n!r}" for k, n in refs)
+                + " — constraint/generation expressions are not rewritten "
+                + "by a rename; drop and re-add them under the new name"
+            )
         aliases[new] = aliases.pop(old, []) + [old]
         snap = {
             **cur,
@@ -2281,11 +2320,161 @@ class SnapshotTable(LakeTable):
     @property
     def constraints(self) -> dict:
         """Registered CHECK constraints: ``{name: {"expr": sql, "mode":
-        "fail"|"drop"|"warn"}}`` (a copy — mutate via
+        "fail"|"drop"|"warn"|"quarantine"}}`` (a copy — mutate via
         :meth:`add_constraint` / :meth:`drop_constraint`)."""
         return {
             n: dict(c) for n, c in self._snapshot.get("constraints", {}).items()
         }
+
+    @property
+    def generated_columns(self) -> dict:
+        """Registered generation expressions: ``{column: sql_expr}`` (a
+        copy — mutate via :meth:`add_generated_column` / ``drop_column``)."""
+        return dict(self._snapshot.get("generated_columns", {}))
+
+    def _exprs_referencing(self, without: str) -> list[tuple[str, str]]:
+        """``(kind, name)`` of registered constraint / generated-column
+        expressions that stop resolving when column ``without`` leaves the
+        schema — the guard ``drop_column`` / ``rename_column`` use so a
+        metadata-only schema change can never strand an expression that
+        every later merge would fail to compile."""
+        probe = self.spark.createDataFrame(
+            [],
+            T.StructType([f for f in self.schema.fields if f.name != without]),
+        )
+        out: list[tuple[str, str]] = []
+        for n, c in self._snapshot.get("constraints", {}).items():
+            try:
+                probe.select(F.expr(c["expr"]))
+            except Exception:
+                out.append(("constraint", n))
+        for n, e in self._snapshot.get("generated_columns", {}).items():
+            if n == without:
+                continue
+            try:
+                probe.select(F.expr(e))
+            except Exception:
+                out.append(("generated column", n))
+        return out
+
+    def add_generated_column(self, name: str, expr: str) -> int:
+        """Register a generated column — the Delta ``GENERATED ALWAYS AS``
+        analog (the reference's nearest relative is its constant-column
+        injection, SURVEY §2 P3; a derived per-row column contract is
+        beyond it). ``expr`` is a deterministic SQL expression over the
+        table's columns; the column's type is inferred from it and added
+        to the schema.
+
+        Semantics (Delta's):
+
+        * a batch that OMITS the column gets it computed at the merge /
+          bootstrap boundary — a map-side ``withColumn`` Catalyst fuses
+          into the write stage, zero extra passes;
+        * a batch that SUPPLIES the column is validated: an implicit
+          fail-mode CHECK ``<name> <=> (<expr>)`` (NULL-safe equality —
+          never UNKNOWN, so validation cannot be dodged with NULLs) is
+          auto-registered as constraint ``gen_<name>`` and aborts the
+          epoch on any mismatch, exactly like Delta rejecting a write
+          that contradicts the generation expression. Source columns the
+          batch lacks (evolution lag) enter the expression as typed
+          NULLs on BOTH sides, so computed and supplied values stay
+          consistent.
+
+        Like Delta, generation is declared BEFORE data: the table must be
+        empty, so every stored row satisfies the expression by
+        construction (no read-time compute, the column is physical —
+        stats, pushdown and data skipping all apply). ``drop_column`` on
+        the generated column retires the expression and its implicit
+        constraint together; ``drop_constraint`` refuses the implicit
+        constraint alone (validation without generation is a contract
+        hole). ``clone()`` carries the registry, ``restore()`` adopts the
+        target's. Returns the new version."""
+        if self._snapshot["buckets"]:
+            raise ValueError(
+                "add_generated_column requires an empty table (generation "
+                "is declared before data, like Delta GENERATED ALWAYS AS — "
+                "existing rows never satisfy an expression retroactively)"
+            )
+        if not name or name.startswith("_") or not name.replace("_", "").isalnum():
+            raise ValueError(
+                f"add_generated_column: invalid column name {name!r}"
+            )
+        reserved = {
+            o
+            for olds in self._snapshot.get("column_aliases", {}).values()
+            for o in olds
+        }
+        if (
+            name in self.schema.fieldNames()
+            or name in set(self._snapshot.get("dropped_columns", []))
+            or name in reserved
+        ):
+            raise ValueError(
+                f"add_generated_column: column name {name!r} exists, was "
+                f"dropped, or is a former name of a renamed column"
+            )
+        try:
+            dtype = (
+                self.read()
+                .limit(0)
+                .select(F.expr(expr).alias(name))
+                .schema[0]
+                .dataType
+            )
+        except Exception as e:
+            raise ValueError(
+                f"add_generated_column: expression {expr!r} does not "
+                f"resolve against the table schema: {e}"
+            ) from None
+        cur = self._snapshot
+        cons_name = f"gen_{name}"
+        if cons_name in cur.get("constraints", {}):
+            raise ValueError(
+                f"add_generated_column: constraint name {cons_name!r} is "
+                f"taken — rename that constraint first"
+            )
+        snap = {
+            **cur,
+            "version": int(cur["version"]) + 1,
+            "parent": int(cur["version"]),
+            "schema": T.StructType(
+                list(self.schema.fields) + [T.StructField(name, dtype)]
+            ).jsonValue(),
+            "generated_columns": {
+                **cur.get("generated_columns", {}),
+                name: expr,
+            },
+            "constraints": {
+                **cur.get("constraints", {}),
+                cons_name: {"expr": f"{name} <=> ({expr})", "mode": "fail"},
+            },
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return int(snap["version"])
+
+    def _apply_generated(self, batch: DataFrame) -> DataFrame:
+        """Compute registered generated columns the batch omits (map-side,
+        fused into the batch's plan). Source columns the batch lacks enter
+        the expressions as typed NULLs (additive-evolution lag) and are
+        dropped again afterwards — identical treatment to
+        :meth:`_constraint_checks`, so the implicit ``gen_*`` validation
+        constraint sees exactly the values generation produced."""
+        gen = self._snapshot.get("generated_columns", {})
+        if not gen or all(n in batch.columns for n in gen):
+            return batch
+        added = [
+            f
+            for f in self.schema.fields
+            if f.name not in batch.columns and f.name not in gen
+        ]
+        aug = batch
+        for f in added:
+            aug = aug.withColumn(f.name, F.lit(None).cast(f.dataType))
+        for name, expr in gen.items():
+            if name not in batch.columns:
+                aug = aug.withColumn(name, F.expr(expr))
+        return aug.drop(*[f.name for f in added]) if added else aug
 
     def add_constraint(self, name: str, expr: str, mode: str = "fail") -> int:
         """Register a CHECK constraint / expectation on incoming data — the
@@ -2386,13 +2575,24 @@ class SnapshotTable(LakeTable):
         return int(snap["version"])
 
     def drop_constraint(self, name: str) -> int:
-        """Remove a CHECK constraint. Returns the new version."""
+        """Remove a CHECK constraint. Returns the new version. The
+        implicit ``gen_*`` validation constraint of a generated column
+        refuses (generation without validation is a contract hole —
+        ``drop_column`` the generated column to retire both)."""
         cur = self._snapshot
         cons = dict(cur.get("constraints", {}))
         if name not in cons:
             raise ValueError(
                 f"drop_constraint: no constraint {name!r} "
                 f"(have {sorted(cons)})"
+            )
+        if (
+            name.startswith("gen_")
+            and name[4:] in cur.get("generated_columns", {})
+        ):
+            raise ValueError(
+                f"drop_constraint: {name!r} is the implicit validation of "
+                f"generated column {name[4:]!r}; drop_column it instead"
             )
         cons.pop(name)
         snap = {
@@ -2609,6 +2809,9 @@ class SnapshotTable(LakeTable):
                 n: dict(c)
                 for n, c in self._snapshot.get("constraints", {}).items()
             },
+            "generated_columns": dict(
+                self._snapshot.get("generated_columns", {})
+            ),
             "quarantine_files": {
                 k: list(v)
                 for k, v in self._snapshot.get("quarantine_files", {}).items()
@@ -2697,6 +2900,7 @@ class SnapshotTable(LakeTable):
         nb = self.n_buckets
         key = list(self.key)
         state = self._canonicalize_batch_columns(state)
+        state = self._apply_generated(state)
         # CHECK constraints apply to the bulk load exactly as to a merge
         # batch (same flags, same Observation riding the write job, deletes
         # exempt): a table contract that only binds incremental epochs
@@ -3002,6 +3206,10 @@ class SnapshotTable(LakeTable):
         batch = self._canonicalize_batch_columns(batch)
         if stats_source is not None:
             stats_source = self._canonicalize_batch_columns(stats_source)
+        # generated columns the batch omits are computed here (map-side,
+        # fused); supplied ones are validated by their implicit gen_*
+        # fail constraint in the block below
+        batch = self._apply_generated(batch)
 
         # ---- CHECK constraints: flags + counts ride the batch's own plan
         # (Observation = CollectMetrics, map-side conditional sums — zero
