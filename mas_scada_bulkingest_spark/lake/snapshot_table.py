@@ -56,7 +56,12 @@ from pyspark.sql import types as T
 
 from ..operators.lww import collapse_lww
 from ..operators.schema_evolution import align_schemas, merge_schemas
-from ..schemas import LINEAGE_SCHEMA, LWW_ORDER, MERGE_KEY
+from ..schemas import (
+    CONSTRAINT_METRICS_SCHEMA,
+    LINEAGE_SCHEMA,
+    LWW_ORDER,
+    MERGE_KEY,
+)
 from .base import LakeTable
 
 _CURRENT = "_CURRENT"
@@ -1497,6 +1502,77 @@ class SnapshotTable(LakeTable):
             .drop("_rn")
         )
 
+    def _append_constraint_metrics(self, epoch_id, violations: dict) -> None:
+        """Persist this epoch's per-constraint violation counts — the DLT
+        expectations event-log analog (``MergeStats.violations`` is
+        ephemeral; a 24/7 deployment wants the history queryable). One row
+        per constraint, appended BEFORE the snapshot commit like lineage
+        (at-least-once; the reader dedups on (epoch_key, constraint_name)
+        keeping the newest). Only epochs that go on to COMMIT write here —
+        a fail-aborted epoch surfaces through ConstraintViolationError,
+        not a metrics row. Driver-side pyarrow: a handful of local rows;
+        a Spark job would cost seconds of fixed overhead for a sub-KB
+        file."""
+        cons = self._snapshot.get("constraints", {})
+        if not cons or not violations:
+            return
+        mdir = os.path.join(self.path, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        names = sorted(violations)
+        now = datetime.now()
+        tbl = pa.table(
+            {
+                "epoch_id": pa.array(
+                    [_epoch_num(epoch_id)] * len(names), pa.int64()
+                ),
+                "epoch_key": pa.array(
+                    [_epoch_key(epoch_id)] * len(names), pa.string()
+                ),
+                "constraint_name": pa.array(names, pa.string()),
+                "mode": pa.array(
+                    [cons.get(n, {}).get("mode", "") for n in names],
+                    pa.string(),
+                ),
+                "violations": pa.array(
+                    [int(violations[n]) for n in names], pa.int64()
+                ),
+                "committed_ts": pa.array([now] * len(names), pa.timestamp("us")),
+            }
+        )
+        pq.write_table(
+            tbl,
+            os.path.join(
+                mdir,
+                f"constraints-{_epoch_num(epoch_id)}-{uuid.uuid4().hex[:8]}.parquet",
+            ),
+        )
+
+    def constraint_metrics(self) -> DataFrame:
+        """Per-(epoch, constraint) violation counts across all committed
+        epochs — the queryable history behind ``MergeStats.violations``
+        (DLT surfaces the same numbers in its event log). One row per
+        (epoch_key, constraint_name); appends are at-least-once (crash
+        between append and commit re-appends on replay), so the newest
+        ``committed_ts`` wins, the same dedup contract as
+        :meth:`lineage`. Empty DataFrame when the table has never had
+        constraints."""
+        mdir = os.path.join(self.path, "metrics")
+        if not os.path.isdir(mdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(mdir)
+        ):
+            return self.spark.createDataFrame([], CONSTRAINT_METRICS_SCHEMA)
+        from pyspark.sql import Window
+
+        df = self.spark.read.schema(CONSTRAINT_METRICS_SCHEMA).parquet(mdir)
+        w = Window.partitionBy("epoch_key", "constraint_name").orderBy(
+            F.col("committed_ts").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def compact_lineage(self) -> int:
         """Merge the per-epoch lineage files into one parquet file.
 
@@ -1514,7 +1590,7 @@ class SnapshotTable(LakeTable):
         lin_dir = os.path.join(self.path, "lineage")
         inputs = [f for f in os.listdir(lin_dir) if f.endswith(".parquet")]
         if len(inputs) <= 1:
-            return 0
+            return self.compact_constraint_metrics()
         rows = self.lineage().collect()  # deduped; O(epochs x buckets)
         merged = pa.table(
             {
@@ -1542,6 +1618,50 @@ class SnapshotTable(LakeTable):
         for fn in inputs:
             try:
                 os.remove(os.path.join(lin_dir, fn))
+            except FileNotFoundError:
+                pass
+        return len(inputs) + self.compact_constraint_metrics()
+
+    def compact_constraint_metrics(self) -> int:
+        """Fold the per-epoch constraint-metrics files into one parquet —
+        the :meth:`compact_lineage` twin for the expectations event log
+        (same at-least-once append + reader-dedup contract, same 10^4-
+        tiny-files problem at 10^4 epochs). ``compact_lineage`` calls it;
+        standalone use is fine too. Returns input files removed."""
+        mdir = os.path.join(self.path, "metrics")
+        if not os.path.isdir(mdir):
+            return 0
+        inputs = [f for f in os.listdir(mdir) if f.endswith(".parquet")]
+        if len(inputs) <= 1:
+            return 0
+        rows = self.constraint_metrics().collect()
+        merged = pa.table(
+            {
+                "epoch_id": pa.array([r["epoch_id"] for r in rows], pa.int64()),
+                "epoch_key": pa.array(
+                    [r["epoch_key"] for r in rows], pa.string()
+                ),
+                "constraint_name": pa.array(
+                    [r["constraint_name"] for r in rows], pa.string()
+                ),
+                "mode": pa.array([r["mode"] for r in rows], pa.string()),
+                "violations": pa.array(
+                    [r["violations"] for r in rows], pa.int64()
+                ),
+                "committed_ts": pa.array(
+                    [r["committed_ts"] for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(
+            merged,
+            os.path.join(
+                mdir, f"constraints-compact-{uuid.uuid4().hex[:8]}.parquet"
+            ),
+        )
+        for fn in inputs:
+            try:
+                os.remove(os.path.join(mdir, fn))
             except FileNotFoundError:
                 pass
         return len(inputs)
@@ -2778,6 +2898,10 @@ class SnapshotTable(LakeTable):
         lin_dir = os.path.join(self.path, "lineage")
         for name in os.listdir(lin_dir):
             _link_or_copy(os.path.join("lineage", name))
+        mdir = os.path.join(self.path, "metrics")
+        if os.path.isdir(mdir):
+            for name in os.listdir(mdir):
+                _link_or_copy(os.path.join("metrics", name))
 
         committed = list(self._snapshot.get("committed_epochs", []))
         epoch_nums = [
@@ -3020,6 +3144,8 @@ class SnapshotTable(LakeTable):
         _q_files: list[str] = []
         if _q_df is not None and any(_violations.get(n, 0) for n in _q_names):
             _q_files = self._write_quarantine(_q_df, epoch_id)
+        if _cons:
+            self._append_constraint_metrics(epoch_id, _violations)
 
         now = datetime.now()
         wall = round(time.perf_counter() - t0, 3)
@@ -3604,6 +3730,9 @@ class SnapshotTable(LakeTable):
             _t0 = time.perf_counter()
             _q_files = self._write_quarantine(_q_df, epoch_id)
             _timings["quarantine"] = round(time.perf_counter() - _t0, 3)
+        if _cons:
+            # expectations event log: counts survive MergeStats (DLT parity)
+            self._append_constraint_metrics(epoch_id, _violations)
 
         # map written files back to buckets from the partition directories:
         # CoW replaces each affected bucket's file list (the rewrite carried

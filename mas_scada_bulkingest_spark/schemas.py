@@ -113,6 +113,23 @@ LINEAGE_SCHEMA = T.StructType(
     ]
 )
 
+# ---------------------------------------------------------------------------
+# Per-epoch CHECK-constraint violation counts (the DLT expectations
+# event-log analog): one row per (epoch, constraint), appended by the merge
+# before the snapshot commit — at-least-once like lineage, deduped by the
+# reader on (epoch_key, constraint).
+# ---------------------------------------------------------------------------
+CONSTRAINT_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch_id", T.LongType(), nullable=False),
+        T.StructField("epoch_key", T.StringType(), nullable=False),
+        T.StructField("constraint_name", T.StringType(), nullable=False),
+        T.StructField("mode", T.StringType(), nullable=False),
+        T.StructField("violations", T.LongType(), nullable=False),
+        T.StructField("committed_ts", T.TimestampNTZType(), nullable=False),
+    ]
+)
+
 #: Columns that form the MERGE/upsert key.
 MERGE_KEY = ("conv_id", "turn_idx")
 

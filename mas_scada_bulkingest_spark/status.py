@@ -69,6 +69,16 @@ def status(table: SnapshotTable) -> dict:
         F.max("committed_ts").alias("last_commit_ts"),
     ).first()
     snap = table._snapshot
+    # expectations event log: per-constraint violation totals across all
+    # committed epochs (empty dict when the table never had constraints;
+    # one small driver-side aggregate over the deduped metrics files)
+    violations = {
+        r["constraint_name"]: {"mode": r["mode"], "total": int(r["total"])}
+        for r in table.constraint_metrics()
+        .groupBy("constraint_name", "mode")
+        .agg(F.sum("violations").alias("total"))
+        .collect()
+    }
     n_files = sum(len(v) for v in snap["buckets"].values())
     total_rows = int(lin["applied"] or 0) + int(lin["skipped"] or 0) + int(
         lin["deleted"] or 0
@@ -94,6 +104,7 @@ def status(table: SnapshotTable) -> dict:
         "n_buckets": snap["n_buckets"],
         "n_data_files": n_files,
         "schema_fields": [f.name for f in table.schema.fields],
+        "constraint_violations": violations,
     }
 
 
@@ -131,6 +142,21 @@ def render_prometheus(st: dict, prefix: str = "cdc_ingest") -> str:
         lines.append(f"# HELP {name} {help_txt}")
         lines.append(f"# TYPE {name} {kind}")
         lines.append(f"{name} {float(v):g}")
+    # per-constraint violation counters, labeled (the DLT expectations
+    # metrics surface — one series per constraint)
+    viol = st.get("constraint_violations") or {}
+    if viol:
+        name = f"{prefix}_constraint_violations_total"
+        lines.append(
+            f"# HELP {name} CHECK-constraint violations across committed epochs"
+        )
+        lines.append(f"# TYPE {name} counter")
+        for cname in sorted(viol):
+            v = viol[cname]
+            lines.append(
+                f'{name}{{constraint="{cname}",mode="{v["mode"]}"}} '
+                f'{float(v["total"]):g}'
+            )
     return "\n".join(lines) + "\n"
 
 

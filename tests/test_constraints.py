@@ -142,6 +142,60 @@ def test_add_time_validation_and_api_guards(spark, tmpdir_path):
     assert tbl.constraints == {}
 
 
+def test_constraint_metrics_event_log(spark, tmpdir_path):
+    import glob
+    import os
+    import shutil
+
+    from mas_scada_bulkingest_spark.status import render_prometheus, status
+
+    tbl = create_transcripts_table(spark, tmpdir_path + "/tm", n_buckets=2)
+    tbl.add_constraint("no_turn7", "turn_idx <> 7", mode="drop")
+    apply_changes(
+        tbl,
+        spark.createDataFrame([_row(1, "c1", 1), _row(2, "c2", 7)], _COLS),
+        epoch_id=0,
+    )
+    apply_changes(
+        tbl, spark.createDataFrame([_row(3, "c3", 7)], _COLS), epoch_id=1
+    )
+    apply_changes(  # clean epoch: a ZERO row is still logged (DLT parity)
+        tbl, spark.createDataFrame([_row(4, "c4", 4)], _COLS), epoch_id=2
+    )
+    m = {
+        (r.epoch_key, r.constraint_name): r.violations
+        for r in tbl.constraint_metrics().collect()
+    }
+    assert m == {
+        ("0", "no_turn7"): 1,
+        ("1", "no_turn7"): 1,
+        ("2", "no_turn7"): 0,
+    }
+    # at-least-once appends + reader dedup: a duplicated metrics file (the
+    # crash-replay artifact) must not change any total
+    f = glob.glob(os.path.join(tbl.path, "metrics", "*.parquet"))[0]
+    shutil.copy(f, f.replace(".parquet", "-dup.parquet"))
+    assert tbl.constraint_metrics().count() == 3
+    st = status(tbl)
+    assert st["constraint_violations"] == {
+        "no_turn7": {"mode": "drop", "total": 2}
+    }
+    prom = render_prometheus(st)
+    assert (
+        'constraint_violations_total{constraint="no_turn7",mode="drop"} 2'
+        in prom
+    )
+    # compaction folds the event log (4 files incl. the dup); totals
+    # identical after; second call is a no-op
+    assert tbl.compact_constraint_metrics() == 4
+    assert tbl.constraint_metrics().count() == 3
+    assert tbl.compact_constraint_metrics() == 0
+    assert status(tbl)["constraint_violations"]["no_turn7"]["total"] == 2
+    # clone carries the event log
+    clone = tbl.clone(tmpdir_path + "/tm_clone")
+    assert clone.constraint_metrics().count() == 3
+
+
 def test_bootstrap_enforces_same_contract(spark, tmpdir_path):
     schema = (
         "conv_id string, turn_idx int, role string, text string,"
