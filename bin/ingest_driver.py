@@ -109,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
                         "deletes exempt) and exit")
     p.add_argument("--drop-constraint", metavar="NAME",
                    help="remove a CHECK constraint and exit")
+    p.add_argument("--delete-where", metavar="PREDICATE",
+                   help="tombstone all live rows matching a SQL predicate "
+                        "(Delta DELETE WHERE analog; stale re-deliveries of "
+                        "deleted versions keep losing, newer updates "
+                        "resurrect) and exit")
     p.add_argument("--add-generated-column", nargs=2, metavar=("NAME", "EXPR"),
                    help="register a generated column (Delta GENERATED ALWAYS "
                         "AS analog; empty table only; batches omitting it get "
@@ -189,6 +194,13 @@ def main(argv: list[str] | None = None) -> int:
         new_v = tbl.drop_constraint(args.drop_constraint)
         print(json.dumps({"dropped_constraint": args.drop_constraint,
                           "new_version": new_v}))
+        return 0
+
+    if args.delete_where:
+        tbl = SnapshotTable(spark, args.table_path)
+        n = tbl.delete_where(args.delete_where)
+        print(json.dumps({"deleted_rows": n, "predicate": args.delete_where,
+                          "version": tbl._snapshot["version"]}))
         return 0
 
     if args.add_generated_column:

@@ -636,6 +636,75 @@ FROM v CROSS JOIN s
 """
 
 
+_DELETE_WHERE_CACHE: dict[str, str] = {}
+
+
+def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate delete + late-data semantics end-to-end
+    (``SnapshotTable.delete_where`` — the Delta ``DELETE FROM … WHERE``
+    analog; the reference has no ad-hoc delete at all). The block-epoched
+    changelog replays, then ``delete_where("turn_idx IN (6, 7)")``
+    tombstones the matching live rows with their OWN order tuples, then
+    one more epoch delivers the two late-data cases the op's contract is
+    about: every deleted turn-7 row RE-DELIVERED VERBATIM (stale — the
+    equal-order tombstone must keep winning, which exercises the MoR read
+    collapse's tombstone tiebreak) and every deleted turn-6 row re-sent
+    with ts + 1 hour and new text (genuinely newer — must resurrect,
+    Delta's delete-then-upsert behavior).
+
+    Output: the final live state. The oracle derives it declaratively:
+    winners with turn_idx ∉ {6, 7} unchanged, turn 6 resurrected with the
+    new text, turn 7 absent.
+    """
+    ck = os.path.normpath(sf_dir)
+    if ck not in _DELETE_WHERE_CACHE:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work = tempfile.mkdtemp(prefix="cdc_delw_", dir=base)
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(work, "t"),
+            TRANSCRIPT_SCHEMA,
+            n_buckets=8,
+            mode="mor",
+        )
+        changes = _events_changelog(spark, sf_dir)
+        epoch_of = F.pmod(F.floor(F.col("lsn") / F.lit(8)), F.lit(_N_EPOCHS))
+        for e in range(_N_EPOCHS):
+            apply_changes(table, changes.filter(epoch_of == e), epoch_id=e)
+        table.delete_where("turn_idx IN (6, 7)")
+        winners = collapse_lww(changes).filter(F.col("op") != "delete")
+        stale = winners.filter(F.col("turn_idx") == 7)
+        resurrect = (
+            winners.filter(F.col("turn_idx") == 6)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+            .withColumn("text", F.lit("resurrected"))
+        )
+        apply_changes(
+            table, stale.unionByName(resurrect), epoch_id=_N_EPOCHS
+        )
+        _DELETE_WHERE_CACHE[ck] = table.path
+    table = SnapshotTable(spark, _DELETE_WHERE_CACHE[ck])
+    return table.read().select("conv_id", "turn_idx", "lsn", "text")
+
+
+_SQL_CDC_DELETE_WHERE = f"""
+WITH {_SQL_CHANGES_BLOCKED},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  ),
+  live AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       CAST(lsn AS BIGINT) AS lsn, text
+FROM live WHERE turn_idx NOT IN (6, 7)
+UNION ALL
+SELECT conv_id, CAST(turn_idx AS INTEGER), CAST(lsn AS BIGINT),
+       'resurrected'
+FROM live WHERE turn_idx = 6
+"""
+
+
 _GENERATED_CACHE: dict[str, str] = {}
 
 
@@ -1778,6 +1847,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_constraints": (q_cdc_constraints, _SQL_CDC_CONSTRAINTS),
     "cdc_quarantine": (q_cdc_quarantine, _SQL_CDC_QUARANTINE),
     "cdc_generated": (q_cdc_generated, _SQL_CDC_GENERATED),
+    "cdc_delete_where": (q_cdc_delete_where, _SQL_CDC_DELETE_WHERE),
     "cdc_lineage": (q_cdc_lineage, _SQL_CDC_LINEAGE),
     "cdc_lineage_mor": (q_cdc_lineage_mor, _SQL_CDC_LINEAGE_MOR),
     "conversations_registry": (q_conversations_registry, _SQL_CONVERSATIONS_REGISTRY),

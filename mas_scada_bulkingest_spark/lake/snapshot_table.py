@@ -740,10 +740,21 @@ class SnapshotTable(LakeTable):
             df = df.withColumn(
                 _TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False))
             )
+            # _tombstone is an explicit FINAL order key, not a carried
+            # column: on an exact (ts, lsn) tie the tombstone must win —
+            # the same tiebreak _classify_changes documents. Ordinary
+            # re-deliveries tie only between identical rows (LSNs are
+            # unique per event) so this changes nothing for them; it is
+            # load-bearing for delete_where, whose synthesized tombstones
+            # carry the deleted row's own order tuple and must keep
+            # beating stale re-deliveries of exactly that version. As a
+            # carried column the tombstone would LOSE the tie instead:
+            # struct comparison reaches the payload columns first, and
+            # NULL (the tombstone's payload) sorts below any value.
             collapsed = collapse_lww(
                 df.coalesce(1),
                 keys=self.key,
-                order=self.order,
+                order=[*self.order, _TOMBSTONE],
             )
             if with_bucket_col:
                 # recompute from the key (not a branch literal) so a branch
@@ -1777,6 +1788,143 @@ class SnapshotTable(LakeTable):
         self._write_snapshot(snap)
         self._snapshot = snap
         return int(n_purge)
+
+    def delete_where(self, predicate: str) -> int:
+        """Ad-hoc predicate delete — the Delta ``DELETE FROM … WHERE``
+        analog, the retention-enforcement op the reference has no word for
+        (``delete_where("ts < '2023-01-01'")``). Matching LIVE rows become
+        **tombstones carrying the row's own order tuple** — the crucial
+        difference from ``purge_key`` (erasure): a later stale
+        RE-delivery of a deleted version must keep losing, and the
+        merge's strict ``incoming > existing`` comparison makes the
+        equal-order tombstone win, while any genuinely NEWER upstream
+        update still resurrects the key — exactly Delta's
+        delete-then-upsert behavior under late data.
+
+        Physical: one map-side count pass over live state finds the
+        buckets holding matches, then ONLY those buckets rewrite (their
+        matched rows tombstoned with payload nulled, everything else —
+        including existing tombstones — carried through; under MoR the
+        rewrite collapses the bucket as a side effect, like
+        ``purge_tombstones``). At 4096 buckets a narrow predicate touches
+        a few; a retention sweep touches many — the honest copy-on-write
+        cost Delta pays too (deletion vectors are the escape hatch
+        neither backend implements). A NULL predicate result keeps the
+        row (SQL DELETE three-valued logic). Like compaction, this is a
+        maintenance rewrite, NOT a CDC event: the changes feed does not
+        emit the deletions (downstream consumers apply the same predicate
+        themselves); time travel below the delete still shows the rows
+        until ``vacuum`` expires it.
+
+        Returns rows deleted. Raises ``ValueError`` if the predicate does
+        not resolve as a boolean; ``ConcurrentCommitError`` if a writer
+        rewrote an affected bucket meanwhile (re-run against new state).
+        Single-writer vs merges on the SAME buckets, like ``purge_key``.
+        """
+        try:
+            self.read().limit(0).select(F.expr(predicate).cast("boolean"))
+        except Exception as e:
+            raise ValueError(
+                f"delete_where: predicate {predicate!r} does not resolve "
+                f"against the table schema as a boolean: {e}"
+            ) from None
+        key = list(self.key)
+        order = list(self.order)
+        nb = self.n_buckets
+        if self.mode == "mor":
+            raw_all = self._read_collapsed_local(with_bucket_col=True)
+        else:
+            raw_all = self._read_raw()
+            if raw_all is not None:
+                raw_all = raw_all.withColumn(
+                    "_bucket", _bucket_expr(key[0], nb)
+                )
+        if raw_all is None:
+            return 0
+        hit = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)) & ~F.col(
+            _TOMBSTONE
+        )
+        per_bucket = (
+            raw_all.groupBy("_bucket")
+            .agg(F.sum(hit.cast("long")).alias("_hits"))
+            .filter(F.col("_hits") > 0)
+            .collect()
+        )
+        if not per_bucket:
+            return 0
+        affected = sorted(int(r["_bucket"]) for r in per_bucket)
+        n_deleted = int(sum(r["_hits"] for r in per_bucket))
+        inputs_by_bucket = {
+            str(b): set(self._snapshot["buckets"].get(str(b), []))
+            for b in affected
+        }
+        if self.mode == "mor":
+            raw = self._read_collapsed_local(buckets=affected, with_bucket_col=True)
+        else:
+            raw = self._read_raw(buckets=affected).withColumn(
+                "_bucket", _bucket_expr(key[0], nb)
+            )
+        # matched live rows -> tombstones: keep key + order + bucket,
+        # NULL the payload (a tombstone's payload is NULL by contract)
+        keep_cols = set(key) | set(order) | {"_bucket", _TOMBSTONE}
+        rewritten = raw.select(
+            *[
+                (
+                    F.col(c)
+                    if c in keep_cols
+                    else F.when(hit, F.lit(None)).otherwise(F.col(c)).alias(c)
+                )
+                for c in raw.columns
+                if c != _TOMBSTONE
+            ],
+            (F.col(_TOMBSTONE) | hit).alias(_TOMBSTONE),
+        )
+        rel_dir = os.path.join("data", f"deletewhere-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        rewritten.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        new_files_by_bucket: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            bval = entry.split("=", 1)[1]
+            files = [
+                os.path.join(rel_dir, entry, fn)
+                for fn in os.listdir(os.path.join(out_dir, entry))
+                if fn.endswith(".parquet")
+            ]
+            if files:
+                new_files_by_bucket[bval] = files
+        for _attempt in range(10):
+            for b, inputs in inputs_by_bucket.items():
+                if set(self._snapshot["buckets"].get(b, [])) != inputs:
+                    raise ConcurrentCommitError(
+                        f"bucket {b} was rewritten while delete_where ran; "
+                        f"re-run against the new state"
+                    )
+            new_buckets = {
+                k: list(f) for k, f in self._snapshot["buckets"].items()
+            }
+            for b in inputs_by_bucket:
+                if b in new_files_by_bucket:
+                    new_buckets[b] = new_files_by_bucket[b]
+                else:
+                    new_buckets.pop(b, None)
+            snap = {
+                **self._snapshot,
+                "version": self._snapshot["version"] + 1,
+                "buckets": new_buckets,
+                "parent": self._snapshot["version"],
+            }
+            try:
+                self._write_snapshot(snap)
+            except ConcurrentCommitError:
+                self._snapshot = self._read_current_snapshot()
+                continue
+            self._snapshot = snap
+            return n_deleted
+        raise ConcurrentCommitError(
+            "gave up committing delete_where after 10 rebase attempts"
+        )
 
     def _purge_quarantine_key(self, key_cols: list, key_values: tuple) -> int:
         """Erase the key's rows from the quarantine store — right-to-be-
