@@ -109,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
                         "deletes exempt) and exit")
     p.add_argument("--drop-constraint", metavar="NAME",
                    help="remove a CHECK constraint and exit")
+    p.add_argument("--set-schema-evolution", metavar="POLICY",
+                   choices=("additive", "strict"),
+                   help="flip the schema-evolution policy (additive = new "
+                        "batch columns evolve in; strict = unknown columns "
+                        "reject the epoch) and exit")
     p.add_argument("--delete-where", metavar="PREDICATE",
                    help="tombstone all live rows matching a SQL predicate "
                         "(Delta DELETE WHERE analog; stale re-deliveries of "
@@ -194,6 +199,13 @@ def main(argv: list[str] | None = None) -> int:
         new_v = tbl.drop_constraint(args.drop_constraint)
         print(json.dumps({"dropped_constraint": args.drop_constraint,
                           "new_version": new_v}))
+        return 0
+
+    if args.set_schema_evolution:
+        tbl = SnapshotTable(spark, args.table_path)
+        new_v = tbl.set_schema_evolution(args.set_schema_evolution)
+        print(json.dumps({"schema_evolution": args.set_schema_evolution,
+                          "version": new_v}))
         return 0
 
     if args.delete_where:

@@ -287,6 +287,7 @@ class SnapshotTable(LakeTable):
         order: tuple[str, ...] = LWW_ORDER,
         mode: str = "cow",
         type_widening: bool = False,
+        schema_evolution: str = "additive",
     ) -> "SnapshotTable":
         """CREATE TABLE IF NOT EXISTS semantics (reference
         MonitorTable.java:122-150 checks catalog metadata first).
@@ -311,6 +312,11 @@ class SnapshotTable(LakeTable):
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        if schema_evolution not in ("additive", "strict"):
+            raise ValueError(
+                f"schema_evolution must be 'additive' or 'strict', "
+                f"got {schema_evolution!r}"
+            )
         if os.path.exists(os.path.join(path, _CURRENT)):
             return cls(spark, path)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -327,6 +333,14 @@ class SnapshotTable(LakeTable):
             # fixed at create like the storage mode — flipping it mid-life
             # would retroactively change what past batches were allowed
             "type_widening": bool(type_widening),
+            # "additive" admits new batch columns into the schema (the
+            # engine's historical behavior, Delta mergeSchema=true);
+            # "strict" rejects them loudly (Delta's DEFAULT — an upstream
+            # deploy must not silently grow a governed table). Unlike
+            # type_widening this MAY flip mid-life (set_schema_evolution):
+            # strictness only gates future batches, never reinterprets
+            # stored data.
+            "schema_evolution": schema_evolution,
             "buckets": {},
             "committed_epochs": [],
             "parent": None,
@@ -495,6 +509,53 @@ class SnapshotTable(LakeTable):
         """True when this table accepts lossless type promotions on schema
         evolution (``merge_schemas(allow_widening=True)``)."""
         return bool(self._snapshot.get("type_widening", False))
+
+    @property
+    def schema_evolution(self) -> str:
+        """``"additive"`` (default — new batch columns evolve into the
+        schema) or ``"strict"`` (unknown batch columns reject the epoch)."""
+        return self._snapshot.get("schema_evolution", "additive")
+
+    def set_schema_evolution(self, policy: str) -> int:
+        """Flip the evolution policy — Delta's table-level
+        ``mergeSchema`` governance toggle. Safe in both directions
+        mid-life (strictness gates FUTURE batches only; stored data is
+        untouched); committed via the usual version CAS. Returns the new
+        version."""
+        if policy not in ("additive", "strict"):
+            raise ValueError(
+                f"set_schema_evolution: policy must be 'additive' or "
+                f"'strict', got {policy!r}"
+            )
+        cur = self._snapshot
+        if cur.get("schema_evolution", "additive") == policy:
+            return int(cur["version"])
+        snap = {
+            **cur,
+            "version": int(cur["version"]) + 1,
+            "parent": int(cur["version"]),
+            "schema_evolution": policy,
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return int(snap["version"])
+
+    def _enforce_evolution_policy(self, incoming: T.StructType) -> None:
+        """Reject unknown batch columns under the strict policy. Runs on
+        the already-canonicalized incoming schema, so rename-lagging
+        batches (mapped to current names), drop_column'd names (filtered
+        by the registry) and engine helpers never false-trigger; type
+        CHANGES on known columns stay ``merge_schemas``' job."""
+        if self._snapshot.get("schema_evolution", "additive") != "strict":
+            return
+        known = set(self.schema.fieldNames())
+        extra = sorted(f.name for f in incoming.fields if f.name not in known)
+        if extra:
+            raise ValueError(
+                f"strict schema evolution: batch carries unknown column(s) "
+                f"{extra}; evolve the table deliberately "
+                f"(set_schema_evolution('additive')) or fix the upstream"
+            )
 
     @property
     def mode(self) -> str:
@@ -2355,6 +2416,7 @@ class SnapshotTable(LakeTable):
             "order": target["order"],
             "mode": target.get("mode", "cow"),
             "type_widening": target.get("type_widening", False),
+            "schema_evolution": target.get("schema_evolution", "additive"),
             # logical content is the target's — including which columns
             # count as dropped (restoring below a drop_column resurrects
             # the column AND clears its registry entry) and which names
@@ -3067,6 +3129,9 @@ class SnapshotTable(LakeTable):
             "order": self._snapshot["order"],
             "mode": self._snapshot.get("mode", "cow"),
             "type_widening": self._snapshot.get("type_widening", False),
+            "schema_evolution": self._snapshot.get(
+                "schema_evolution", "additive"
+            ),
             # schema-evolution registries MUST carry over: without
             # column_aliases the clone reads NULL from hard-linked
             # pre-rename files (silent data loss), without dropped_columns
@@ -3213,6 +3278,7 @@ class SnapshotTable(LakeTable):
                 if f.name not in ("op", "_max_lsn") and f.name not in _dropped
             ]
         )
+        self._enforce_evolution_policy(incoming)
         new_schema = merge_schemas(
             self.schema, incoming, allow_widening=self.type_widening
         )
@@ -3536,6 +3602,7 @@ class SnapshotTable(LakeTable):
                 if f.name not in ("op", "_max_lsn") and f.name not in _dropped
             ]
         )
+        self._enforce_evolution_policy(incoming_schema)
         new_schema = merge_schemas(
             self.schema, incoming_schema, allow_widening=self.type_widening
         )
