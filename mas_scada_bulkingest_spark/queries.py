@@ -2428,6 +2428,70 @@ SELECT split,
 FROM s GROUP BY split
 """
 
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixture weighting — the training-data op that
+    assembles a pretraining mix from differently-weighted sources
+    ("web ×2.5 epochs, forums ×0.25, exclude srcX"). Per source class
+    (source index mod 4 here) a weight w produces floor(w) full copies of
+    every document plus one more iff a document-derived uniform
+    (``md5('mix:' || doc_id)`` hex prefix, compared as a STRING against
+    the fraction's 4-hex-digit bound — no float conversion, engine-exact)
+    falls under frac(w). Like :func:`q_corpus_split`, membership and
+    replication are pure functions of the document — reproducible across
+    engines, partitionings, reruns and cluster sizes, auditable per
+    document at 100 TB. Plan shape: zero shuffles — a map-side weight
+    assignment + ``explode(sequence(...))``; output size is
+    sum(w_i · |source_i|) by construction (replication bounded by the
+    declared weights, never a join blow-up). Weights here: 2.5 / 1.0 /
+    0.25 / 0.0 — exercising replication, identity, downsampling, and full
+    source exclusion.
+    """
+    d = _t(spark, sf_dir, "documents")
+    idx = F.expr("CAST(substring(source, 4) AS INT) % 4")
+    u = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    whole = (
+        F.when(idx == 0, F.lit(2)).when(idx == 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    frac_bound = (
+        F.when(idx == 0, F.lit("8000"))  # frac(2.5)  = 0.5  -> 0x8000
+        .when(idx == 2, F.lit("4000"))   # frac(0.25) = 0.25 -> 0x4000
+        .otherwise(F.lit("0000"))
+    )
+    n_copies = whole + (u < frac_bound).cast("int")
+    return (
+        d.select("doc_id", "source", n_copies.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_idx"),
+        )
+    )
+
+
+_SQL_CORPUS_MIXTURE = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(substring(source, 4) AS INTEGER) % 4 AS idx,
+         substring(md5('mix:' || doc_id), 1, 4) AS u
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         (CASE idx WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)
+         + CASE WHEN u < (CASE idx WHEN 0 THEN '8000'
+                                   WHEN 2 THEN '4000'
+                                   ELSE '0000' END)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM d
+)
+SELECT c.doc_id, c.source, CAST(t.copy_idx AS INTEGER) AS copy_idx
+FROM c, unnest(generate_series(1, c.n_copies)) AS t(copy_idx)
+WHERE c.n_copies > 0
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2471,5 +2535,6 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "redact_pii": (q_redact_pii, _SQL_REDACT_PII),
     "dedup_chunks": (q_dedup_chunks, _SQL_DEDUP_CHUNKS),
     "corpus_split": (q_corpus_split, _SQL_CORPUS_SPLIT),
+    "corpus_mixture": (q_corpus_mixture, _SQL_CORPUS_MIXTURE),
     "events_cube": (q_events_cube, _SQL_EVENTS_CUBE),
 }
