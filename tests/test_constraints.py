@@ -142,6 +142,43 @@ def test_add_time_validation_and_api_guards(spark, tmpdir_path):
     assert tbl.constraints == {}
 
 
+def test_constraints_enforce_in_streaming_path(spark, tmpdir_path):
+    """The Structured-Streaming tail goes through the same merge boundary,
+    so a quarantine constraint registered on the destination table must
+    enforce inside every micro-batch: drop-filtered state, quarantine rows
+    registered under the NAMESPACED epoch keys, metrics event log rows."""
+    from mas_scada_bulkingest_spark.sources import generate_changelog
+    from mas_scada_bulkingest_spark.streaming.driver import run_stream
+
+    generate_changelog(
+        tmpdir_path + "/log", n_convs=30, mean_turns=6, seed=11
+    )
+    tbl = create_transcripts_table(
+        spark, tmpdir_path + "/t", n_buckets=4, mode="mor"
+    )
+    tbl.add_constraint("no_turn3", "turn_idx <> 3", mode="quarantine")
+    q = run_stream(
+        spark, tmpdir_path + "/log", tmpdir_path + "/t", tmpdir_path + "/ck"
+    )
+    q.awaitTermination(120)
+    tbl = SnapshotTable(spark, tmpdir_path + "/t")
+    assert tbl.read().filter("turn_idx = 3").count() == 0
+    quarantined = tbl.read_quarantine()
+    n_q = quarantined.count()
+    assert n_q > 0
+    assert quarantined.filter("turn_idx <> 3").count() == 0
+    # registered under the stream's namespaced epoch keys
+    assert all(
+        ":" in k for k in tbl._snapshot.get("quarantine_files", {})
+    )
+    # the expectations event log followed the stream too
+    m = tbl.constraint_metrics()
+    assert m.filter("constraint_name = 'no_turn3'").count() > 0
+    from mas_scada_bulkingest_spark.status import status
+
+    assert status(tbl)["constraint_violations"]["no_turn3"]["total"] == n_q
+
+
 def test_constraint_metrics_event_log(spark, tmpdir_path):
     import glob
     import os
