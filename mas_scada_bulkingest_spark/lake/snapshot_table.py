@@ -120,6 +120,10 @@ class MergeStats:
     #: table has no constraints registered); drop-mode violations were
     #: filtered from the batch, warn-mode ones were applied anyway
     violations: dict | None = None
+    #: write-audit-publish: the staged-snapshot ref when the merge ran with
+    #: ``stage=True`` (nothing committed yet — pass this to
+    #: ``read_staged``/``publish_staged``/``abort_staged``); None otherwise
+    staged_ref: str | None = None
 
 
 def _epoch_key(epoch_id: int | str) -> str:
@@ -254,6 +258,65 @@ def _file_order_stats(abs_path: str, col: str) -> list | None:
     return [emn, emx]
 
 
+#: key-digest tuning: 16-bit hash space, at most _DIGEST_CAP distinct hashes
+#: per file (a file with more distinct keys stores no digest and is always
+#: read). 1024/65536 slots bounds the false-keep rate of a digest probe at
+#: ~1.6 %; the hex encoding costs <=4 KB of snapshot JSON per digested file.
+_DIGEST_CAP = 1024
+_DIGEST_SPACE = 1 << 16
+
+
+def _digest_hash(v) -> int | None:
+    """16-bit membership hash of one leading-key value. Only string/int keys
+    are digested: their text form is canonical on both the build side
+    (pyarrow values read from the file) and the probe side (the Python value
+    passed to ``lookup``), so writer and reader can never disagree."""
+    import zlib
+
+    if isinstance(v, bool) or not isinstance(v, (str, int)):
+        return None
+    return zlib.crc32(str(v).encode()) % _DIGEST_SPACE
+
+
+def _file_key_digest(abs_path: str, key_col: str) -> str | None:
+    """Compact membership digest of the leading MERGE-key column of one data
+    file: the sorted distinct 16-bit hashes of its key values, hex-packed
+    (4 chars each). The manifest analog of a per-file key bloom filter —
+    Iceberg tracks these as puffin/bloom sidecars; here the digest rides the
+    snapshot JSON like the [min, max] column bounds do.
+
+    Point lookups (:meth:`SnapshotTable.lookup`) skip files whose digest
+    provably lacks the probed key. The win case at 10^10 events: a MoR
+    bucket holds one big base file (digest overflows — always read, and the
+    key is almost surely in it) plus many small epoch deltas, each holding
+    only the conversations touched in that epoch; the digest prunes every
+    delta that never touched the conversation, so a lookup opens O(epochs
+    that touched it), not O(epochs).
+
+    Reads the key column row-group-batch-wise and BAILS OUT as soon as the
+    distinct count exceeds the cap — a multi-GB compacted base file costs
+    one arrow batch, not a column scan. Returns None (= never skip) on
+    overflow, unsupported key type, or any read problem."""
+    try:
+        pf = pq.ParquetFile(abs_path)
+        if key_col not in pf.schema_arrow.names:
+            return None
+        seen: set[int] = set()
+        for batch in pf.iter_batches(columns=[key_col], batch_size=8192):
+            for v in batch.column(0).to_pylist():
+                if v is None:
+                    continue
+                h = _digest_hash(v)
+                if h is None:
+                    return None
+                seen.add(h)
+            if len(seen) > _DIGEST_CAP:
+                return None
+    except Exception:
+        return None
+    return "".join(f"{h:04x}" for h in sorted(seen))
+
+
 class SnapshotTable(LakeTable):
     """Single-writer, snapshot-isolated parquet table (see module docstring).
 
@@ -384,58 +447,7 @@ class SnapshotTable(LakeTable):
         the version sequence (lock-free helping; the slow winner's own later
         flip is idempotent — same name, forward-only).
         """
-        # Persist per-file byte sizes alongside the file lists: the MoR read
-        # groups buckets into branch tasks by CUMULATIVE BYTES (not bucket
-        # count), and at 100 TB a stat() per file per read would be an
-        # object-store metadata storm — the commit already knows the sizes
-        # (files are immutable; carry forward the parent snapshot's entries,
-        # stat only files new in this snapshot).
-        # Likewise persist per-file [min, max] of the first LWW-order column
-        # (the event-time column) — the manifest-level column bounds Iceberg
-        # keeps per data file — so time-windowed reads can SKIP whole files
-        # without opening them (see ``read(min_event_time=…)``). Stats are
-        # read from the parquet FOOTER of files new in this snapshot only
-        # (bounded per commit: the epoch's own delta / rewrite output —
-        # measured 0.13 ms/file, ~8 ms for a 64-bucket epoch, noise vs the
-        # commit fsync; on a real cluster the write tasks would report these
-        # with the commit, exactly as Iceberg manifests do). A file without
-        # usable stats maps to None and is never pruned.
-        prev = getattr(self, "_snapshot", None)
-        prev_sizes: dict[str, int] = (prev or {}).get("file_sizes", {})
-        prev_stats: dict = (prev or {}).get("file_stats", {})
-        order_col = (snap.get("order") or [None])[0]
-        sizes: dict[str, int] = {}
-        stats: dict[str, list | None] = {}
-        for files in snap["buckets"].values():
-            for f in files:
-                if f in prev_stats:
-                    stats[f] = prev_stats[f]
-                elif order_col is not None:
-                    stats[f] = _file_order_stats(
-                        os.path.join(self.path, f), order_col
-                    )
-                sz = prev_sizes.get(f)
-                if sz is None:
-                    try:
-                        sz = os.path.getsize(os.path.join(self.path, f))
-                    except OSError:
-                        continue
-                sizes[f] = sz
-        snap["file_sizes"] = sizes
-        snap["file_stats"] = stats
-        # Per-commit file delta (Iceberg manifest-list analog): lets history
-        # walkers (read_changes) load O(files added by this commit) per
-        # snapshot instead of the full table file list — at 10^4 epochs the
-        # difference between kilobytes and gigabytes of snapshot JSON.
-        prev_all = (
-            {f for fs in prev["buckets"].values() for f in fs} if prev else set()
-        )
-        snap["added_files"] = sorted(
-            f
-            for fs in snap["buckets"].values()
-            for f in fs
-            if f not in prev_all
-        )
+        self._enrich_snapshot(snap)
         name = f"v{snap['version']:08d}.json"
         snap_path = os.path.join(self.path, "snapshots", name)
         tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -455,6 +467,74 @@ class SnapshotTable(LakeTable):
             ) from None
         os.unlink(tmp)
         self._flip_current_forward(name, snap["version"])
+
+    def _enrich_snapshot(self, snap: dict) -> None:
+        """Attach manifest-level per-file metadata to a snapshot dict before
+        it is persisted (shared by committed snapshots and WAP staged
+        snapshots, so an audit read of a staged state gets the same data
+        skipping and byte-weighted branch grouping a published one does)."""
+        # Persist per-file byte sizes alongside the file lists: the MoR read
+        # groups buckets into branch tasks by CUMULATIVE BYTES (not bucket
+        # count), and at 100 TB a stat() per file per read would be an
+        # object-store metadata storm — the commit already knows the sizes
+        # (files are immutable; carry forward the parent snapshot's entries,
+        # stat only files new in this snapshot).
+        # Likewise persist per-file [min, max] of the first LWW-order column
+        # (the event-time column) — the manifest-level column bounds Iceberg
+        # keeps per data file — so time-windowed reads can SKIP whole files
+        # without opening them (see ``read(min_event_time=…)``). Stats are
+        # read from the parquet FOOTER of files new in this snapshot only
+        # (bounded per commit: the epoch's own delta / rewrite output —
+        # measured 0.13 ms/file, ~8 ms for a 64-bucket epoch, noise vs the
+        # commit fsync; on a real cluster the write tasks would report these
+        # with the commit, exactly as Iceberg manifests do). A file without
+        # usable stats maps to None and is never pruned.
+        prev = getattr(self, "_snapshot", None)
+        prev_sizes: dict[str, int] = (prev or {}).get("file_sizes", {})
+        prev_stats: dict = (prev or {}).get("file_stats", {})
+        prev_digests: dict = (prev or {}).get("file_key_digests", {})
+        order_col = (snap.get("order") or [None])[0]
+        key_col = (snap.get("key") or [None])[0]
+        sizes: dict[str, int] = {}
+        stats: dict[str, list | None] = {}
+        digests: dict[str, str | None] = {}
+        for files in snap["buckets"].values():
+            for f in files:
+                if f in prev_stats:
+                    stats[f] = prev_stats[f]
+                elif order_col is not None:
+                    stats[f] = _file_order_stats(
+                        os.path.join(self.path, f), order_col
+                    )
+                if f in prev_digests:
+                    digests[f] = prev_digests[f]
+                elif key_col is not None:
+                    digests[f] = _file_key_digest(
+                        os.path.join(self.path, f), key_col
+                    )
+                sz = prev_sizes.get(f)
+                if sz is None:
+                    try:
+                        sz = os.path.getsize(os.path.join(self.path, f))
+                    except OSError:
+                        continue
+                sizes[f] = sz
+        snap["file_sizes"] = sizes
+        snap["file_stats"] = stats
+        snap["file_key_digests"] = digests
+        # Per-commit file delta (Iceberg manifest-list analog): lets history
+        # walkers (read_changes) load O(files added by this commit) per
+        # snapshot instead of the full table file list — at 10^4 epochs the
+        # difference between kilobytes and gigabytes of snapshot JSON.
+        prev_all = (
+            {f for fs in prev["buckets"].values() for f in fs} if prev else set()
+        )
+        snap["added_files"] = sorted(
+            f
+            for fs in snap["buckets"].values()
+            for f in fs
+            if f not in prev_all
+        )
 
     def _flip_current_forward(
         self, name: str, version: int, help_only: bool = False
@@ -1064,6 +1144,231 @@ class SnapshotTable(LakeTable):
             int(f[1:9]) for f in os.listdir(snap_dir) if f.endswith(".json")
         )
 
+    # ------------------------------------------------- write-audit-publish
+    # Iceberg's WAP (stage a commit under wap.id → audit → cherry-pick to
+    # publish), mapped onto the snapshot protocol: a staged merge is a fully
+    # materialized snapshot that nothing points to. Reference parity note:
+    # the reference pipeline validates AFTER data is live in the DB (row
+    # counts in ProcessTagData.java post-commit); staging moves the audit
+    # BEFORE visibility, which is the only ordering that works at 10^10
+    # events where a bad epoch cannot be "quickly deleted".
+
+    def _staged_path(self, ref: str) -> str:
+        return os.path.join(self.path, "snapshots", "staged", f"{ref}.json")
+
+    def _load_staged(self, ref: str) -> dict:
+        with open(self._staged_path(ref)) as f:
+            return json.load(f)
+
+    def staged_refs(self) -> list[str]:
+        """Refs of staged (written, unpublished) epochs, oldest-first by
+        epoch number — the publish-order hint for an audit worker."""
+        sdir = os.path.join(self.path, "snapshots", "staged")
+        if not os.path.isdir(sdir):
+            return []
+        refs = [f[:-5] for f in os.listdir(sdir) if f.endswith(".json")]
+        return sorted(refs, key=lambda r: (int(r[1:].split("-")[0]), r))
+
+    def read_staged(self, ref: str) -> "SnapshotTable":
+        """Read-only handle onto the staged state — EXACTLY what
+        ``publish_staged(ref)`` would make visible (parent data + the staged
+        epoch, resolved through the normal read path: LWW collapse,
+        tombstones hidden, data skipping via the staged manifest's own file
+        stats). Audits run here: row counts, CHECK-style predicates,
+        text-equality probes — before any reader can observe the epoch."""
+        snap = self._load_staged(ref)
+        tbl = object.__new__(SnapshotTable)
+        tbl.spark, tbl.path, tbl._snapshot = self.spark, self.path, snap
+        return tbl
+
+    def publish_staged(self, ref: str) -> MergeStats:
+        """Atomically publish a staged epoch (the audit passed).
+
+        Fast path: the parent snapshot is still current — the staged
+        snapshot commits as-is through the normal version-CAS. If other
+        commits landed since staging, merge-on-read stages REBASE (their
+        delta files are pure appends: graft onto the winner's bucket lists,
+        re-fold the epoch log, re-merge the schema — same protocol as the
+        in-merge rebase loop); copy-on-write stages raise
+        :class:`ConcurrentCommitError` (their rewrite is only valid against
+        the exact parent file set). Publishing an epoch something else
+        already committed is a no-op either way (exactly-once holds across
+        the stage/publish split)."""
+        staged = self._load_staged(ref)
+        epoch = staged["staged_epoch"]
+        a, sk, dl = staged.get("staged_counts", [0, 0, 0])
+        mx = staged.get("staged_max_lsn")
+        mor = staged.get("staged_mode") == "mor"
+        self._snapshot = self._read_current_snapshot()
+        for _attempt in range(10):
+            if self.is_epoch_committed(epoch):
+                os.remove(self._staged_path(ref))
+                return MergeStats(epoch, 0, 0, 0, None, was_noop=True)
+            cur_v = self._snapshot["version"]
+            if cur_v == staged["staged_parent"]:
+                snap = {
+                    k: v for k, v in staged.items() if not k.startswith("staged_")
+                }
+            elif not mor:
+                raise ConcurrentCommitError(
+                    f"staged CoW epoch {epoch!r} was built on version "
+                    f"{staged['staged_parent']} but the table is at {cur_v}; "
+                    f"abort_staged and re-merge"
+                )
+            elif int(self._snapshot["n_buckets"]) != int(staged["n_buckets"]):
+                # a rebucket() landed between stage and publish: the staged
+                # deltas are bucketed under the OLD layout and cannot graft
+                raise ConcurrentCommitError(
+                    f"staged epoch {epoch!r} was bucketed with n_buckets="
+                    f"{staged['n_buckets']} but the table was resharded to "
+                    f"{self._snapshot['n_buckets']}; abort_staged and re-merge"
+                )
+            else:
+                new_buckets = {
+                    b: list(fs) for b, fs in self._snapshot["buckets"].items()
+                }
+                for b, fs in staged.get("staged_added", {}).items():
+                    have = set(new_buckets.get(b, []))
+                    new_buckets[b] = new_buckets.get(b, []) + [
+                        f for f in fs if f not in have
+                    ]
+                extras = {str(e) for e in self._snapshot["committed_epochs"]}
+                extras.add(epoch)
+                folded, wms = _fold_epochs(
+                    extras, self._snapshot.get("epoch_watermarks", {})
+                )
+                hidden = set(self._snapshot.get("dropped_columns", [])) | {
+                    o
+                    for olds in self._snapshot.get("column_aliases", {}).values()
+                    for o in olds
+                }
+                staged_schema = T.StructType(
+                    [
+                        f
+                        for f in T.StructType.fromJson(staged["schema"]).fields
+                        if f.name not in hidden
+                    ]
+                )
+                snap = {
+                    **self._snapshot,
+                    "version": cur_v + 1,
+                    "parent": cur_v,
+                    "schema": merge_schemas(
+                        self.schema,
+                        staged_schema,
+                        allow_widening=self.type_widening,
+                    ).jsonValue(),
+                    "buckets": new_buckets,
+                    "committed_epochs": folded,
+                    "epoch_watermarks": wms,
+                }
+                if staged.get("staged_quarantine"):
+                    snap["quarantine_files"] = {
+                        **self._snapshot.get("quarantine_files", {}),
+                        epoch: staged["staged_quarantine"],
+                    }
+            try:
+                self._write_snapshot(snap)
+            except ConcurrentCommitError:
+                self._snapshot = self._read_current_snapshot()
+                continue
+            self._snapshot = snap
+            os.remove(self._staged_path(ref))
+            return MergeStats(epoch, a, sk, dl, mx, was_noop=False)
+        raise ConcurrentCommitError(
+            f"gave up publishing staged epoch {epoch!r} after 10 rebases"
+        )
+
+    def abort_staged(self, ref: str) -> int:
+        """Discard a staged epoch (the audit failed): delete its data and
+        quarantine files and the staged snapshot. Returns files removed.
+        Nothing was ever visible, and the epoch stays uncommitted — a
+        corrected batch can replay the same epoch id later. If the epoch
+        was meanwhile committed through another path, only the staged
+        marker is dropped (the files are live)."""
+        staged = self._load_staged(ref)
+        self._snapshot = self._read_current_snapshot()
+        removed = 0
+        if not self.is_epoch_committed(staged["staged_epoch"]):
+            doomed = [
+                f
+                for fs in staged.get("staged_added", {}).values()
+                for f in fs
+            ] + list(staged.get("staged_quarantine", []))
+            for rel in doomed:
+                full = os.path.join(self.path, rel)
+                try:
+                    os.remove(full)
+                    removed += 1
+                except OSError:
+                    continue
+                parent = os.path.dirname(full)
+                while parent != self.path and os.path.isdir(parent) and not os.listdir(parent):
+                    os.rmdir(parent)
+                    parent = os.path.dirname(parent)
+        os.remove(self._staged_path(ref))
+        return removed
+
+    # ------------------------------------------------------------ named refs
+    def tag(self, name: str, version: int | None = None, replace: bool = False) -> int:
+        """Pin a named ref to a snapshot version (Iceberg tag analog) —
+        ``vacuum`` never expires a tagged version or the files it
+        references, so an ``audited-2024-06`` tag keeps that exact state
+        time-travelable for as long as the tag lives, independent of the
+        retention window. Creation is atomic and refuses to overwrite
+        unless ``replace=True``. Returns the pinned version."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self._snapshot["version"] if version is None else int(version)
+        if v not in set(self.versions()):
+            raise ValueError(f"version {v} does not exist (expired or never committed)")
+        refs = os.path.join(self.path, "refs")
+        os.makedirs(refs, exist_ok=True)
+        p = os.path.join(refs, f"{name}.json")
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        if replace:
+            os.rename(tmp, p)
+        else:
+            try:
+                os.link(tmp, p)
+            except FileExistsError:
+                os.unlink(tmp)
+                raise ValueError(f"tag {name!r} already exists") from None
+            os.unlink(tmp)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """name → pinned snapshot version for every live tag."""
+        refs = os.path.join(self.path, "refs")
+        out: dict[str, int] = {}
+        if os.path.isdir(refs):
+            for fn in os.listdir(refs):
+                if fn.endswith(".json"):
+                    with open(os.path.join(refs, fn)) as f:
+                        t = json.load(f)
+                    out[t["name"]] = int(t["version"])
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        """Drop a tag; its version becomes expirable by the next vacuum."""
+        try:
+            os.remove(os.path.join(self.path, "refs", f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"tag {name!r} does not exist") from None
+
+    def at_tag(self, name: str) -> "SnapshotTable":
+        """Read-only handle pinned to a tag's snapshot (``at_version``)."""
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"tag {name!r} does not exist")
+        return self.at_version(tags[name])
+
     def history(self) -> DataFrame:
         """One row per retained snapshot — the Iceberg ``<table>.history`` /
         ``.snapshots`` metadata-table analog, built ENTIRELY from the
@@ -1235,6 +1540,8 @@ class SnapshotTable(LakeTable):
             uncommitted_total = 0
 
         # orphans: on disk under data/, referenced by NO retained snapshot
+        # (staged WAP epochs count as references — an unpublished audit's
+        # files are pending, not debris)
         retained: set[str] = set()
         for v in self.versions():
             _vs = self.at_version(v)._snapshot
@@ -1244,6 +1551,10 @@ class SnapshotTable(LakeTable):
                 for fs in _vs.get("quarantine_files", {}).values()
                 for f in fs
             )
+        for ref in self.staged_refs():
+            _ss = self._load_staged(ref)
+            retained.update(f for fs in _ss["buckets"].values() for f in fs)
+            retained.update(_ss.get("staged_quarantine", []))
         on_disk = []
         for sub in ("data", "quarantine"):
             sub_root = os.path.join(self.path, sub)
@@ -1747,6 +2058,9 @@ class SnapshotTable(LakeTable):
         ``expire_snapshots`` + ``remove_orphan_files``). Keeps every file
         referenced by the current snapshot and the ``retain_versions - 1``
         snapshots before it (time travel window); returns files deleted.
+        Tagged versions (:meth:`tag`) are retained regardless of the window,
+        and files referenced by a staged-but-unpublished WAP epoch are never
+        orphans (an audit in flight must survive a concurrent vacuum).
         Single-writer assumption: do not run concurrently with a merge.
         """
         snap_dir = os.path.join(self.path, "snapshots")
@@ -1754,6 +2068,7 @@ class SnapshotTable(LakeTable):
             int(f[1:9]) for f in os.listdir(snap_dir) if f.endswith(".json")
         )
         keep_versions = set(versions[-max(retain_versions, 1):])
+        keep_versions |= {v for v in self.tags().values() if v in set(versions)}
         referenced: set[str] = set()
         for v in keep_versions:
             with open(os.path.join(snap_dir, f"v{v:08d}.json")) as f:
@@ -1766,6 +2081,16 @@ class SnapshotTable(LakeTable):
             # one only expired snapshots reference = reaped
             for files in s.get("quarantine_files", {}).values():
                 referenced.update(files)
+        staged_dir = os.path.join(snap_dir, "staged")
+        if os.path.isdir(staged_dir):
+            for fn in os.listdir(staged_dir):
+                if not fn.endswith(".json"):
+                    continue
+                with open(os.path.join(staged_dir, fn)) as f:
+                    s = json.load(f)
+                for files in s["buckets"].values():
+                    referenced.update(files)
+                referenced.update(s.get("staged_quarantine", []))
         deleted = 0
         for sub in ("data", "quarantine"):
             base = os.path.join(self.path, sub)
@@ -3463,9 +3788,41 @@ class SnapshotTable(LakeTable):
 
         ``key_values`` follow ``self.key`` order — ``lookup("conv-7")`` or
         ``lookup("conv-7", 3)``.
+
+        Within the bucket, per-file KEY DIGESTS (see :func:`_file_key_digest`)
+        skip delta files that provably never touched the probed key — under
+        merge-on-read a conversation's lookup opens the bucket's base file
+        plus only the epoch deltas that actually mutated that conversation.
+        Soundness: dropping a file with zero rows of key K cannot change
+        K's LWW winner, and rows of other keys are removed by the residual
+        equality filter either way. Skipped files count into
+        ``last_read_pruned_files``.
         """
         key = self._validate_key_prefix("lookup", key_values)
-        df = self.read(buckets=[self._bucket_of(key_values[0])])
+        b = self._bucket_of(key_values[0])
+        src: SnapshotTable = self
+        h = _digest_hash(key_values[0])
+        digests = self._snapshot.get("file_key_digests", {})
+        if h is not None and digests:
+            probe = f"{h:04x}"
+            bfiles = self._snapshot["buckets"].get(str(b), [])
+            kept = []
+            for fl in bfiles:
+                d = digests.get(fl)
+                if d is not None and probe not in {
+                    d[i : i + 4] for i in range(0, len(d), 4)
+                }:
+                    self.last_read_pruned_files += 1
+                    continue
+                kept.append(fl)
+            if len(kept) < len(bfiles):
+                snap = {
+                    **self._snapshot,
+                    "buckets": {**self._snapshot["buckets"], str(b): kept},
+                }
+                src = object.__new__(SnapshotTable)
+                src.spark, src.path, src._snapshot = self.spark, self.path, snap
+        df = src.read(buckets=[b])
         for col, val in zip(key, key_values):
             df = df.filter(F.col(col) == F.lit(val))
         return df
@@ -3519,6 +3876,7 @@ class SnapshotTable(LakeTable):
         stats_source: DataFrame | None = None,
         pre_stats: list | None = None,
         auto_compact_files: int | None = None,
+        stage: bool = False,
     ) -> MergeStats:
         """Idempotent MERGE of an LWW-collapsed change batch.
 
@@ -3532,6 +3890,15 @@ class SnapshotTable(LakeTable):
         second time (the collapsed ``batch`` is lazy; every action replays its
         whole lineage). Affected buckets and max LSN are identical computed
         from either side since collapse preserves the key set.
+
+        ``stage=True`` runs the FULL merge (collapse, constraints, write,
+        lineage) but stops short of the snapshot commit: the would-be
+        snapshot is persisted under ``snapshots/staged/`` and the epoch
+        stays uncommitted and invisible to every reader. This is the
+        write-audit-publish pattern (Iceberg's ``wap.id`` staged commits):
+        audit the EXACT bytes via ``read_staged(ref)``, then make them
+        visible atomically with ``publish_staged(ref)`` or discard them with
+        ``abort_staged(ref)``. The returned stats carry ``staged_ref``.
         """
         _merge_t0 = time.perf_counter()
         if self.is_epoch_committed(epoch_id):
@@ -4111,6 +4478,48 @@ class SnapshotTable(LakeTable):
 
         _t0 = time.perf_counter()
         snap = _build_commit()
+        if stage:
+            # ---- write-audit-publish: persist the would-be snapshot under
+            # snapshots/staged/ instead of committing it. The staged file is
+            # a COMPLETE snapshot (buckets, schema, epoch log) so an audit
+            # read sees exactly the state publish would make visible; the
+            # sidecar staged_* fields carry what publish/abort need to
+            # rebase or clean up. Nothing points at it: readers, replays and
+            # is_epoch_committed all still see the parent state.
+            ref = f"e{_epoch_num(epoch_id)}-{uuid.uuid4().hex[:8]}"
+            staged = {
+                **snap,
+                "staged_ref": ref,
+                "staged_epoch": _epoch_key(epoch_id),
+                "staged_mode": self.mode,
+                "staged_parent": self._snapshot["version"],
+                "staged_added": {b: list(fs) for b, fs in epoch_files.items()},
+                "staged_quarantine": list(_q_files),
+                "staged_counts": [applied, skipped, deleted],
+                "staged_max_lsn": max_lsn,
+            }
+            self._enrich_snapshot(staged)
+            sdir = os.path.join(self.path, "snapshots", "staged")
+            os.makedirs(sdir, exist_ok=True)
+            spath = os.path.join(sdir, f"{ref}.json")
+            tmp = spath + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(staged, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, spath)
+            _timings["stage"] = round(time.perf_counter() - _t0, 3)
+            return MergeStats(
+                epoch_id,
+                applied,
+                skipped,
+                deleted,
+                max_lsn,
+                was_noop=False,
+                timings=_timings,
+                violations=_violations if _cons else None,
+                staged_ref=ref,
+            )
         for _attempt in range(10):
             try:
                 self._write_snapshot(snap)

@@ -69,6 +69,7 @@ def apply_changes(
     skew_strategy: str | None = None,
     auto_compact_files: int | None = None,
     registry: LakeTable | None = None,
+    stage: bool = False,
 ) -> MergeStats:
     """Apply one micro-batch of change records to ``table`` exactly once.
 
@@ -96,6 +97,10 @@ def apply_changes(
     facts — first-seen registration runs BEFORE the fact merge (the
     reference registers devices before upload, Connector.java:136-146),
     guarded by its own epoch commit log.
+    ``stage=True`` (write-audit-publish): run the full merge but persist the
+    result as a STAGED snapshot instead of committing — audit it via
+    ``table.read_staged(stats.staged_ref)``, then
+    ``table.publish_staged(ref)`` / ``table.abort_staged(ref)``.
     """
     if table.is_epoch_committed(epoch_id):
         return table.merge_changes(batch.limit(0), epoch_id)  # cheap no-op path
@@ -135,7 +140,11 @@ def apply_changes(
         track_max_of=track,
     )
     return table.merge_changes(
-        collapsed, epoch_id, pre_stats=pre, auto_compact_files=auto_compact_files
+        collapsed,
+        epoch_id,
+        pre_stats=pre,
+        auto_compact_files=auto_compact_files,
+        stage=stage,
     )
 
 
