@@ -131,6 +131,7 @@ def _replayed_table(
     sf_dir: str,
     mode: str = _DEFAULT_MODE,
     epoching: str = "interleaved",
+    wap: bool = False,
 ) -> SnapshotTable:
     """Replay the events-derived changelog through the real engine once per
     (process, sf, mode, epoching): 4 LSN-interleaved epochs via
@@ -153,7 +154,7 @@ def _replayed_table(
     copy-on-write reconciling merge — same final state, proven against the
     same oracle.
     """
-    key = f"{os.path.normpath(sf_dir)}::{mode}::{epoching}"
+    key = f"{os.path.normpath(sf_dir)}::{mode}::{epoching}::{wap}"
     if key in _REPLAY_CACHE:
         return SnapshotTable(spark, _REPLAY_CACHE[key])
     # tmpfs when available: the sandbox disk serializes concurrent writers
@@ -184,13 +185,28 @@ def _replayed_table(
                     ),
                 ),
             )
-        apply_changes(
-            table,
-            batch,
-            epoch_id=e,
-            auto_compact_files=8 if mode == "mor" else None,
-            registry=registry,
-        )
+        if wap:
+            # write-audit-publish replay: every epoch is STAGED, audited on
+            # the staged bytes through the normal read path, then published
+            # atomically — the oracle match downstream proves exactly-once,
+            # LWW and schema evolution all survive the stage/publish split
+            st = apply_changes(table, batch, epoch_id=e, stage=True)
+            audit = table.read_staged(st.staged_ref).read()
+            bad = audit.filter(
+                F.col("conv_id").isNull() | F.col("turn_idx").isNull()
+            ).limit(1)
+            if bad.count() > 0:  # pragma: no cover - audit never fails here
+                table.abort_staged(st.staged_ref)
+                raise RuntimeError(f"WAP audit failed for epoch {e}")
+            table.publish_staged(st.staged_ref)
+        else:
+            apply_changes(
+                table,
+                batch,
+                epoch_id=e,
+                auto_compact_files=8 if mode == "mor" else None,
+                registry=registry,
+            )
     _REPLAY_CACHE[key] = table_path
     return table
 
@@ -941,6 +957,34 @@ def q_cdc_replay_state_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the IDENTICAL oracle as the merge-on-read flagship, so the
     driver proves CoW ≡ MoR on final state."""
     table = _replayed_table(spark, sf_dir, mode="cow")
+    df = table.read()
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+    )
+
+
+def q_cdc_wap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full replay where EVERY epoch goes through write-audit-publish
+    (Iceberg WAP analog): merge staged as an invisible snapshot, audited on
+    the staged bytes via ``read_staged`` (NULL-key probe), then published
+    atomically with ``publish_staged``. Checked against the IDENTICAL
+    oracle as the direct-apply flagship — proving the stage/publish split
+    changes NOTHING about exactly-once, cross-epoch LWW, tombstoned
+    deletes, or additive schema evolution.
+
+    Reference parity: the reference validates row counts AFTER the data is
+    live (ProcessTagData.java post-commit checks); WAP is the
+    scale-correct ordering — audit BEFORE visibility, abort without a
+    trace at 10^10 events where a bad epoch cannot be quickly deleted.
+    """
+    table = _replayed_table(spark, sf_dir, wap=True)
     df = table.read()
     return df.select(
         "conv_id",
@@ -1835,6 +1879,7 @@ FROM asm
 CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
+    "cdc_wap_state": (q_cdc_wap_state, _SQL_CDC_REPLAY_STATE),
     "cdc_bootstrap_tail": (q_cdc_bootstrap_tail, _SQL_CDC_BOOTSTRAP_TAIL),
     "cdc_routed_union": (q_cdc_routed_union, _SQL_CDC_ROUTED_UNION),
     "cdc_windowed_state": (q_cdc_windowed_state, _SQL_CDC_WINDOWED_STATE),

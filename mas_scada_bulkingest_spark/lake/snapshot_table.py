@@ -298,12 +298,17 @@ def _file_key_digest(abs_path: str, key_col: str) -> str | None:
     one arrow batch, not a column scan. Returns None (= never skip) on
     overflow, unsupported key type, or any read problem."""
     try:
+        import pyarrow.compute as pc
+
         pf = pq.ParquetFile(abs_path)
         if key_col not in pf.schema_arrow.names:
             return None
         seen: set[int] = set()
         for batch in pf.iter_batches(columns=[key_col], batch_size=8192):
-            for v in batch.column(0).to_pylist():
+            # arrow-side distinct first: the Python hash loop touches only
+            # the batch's UNIQUE key values (bounded by the cap bail-out),
+            # never the raw rows
+            for v in pc.unique(batch.column(0)).to_pylist():
                 if v is None:
                     continue
                 h = _digest_hash(v)
