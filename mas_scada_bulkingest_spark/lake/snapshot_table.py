@@ -535,10 +535,17 @@ class SnapshotTable(LakeTable):
             {f for fs in prev["buckets"].values() for f in fs} if prev else set()
         )
         snap["added_files"] = sorted(
-            f
-            for fs in snap["buckets"].values()
-            for f in fs
-            if f not in prev_all
+            {
+                f
+                for fs in snap["buckets"].values()
+                for f in fs
+                if f not in prev_all
+            }
+            # fast_forward adopts a fork's HISTORICAL epoch-delta files
+            # (compacted out of the fork's current buckets but still
+            # needed by the changes feed) — they enter history through
+            # this commit's manifest delta even though no bucket lists them
+            | set(snap.get("adopted_feed_files", []))
         )
 
     def _flip_current_forward(
@@ -1556,6 +1563,7 @@ class SnapshotTable(LakeTable):
                 for fs in _vs.get("quarantine_files", {}).values()
                 for f in fs
             )
+            retained.update(_vs.get("adopted_feed_files", []))
         for ref in self.staged_refs():
             _ss = self._load_staged(ref)
             retained.update(f for fs in _ss["buckets"].values() for f in fs)
@@ -1714,8 +1722,16 @@ class SnapshotTable(LakeTable):
             with open(os.path.join(snap_dir, f"v{v:08d}.json")) as fh:
                 snap = json.load(fh)
             added = snap.get("added_files")
-            if i == 0 or added is None:
-                added = (f for fs in snap["buckets"].values() for f in fs)
+            if added is None:
+                added = [f for fs in snap["buckets"].values() for f in fs]
+            elif i == 0:
+                # the oldest retained snapshot inherited files its own
+                # added_files doesn't cover — take the UNION (not the
+                # bucket list alone: a fast_forward snapshot's adopted
+                # feed files live only in its added_files)
+                added = list(added) + [
+                    f for fs in snap["buckets"].values() for f in fs
+                ]
             for f in added:
                 if f.startswith(epoch_prefix) and f not in excluded:
                     e = int(f.split("epoch=", 1)[1].split("-", 1)[0])
@@ -2086,6 +2102,10 @@ class SnapshotTable(LakeTable):
             # one only expired snapshots reference = reaped
             for files in s.get("quarantine_files", {}).values():
                 referenced.update(files)
+            # adopted feed files (fast_forward): referenced by the commit's
+            # manifest delta though no bucket lists them — the changes feed
+            # serves them, so they live exactly as long as their snapshot
+            referenced.update(s.get("adopted_feed_files", []))
         staged_dir = os.path.join(snap_dir, "staged")
         if os.path.isdir(staged_dir):
             for fn in os.listdir(staged_dir):
@@ -2790,6 +2810,10 @@ class SnapshotTable(LakeTable):
             "file_stats": {
                 **target.get("file_stats", {}),
                 **cur.get("file_stats", {}),
+            },
+            "file_key_digests": {
+                **target.get("file_key_digests", {}),
+                **cur.get("file_key_digests", {}),
             },
         }
         self._write_snapshot(snap)
@@ -3508,10 +3532,177 @@ class SnapshotTable(LakeTable):
             "buckets": {},
             "file_sizes": dict(self._snapshot.get("file_sizes", {})),
             "file_stats": dict(self._snapshot.get("file_stats", {})),
+            "file_key_digests": dict(
+                self._snapshot.get("file_key_digests", {})
+            ),
         }
         tbl._write_snapshot(snap)
         tbl._snapshot = snap
+        # static fork provenance (never vacuumed — snapshot v0 can expire):
+        # fast_forward uses it to prove the fork descends from this table
+        # at a specific version
+        with open(os.path.join(dest_path, "clone_provenance.json"), "w") as f:
+            json.dump(
+                {
+                    "source_path": os.path.realpath(self.path),
+                    "source_version": int(self._snapshot["version"]),
+                },
+                f,
+            )
         return tbl
+
+    def fast_forward(self, fork: "SnapshotTable") -> int:
+        """Adopt a fork's commits back into this table — the Iceberg
+        branch + ``fast_forward`` workflow, composed from :meth:`clone`:
+        ``clone()`` is the zero-copy writable branch, work (backfills,
+        repairs, audited batches — each exactly-once under its own epoch
+        ids) lands on the fork, and ``fast_forward(fork)`` publishes the
+        whole line of commits to this table as ONE atomic snapshot.
+        WAP generalized from one epoch to a branch of them.
+
+        Strict ancestry rule (same as Iceberg's fast-forward): this table
+        must still be at the exact version the fork was cloned from —
+        verified against the fork's static ``clone_provenance.json``. If
+        this table moved since the clone, raises
+        :class:`ConcurrentCommitError` (re-clone and re-apply; a
+        three-way merge of divergent snapshots is deliberately not
+        offered). Adoption is O(new files) driver-side metadata: every
+        file the fork added (data, quarantine, lineage, constraint
+        metrics) hard-links back (copy fallback across filesystems), the
+        fork's logical state (schema, registries, constraints, committed
+        epochs + watermarks, bucket layout) becomes this table's, and the
+        fork's epoch-delta files — including ones its own compaction
+        folded away, which the changes feed still needs — enter this
+        table's history via the commit's manifest delta
+        (``adopted_feed_files``, kept live by vacuum exactly as long as
+        the adopting snapshot is retained). Exactly-once composes: epochs
+        committed on the fork are committed here after the fast-forward,
+        so replays no-op on either table. Returns the new version.
+        """
+        prov_path = os.path.join(fork.path, "clone_provenance.json")
+        try:
+            with open(prov_path) as f:
+                prov = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"{fork.path} is not a clone (no clone_provenance.json); "
+                f"fast_forward only adopts forks created by clone()"
+            ) from None
+        if prov["source_path"] != os.path.realpath(self.path):
+            raise ValueError(
+                f"fork {fork.path} descends from {prov['source_path']}, "
+                f"not from this table ({os.path.realpath(self.path)})"
+            )
+        self._snapshot = self._read_current_snapshot()
+        if int(self._snapshot["version"]) != int(prov["source_version"]):
+            raise ConcurrentCommitError(
+                f"this table moved since the fork was cut (now at version "
+                f"{self._snapshot['version']}, fork descends from "
+                f"{prov['source_version']}); re-clone and re-apply"
+            )
+        fork._snapshot = fork._read_current_snapshot()
+        fsnap = fork._snapshot
+
+        def _link_back(rel: str, required: bool) -> bool:
+            dst = os.path.join(self.path, rel)
+            if os.path.exists(dst):
+                return True
+            src = os.path.join(fork.path, rel)
+            if not os.path.exists(src):
+                if required:
+                    raise FileNotFoundError(
+                        f"fork file missing during fast_forward: {src}"
+                    )
+                return False  # fork vacuumed it; feed truncation applies
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+            return True
+
+        for fs in fsnap["buckets"].values():
+            for rel in fs:
+                _link_back(rel, required=True)
+        for fs in fsnap.get("quarantine_files", {}).values():
+            for rel in fs:
+                _link_back(rel, required=True)
+        # lineage + constraint-metrics appends from the fork's epochs
+        # (uuid-suffixed names; readers dedup, so linking is idempotent)
+        for sub in ("lineage", "metrics"):
+            sdir = os.path.join(fork.path, sub)
+            if os.path.isdir(sdir):
+                for name in os.listdir(sdir):
+                    _link_back(os.path.join(sub, name), required=False)
+        # historical epoch deltas for the changes feed: walk the fork's
+        # retained history so deltas its compaction already folded out of
+        # the current buckets still come along (skipping files this table
+        # already serves from its own history)
+        have = {f for fs in self._snapshot["buckets"].values() for f in fs}
+        current = {f for fs in fsnap["buckets"].values() for f in fs}
+        epoch_prefix = os.path.join("data", "epoch=")
+        adopted: set[str] = set()
+        fork_snap_dir = os.path.join(fork.path, "snapshots")
+        for v in fork.versions():
+            with open(os.path.join(fork_snap_dir, f"v{v:08d}.json")) as f:
+                s = json.load(f)
+            cand = s.get("added_files")
+            if cand is None:
+                cand = [f for fs in s["buckets"].values() for f in fs]
+            for rel in cand:
+                if (
+                    rel.startswith(epoch_prefix)
+                    and rel not in have
+                    and rel not in current
+                    and _link_back(rel, required=False)
+                ):
+                    adopted.add(rel)
+
+        snap = {
+            k: v
+            for k, v in fsnap.items()
+            if k
+            not in (
+                "version",
+                "parent",
+                "added_files",
+                "adopted_feed_files",
+                "file_sizes",
+                "file_stats",
+                "file_key_digests",
+                "feed_floor",
+            )
+        }
+        snap["version"] = int(self._snapshot["version"]) + 1
+        snap["parent"] = int(self._snapshot["version"])
+        if "feed_floor" in self._snapshot:  # this table's own clone floor
+            snap["feed_floor"] = self._snapshot["feed_floor"]
+        excl = set(self._snapshot.get("feed_excluded", [])) | set(
+            fsnap.get("feed_excluded", [])
+        )
+        if excl:
+            snap["feed_excluded"] = sorted(excl)
+        snap["adopted_feed_files"] = sorted(adopted)
+        # zero-file-open manifest rebuild: hand the fork's per-file
+        # sizes/stats/digests to the enrichment carry-forward
+        self._snapshot = {
+            **self._snapshot,
+            "file_sizes": {
+                **fsnap.get("file_sizes", {}),
+                **self._snapshot.get("file_sizes", {}),
+            },
+            "file_stats": {
+                **fsnap.get("file_stats", {}),
+                **self._snapshot.get("file_stats", {}),
+            },
+            "file_key_digests": {
+                **fsnap.get("file_key_digests", {}),
+                **self._snapshot.get("file_key_digests", {}),
+            },
+        }
+        self._write_snapshot(snap)
+        self._snapshot = snap
+        return int(snap["version"])
 
     def bootstrap(
         self,

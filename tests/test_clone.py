@@ -154,3 +154,27 @@ def test_clone_preserves_data_skipping_stats(spark, tmpdir_path):
     cl.last_read_pruned_files = 0
     got = cl.read(min_event_time="2024-06-01").count()
     assert got == 0 and cl.last_read_pruned_files > 0  # stats carried over
+
+
+def test_clone_and_restore_open_zero_data_files(spark, tmpdir_path, monkeypatch):
+    """The O(files)-metadata promise: clone() and restore() rebuild their
+    manifest (sizes, [min,max] stats, key digests) ENTIRELY from the prior
+    snapshot's carry-forward — at 100 TB neither may touch a data file."""
+    import mas_scada_bulkingest_spark.lake.snapshot_table as st
+
+    tbl = _mk(spark, tmpdir_path + "/src", "mor")
+    v_before = tbl._snapshot["version"]
+
+    opened = []
+    real_stats, real_digest = st._file_order_stats, st._file_key_digest
+    monkeypatch.setattr(
+        st, "_file_order_stats", lambda *a: opened.append(a) or real_stats(*a)
+    )
+    monkeypatch.setattr(
+        st, "_file_key_digest", lambda *a: opened.append(a) or real_digest(*a)
+    )
+
+    clone = tbl.clone(tmpdir_path + "/clone")
+    assert clone.read().count() == tbl.read().count()
+    tbl.restore(v_before)
+    assert opened == []
