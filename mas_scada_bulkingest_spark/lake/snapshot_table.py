@@ -303,6 +303,13 @@ def _file_key_digest(abs_path: str, key_col: str) -> str | None:
         pf = pq.ParquetFile(abs_path)
         if key_col not in pf.schema_arrow.names:
             return None
+        # metadata-only bail: row count upper-bounds the distinct key count
+        # (MoR deltas and compacted bases are LWW-collapsed to ~1 row/key),
+        # so a file far above the cap overflows with certainty-enough that
+        # reading even one batch is wasted commit-path time. The 4x slack
+        # keeps small epoch deltas with duplicate versions digestable.
+        if pf.metadata.num_rows > _DIGEST_CAP * 4:
+            return None
         seen: set[int] = set()
         for batch in pf.iter_batches(columns=[key_col], batch_size=8192):
             # arrow-side distinct first: the Python hash loop touches only
