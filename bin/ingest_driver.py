@@ -131,6 +131,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="deregister quarantined rows after triage ('all' or "
                         "an epoch id); vacuum reclaims the files once no "
                         "retained snapshot references them")
+    p.add_argument("--fast-forward-from", metavar="FORK_PATH",
+                   help="adopt a clone's commits back into --table-path as one atomic "
+                        "snapshot (strict ancestry: the table must be unmoved since the "
+                        "clone; the fork's epochs become committed here)")
+    p.add_argument("--tag", nargs="+", metavar=("NAME", "VERSION"),
+                   help="pin a named ref to a snapshot version (default: current) — "
+                        "vacuum never expires a tagged version")
+    p.add_argument("--delete-tag", metavar="NAME", help="drop a named ref")
+    p.add_argument("--list-tags", action="store_true", help="print name -> version JSON")
+    p.add_argument("--publish-staged", metavar="REF",
+                   help="atomically publish a staged (write-audit-publish) epoch")
+    p.add_argument("--abort-staged", metavar="REF",
+                   help="discard a staged epoch (its data files are removed; the epoch "
+                        "stays replayable)")
+    p.add_argument("--list-staged", action="store_true",
+                   help="print staged (written, unpublished) epoch refs")
     p.add_argument("--demo", action="store_true", help="self-contained run on generated data")
     args = p.parse_args(argv)
 
@@ -252,6 +268,46 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cloned_to": cl.path, "version": 0,
                           "n_data_files": sum(len(f) for f in
                                               cl._snapshot["buckets"].values())}))
+        return 0
+
+    if args.fast_forward_from:
+        tbl = SnapshotTable(spark, args.table_path)
+        fork = SnapshotTable(spark, args.fast_forward_from)
+        v = tbl.fast_forward(fork)
+        print(json.dumps({"fast_forwarded_to": v,
+                          "committed_epochs": tbl.committed_epoch_count}))
+        return 0
+
+    if args.tag:
+        tbl = SnapshotTable(spark, args.table_path)
+        name = args.tag[0]
+        version = int(args.tag[1]) if len(args.tag) > 1 else None
+        v = tbl.tag(name, version=version)
+        print(json.dumps({"tag": name, "version": v}))
+        return 0
+
+    if args.delete_tag:
+        SnapshotTable(spark, args.table_path).delete_tag(args.delete_tag)
+        print(json.dumps({"deleted_tag": args.delete_tag}))
+        return 0
+
+    if args.list_tags:
+        print(json.dumps(SnapshotTable(spark, args.table_path).tags()))
+        return 0
+
+    if args.publish_staged:
+        st = SnapshotTable(spark, args.table_path).publish_staged(args.publish_staged)
+        print(json.dumps({"published": args.publish_staged, "epoch": st.epoch_id,
+                          "was_noop": st.was_noop, "applied": st.applied}))
+        return 0
+
+    if args.abort_staged:
+        n = SnapshotTable(spark, args.table_path).abort_staged(args.abort_staged)
+        print(json.dumps({"aborted": args.abort_staged, "files_removed": n}))
+        return 0
+
+    if args.list_staged:
+        print(json.dumps(SnapshotTable(spark, args.table_path).staged_refs()))
         return 0
 
     if not args.changes_dir and not args.bootstrap_dir:

@@ -222,6 +222,45 @@ class IcebergTable(LakeTable):
         )
         return f"DELETE FROM {self.identifier} WHERE _tombstone{horizon}"
 
+    def tag_sql(self, name: str, version: int | None = None) -> str:
+        """≙ ``SnapshotTable.tag``: Iceberg named refs are native
+        (``ALTER TABLE … CREATE TAG``) and ``expire_snapshots`` honors them
+        exactly like the parquet backend's vacuum honors its tags. Passing
+        ``version`` pins a historical snapshot id; otherwise the current
+        one is tagged."""
+        at = "" if version is None else f" AS OF VERSION {int(version)}"
+        return f"ALTER TABLE {self.identifier} CREATE TAG `{name}`{at}"
+
+    def delete_tag_sql(self, name: str) -> str:
+        """≙ ``SnapshotTable.delete_tag``."""
+        return f"ALTER TABLE {self.identifier} DROP TAG `{name}`"
+
+    def create_branch_sql(self, name: str) -> str:
+        """≙ ``SnapshotTable.clone`` as the branch cut: Iceberg branches
+        are catalog refs over shared files — the same zero-copy fork the
+        parquet backend builds with hard links. Writes target the branch
+        via the ``branch_<name>`` identifier suffix or the ``toBranch``
+        write option."""
+        return f"ALTER TABLE {self.identifier} CREATE BRANCH `{name}`"
+
+    def fast_forward_sql(self, name: str, to_branch: str = "main") -> str:
+        """≙ ``SnapshotTable.fast_forward``: publish a branch's commits by
+        fast-forwarding the target ref — Iceberg's ``fast_forward``
+        procedure enforces the same strict-ancestry rule the parquet
+        backend checks against ``clone_provenance.json`` (the target must
+        be an ancestor of the branch head, else the call fails and the
+        operator re-cuts the branch)."""
+        parts = self.identifier.split(".")
+        # 3-part identifiers carry the catalog; the procedure is called on
+        # it with the catalog-relative table name
+        catalog = parts[0] if len(parts) > 2 else "spark_catalog"
+        table = ".".join(parts[1:]) if len(parts) > 2 else self.identifier
+        return (
+            f"CALL {catalog}.system.fast_forward("
+            f"table => '{table}', "
+            f"branch => '{to_branch}', to => '{name}')"
+        )
+
     def drop_column_sql(self, name: str) -> str:
         """≙ ``SnapshotTable.drop_column``: metadata-only on Iceberg too
         (field-id based — no file rewrite, and the catalog itself prevents

@@ -108,3 +108,33 @@ def test_negative_epoch_ids_never_silently_committed(spark, tmpdir_path):
     # and the fold must keep negative ids as opaque extras, not discard them
     rest, wm = _fold_epochs({"-3", "0", "1"}, {})
     assert rest == ["-3"] and wm == {"": 1}
+
+
+def test_iceberg_ref_builders_encode_the_contract():
+    # tags / branches / fast-forward map the parquet backend's named refs
+    # and clone+fast_forward workflow onto Iceberg's native ref DDL
+    t = object.__new__(IcebergTable)
+    t.identifier = "cat.db.transcripts"
+    t._key = ("conv_id", "turn_idx")
+    t._order = ("ts", "lsn")
+    t._n_buckets = 16
+
+    assert (
+        t.tag_sql("audited-2024-06")
+        == "ALTER TABLE cat.db.transcripts CREATE TAG `audited-2024-06`"
+    )
+    assert "AS OF VERSION 7" in t.tag_sql("r7", version=7)
+    assert t.delete_tag_sql("r7") == "ALTER TABLE cat.db.transcripts DROP TAG `r7`"
+    assert (
+        t.create_branch_sql("backfill")
+        == "ALTER TABLE cat.db.transcripts CREATE BRANCH `backfill`"
+    )
+    ff = t.fast_forward_sql("backfill")
+    assert ff == (
+        "CALL cat.system.fast_forward(table => 'db.transcripts', "
+        "branch => 'main', to => 'backfill')"
+    )
+    # 2-part identifier falls back to the session catalog
+    t2 = object.__new__(IcebergTable)
+    t2.identifier = "db.transcripts"
+    assert "CALL spark_catalog.system.fast_forward" in t2.fast_forward_sql("b")
