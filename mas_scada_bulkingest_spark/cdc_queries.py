@@ -131,7 +131,7 @@ def _replayed_table(
     sf_dir: str,
     mode: str = _DEFAULT_MODE,
     epoching: str = "interleaved",
-    wap: bool = False,
+    protocol: str = "direct",
 ) -> SnapshotTable:
     """Replay the events-derived changelog through the real engine once per
     (process, sf, mode, epoching): 4 LSN-interleaved epochs via
@@ -154,7 +154,7 @@ def _replayed_table(
     copy-on-write reconciling merge — same final state, proven against the
     same oracle.
     """
-    key = f"{os.path.normpath(sf_dir)}::{mode}::{epoching}::{wap}"
+    key = f"{os.path.normpath(sf_dir)}::{mode}::{epoching}::{protocol}"
     if key in _REPLAY_CACHE:
         return SnapshotTable(spark, _REPLAY_CACHE[key])
     # tmpfs when available: the sandbox disk serializes concurrent writers
@@ -173,7 +173,20 @@ def _replayed_table(
         if epoching == "blocked"
         else F.pmod(F.col("lsn"), F.lit(_N_EPOCHS))
     )
-    for e in range(_N_EPOCHS):
+    # "branch" protocol: epoch 0 lands on the main table directly, epochs
+    # 1.. land on a zero-copy fork which fast_forward() then publishes back
+    # as ONE atomic commit — the oracle match downstream proves the branch
+    # adoption preserves exactly-once, LWW and schema evolution
+    target = table
+    if protocol == "branch":
+        apply_changes(
+            table,
+            changes.filter(epoch_of == 0),
+            epoch_id=0,
+            auto_compact_files=8 if mode == "mor" else None,
+        )
+        target = table.clone(os.path.join(work, "fork"))
+    for e in range(1 if protocol == "branch" else 0, _N_EPOCHS):
         batch = changes.filter(epoch_of == e)
         if e >= _EVOLVE_EPOCH:
             batch = batch.withColumn(
@@ -185,28 +198,30 @@ def _replayed_table(
                     ),
                 ),
             )
-        if wap:
+        if protocol == "wap":
             # write-audit-publish replay: every epoch is STAGED, audited on
             # the staged bytes through the normal read path, then published
             # atomically — the oracle match downstream proves exactly-once,
             # LWW and schema evolution all survive the stage/publish split
-            st = apply_changes(table, batch, epoch_id=e, stage=True)
-            audit = table.read_staged(st.staged_ref).read()
+            st = apply_changes(target, batch, epoch_id=e, stage=True)
+            audit = target.read_staged(st.staged_ref).read()
             bad = audit.filter(
                 F.col("conv_id").isNull() | F.col("turn_idx").isNull()
             ).limit(1)
             if bad.count() > 0:  # pragma: no cover - audit never fails here
-                table.abort_staged(st.staged_ref)
+                target.abort_staged(st.staged_ref)
                 raise RuntimeError(f"WAP audit failed for epoch {e}")
-            table.publish_staged(st.staged_ref)
+            target.publish_staged(st.staged_ref)
         else:
             apply_changes(
-                table,
+                target,
                 batch,
                 epoch_id=e,
                 auto_compact_files=8 if mode == "mor" else None,
-                registry=registry,
+                registry=registry if protocol == "direct" else None,
             )
+    if protocol == "branch":
+        table.fast_forward(target)
     _REPLAY_CACHE[key] = table_path
     return table
 
@@ -984,7 +999,31 @@ def q_cdc_wap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-correct ordering — audit BEFORE visibility, abort without a
     trace at 10^10 events where a bad epoch cannot be quickly deleted.
     """
-    table = _replayed_table(spark, sf_dir, wap=True)
+    table = _replayed_table(spark, sf_dir, protocol="wap")
+    df = table.read()
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+    )
+
+
+def q_cdc_branch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full replay through the BRANCH workflow: epoch 0 lands on the main
+    table, epochs 1–3 (including the mid-stream schema evolution) land on a
+    zero-copy ``clone()`` fork, and ``fast_forward(fork)`` publishes the
+    whole branch back as one atomic commit. Checked against the IDENTICAL
+    oracle as the direct-apply flagship — the branch boundary changes
+    NOTHING about exactly-once, cross-epoch LWW (the interleaved epoching
+    delivers late data for epoch-0 keys on the fork), tombstoned deletes,
+    or additive schema evolution carried across the adoption.
+    """
+    table = _replayed_table(spark, sf_dir, protocol="branch")
     df = table.read()
     return df.select(
         "conv_id",
@@ -1880,6 +1919,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
     "cdc_wap_state": (q_cdc_wap_state, _SQL_CDC_REPLAY_STATE),
+    "cdc_branch_state": (q_cdc_branch_state, _SQL_CDC_REPLAY_STATE),
     "cdc_bootstrap_tail": (q_cdc_bootstrap_tail, _SQL_CDC_BOOTSTRAP_TAIL),
     "cdc_routed_union": (q_cdc_routed_union, _SQL_CDC_ROUTED_UNION),
     "cdc_windowed_state": (q_cdc_windowed_state, _SQL_CDC_WINDOWED_STATE),
