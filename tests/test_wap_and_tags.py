@@ -211,3 +211,68 @@ class TestKeyDigests:
         got = tbl.lookup("hot").collect()
         assert [r["text"] for r in got] == ["new"]
         assert tbl.last_read_pruned_files == 2  # the two untouched deltas
+
+
+# ---- property: the digest can never produce a FALSE SKIP (soundness) ----
+# The digest is built from values pyarrow reads back out of the parquet
+# file, but probed with the raw Python value passed to lookup(); this
+# property pins that the two canonical forms agree for every value the
+# digest claims to support (strings incl. unicode/empty, ints incl.
+# negatives), and that unsupported types always yield "never skip".
+
+import pyarrow as pa
+import pyarrow.parquet as papq
+from hypothesis import given, settings
+from hypothesis import strategies as hs
+
+from mas_scada_bulkingest_spark.lake.snapshot_table import (
+    _digest_hash,
+    _file_key_digest,
+)
+
+_keys = hs.lists(
+    hs.one_of(
+        hs.text(min_size=0, max_size=40),
+        hs.integers(min_value=-(2**62), max_value=2**62),
+    ),
+    min_size=1,
+    max_size=200,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(keys=_keys)
+def test_digest_membership_is_sound(keys):
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="digest-prop-")
+    path = os.path.join(d, "f.parquet")
+    # a realistic file mixes types only within arrow's coercion rules;
+    # write all keys as strings when any string is present, else ints
+    if any(isinstance(k, str) for k in keys):
+        vals = [str(k) for k in keys]
+        arr = pa.array(vals, pa.string())
+    else:
+        vals = list(keys)
+        arr = pa.array(vals, pa.int64())
+    papq.write_table(pa.table({"conv_id": arr}), path)
+    digest = _file_key_digest(path, "conv_id")
+    if digest is None:
+        return  # overflow or unsupported -> never skip -> trivially sound
+    slots = {digest[i : i + 4] for i in range(0, len(digest), 4)}
+    for v in vals:
+        h = _digest_hash(v)
+        assert h is not None and f"{h:04x}" in slots, (
+            f"digest would FALSE-SKIP a file containing {v!r}"
+        )
+
+
+def test_digest_unsupported_types_never_skip(tmpdir_path):
+    import os
+
+    path = os.path.join(tmpdir_path, "f.parquet")
+    papq.write_table(
+        pa.table({"conv_id": pa.array([1.5, 2.5], pa.float64())}), path
+    )
+    assert _file_key_digest(path, "conv_id") is None
+    assert _digest_hash(1.5) is None and _digest_hash(True) is None
