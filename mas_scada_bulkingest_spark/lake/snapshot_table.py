@@ -27,6 +27,12 @@ sandbox needs no external jars; the public surface is written so an Iceberg
 * Per-epoch, per-bucket lineage rows (applied/skipped/deleted counts,
   max_lsn) are appended under ``lineage/`` (north_rule requirement;
   generalizes the reference's offset-file metrics, OffsetRecord.java:281-291).
+* Commit-protocol extensions over the plain epoch commit: write-audit-publish
+  staging (``merge_changes(stage=True)`` → ``read_staged`` /
+  ``publish_staged`` / ``abort_staged`` — the Iceberg ``wap.id`` pattern),
+  named tags (``tag``/``at_tag`` — vacuum-proof pinned versions), and the
+  branch workflow (``clone()`` fork + ``fast_forward`` adoption under strict
+  ancestry). All three ride the same atomic snapshot CAS.
 
 Scale notes (100 TB): the rewrite cost of copy-on-write MERGE is bounded by
 ``(affected buckets / n_buckets) × table size``; size ``n_buckets`` so one
