@@ -145,6 +145,44 @@ def replay_batches(
     return stats
 
 
+def _apply_staged(table, batch_df, epoch_key, wap_audit, apply_kwargs) -> None:
+    """One micro-batch through write-audit-publish (see :func:`run_stream`).
+
+    Replay safety across the stage/publish split: a crash after staging but
+    before publish leaves the epoch uncommitted and a staged ref on disk;
+    the checkpoint replays the batch, and instead of staging a duplicate we
+    find the existing ref for THIS epoch and resume at the audit. A crash
+    after publish replays into ``is_epoch_committed`` → no-op.
+    """
+    if table.is_epoch_committed(epoch_key):
+        return
+    ref = None
+    for r in table.staged_refs():
+        if table._load_staged(r).get("staged_epoch") == str(epoch_key):
+            ref = r  # resume a crashed stage→publish at the audit step
+            break
+    if ref is None:
+        kwargs = {k: v for k, v in apply_kwargs.items() if k != "auto_compact_files"}
+        stats = apply_changes(table, batch_df, epoch_key, stage=True, **kwargs)
+        if stats.was_noop:  # committed by a concurrent replay meanwhile
+            return
+        ref = stats.staged_ref
+    else:
+        staged = table._load_staged(ref)
+        a, sk, dl = staged.get("staged_counts", [0, 0, 0])
+        from ..lake.snapshot_table import MergeStats
+
+        stats = MergeStats(epoch_key, a, sk, dl, staged.get("staged_max_lsn"),
+                           was_noop=False, staged_ref=ref)
+    if not wap_audit(table.read_staged(ref), stats):
+        table.abort_staged(ref)
+        raise RuntimeError(
+            f"WAP audit rejected epoch {epoch_key!r}: staged data discarded, "
+            f"epoch stays replayable after the upstream is fixed"
+        )
+    table.publish_staged(ref)
+
+
 def run_stream(
     spark: SparkSession,
     changes_dir: str,
@@ -158,6 +196,7 @@ def run_stream(
     prepare_batch: Callable | None = None,
     sink: Callable | None = None,
     rollup_path: str | None = None,
+    wap_audit: Callable | None = None,
     **apply_kwargs,
 ):
     """Structured-Streaming tail of the change-log directory.
@@ -192,6 +231,19 @@ def run_stream(
     so a crash between merge and refresh just widens the next refresh's
     range, and a replayed batch no-ops both merges. Requires the default
     single-table sink on a merge-on-read table.
+
+    ``wap_audit(staged_table, stats) -> bool`` gates every micro-batch
+    through write-audit-publish: the merge is STAGED (invisible), the
+    callback audits the staged state through the normal read path
+    (``staged_table.read()``, lookups, count probes — exactly what publish
+    would make visible), and a truthy return publishes atomically while a
+    falsy return aborts the stage and FAILS the stream (bad data needs an
+    operator; the epoch stays replayable once the upstream is fixed).
+    Crash-safe across the stage/publish split: a batch replayed after a
+    crash finds its already-staged epoch and re-audits/publishes it instead
+    of staging a duplicate. This is the DLT-expectations idea moved to the
+    commit boundary — nothing, not even a millisecond of visibility,
+    precedes the audit. Requires the default single-table sink.
     """
     table = None if sink is not None else SnapshotTable(spark, table_path)
     rollup = None
@@ -223,7 +275,10 @@ def run_stream(
         if sink is not None:
             sink(batch_df, epoch_key)
         else:
-            apply_changes(table, batch_df, epoch_key, **apply_kwargs)
+            if wap_audit is not None:
+                _apply_staged(table, batch_df, epoch_key, wap_audit, apply_kwargs)
+            else:
+                apply_changes(table, batch_df, epoch_key, **apply_kwargs)
             if rollup is not None:
                 try:
                     refresh_rollup(table, rollup)
