@@ -1192,7 +1192,16 @@ class SnapshotTable(LakeTable):
         if not os.path.isdir(sdir):
             return []
         refs = [f[:-5] for f in os.listdir(sdir) if f.endswith(".json")]
-        return sorted(refs, key=lambda r: (int(r[1:].split("-")[0]), r))
+
+        def _num(r: str) -> int:
+            # ref format: e{epoch_num}-{hex}; non-numeric epoch ids carry
+            # epoch_num = -1 (same convention as the lineage table)
+            try:
+                return int(r[1:].rsplit("-", 1)[0])
+            except ValueError:
+                return -1
+
+        return sorted(refs, key=lambda r: (_num(r), r))
 
     def read_staged(self, ref: str) -> "SnapshotTable":
         """Read-only handle onto the staged state — EXACTLY what

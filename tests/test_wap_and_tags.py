@@ -134,6 +134,22 @@ class TestWAP:
             tbl.publish_staged(st.staged_ref)
 
 
+class TestWAPNonNumericEpochs:
+    def test_stage_with_string_epoch_id(self, spark, tmpdir_path):
+        """Non-numeric epoch ids (repair jobs, bootstrap-style names) carry
+        epoch_num = -1 in the ref; staged_refs must not choke on them."""
+        tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=2, mode="mor")
+        st = apply_changes(tbl, _batch(spark, [_ins(1, "c1", 0, "x", 1)]), "repair-x", stage=True)
+        st2 = apply_changes(tbl, _batch(spark, [_ins(2, "c2", 0, "y", 2)]), 5, stage=True)
+        refs = tbl.staged_refs()
+        assert set(refs) == {st.staged_ref, st2.staged_ref}
+        assert refs[0] == st.staged_ref  # -1 sorts before 5
+        tbl.publish_staged(st.staged_ref)
+        tbl.publish_staged(st2.staged_ref)
+        assert tbl.is_epoch_committed("repair-x") and tbl.is_epoch_committed(5)
+        assert tbl.read().count() == 2
+
+
 class TestTags:
     def test_tag_pins_a_version_through_vacuum(self, spark, tmpdir_path):
         tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=4, mode="cow")
