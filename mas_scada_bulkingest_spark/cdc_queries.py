@@ -1037,6 +1037,44 @@ def q_cdc_branch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_replica_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table replication: the flagship table's changes feed folded
+    into a second table via ``replication.sync_replica`` — one exactly-once
+    catch-up merge covering all four source epochs (cursor = the replica's
+    committed-epoch watermark). Checked against the IDENTICAL oracle as the
+    source table itself: a synced replica is value-equal to its source,
+    deletes (tombstone watermarks) and the mid-stream schema evolution
+    included. The lake-native form of cross-region replication — no second
+    trip through the binlog.
+    """
+    import tempfile as _tf
+
+    source = _replayed_table(spark, sf_dir)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = _tf.mkdtemp(prefix="cdc_replica_", dir=base)
+    from .replication import sync_replica
+
+    replica = SnapshotTable.create(
+        spark,
+        os.path.join(work, "replica"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=8,
+        mode="mor",
+    )
+    sync_replica(source, replica)
+    df = replica.read()
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+    )
+
+
 def q_cdc_bootstrap_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-phase bulk load + binlog-tail replay ≡ full replay.
 
@@ -1920,6 +1958,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
     "cdc_wap_state": (q_cdc_wap_state, _SQL_CDC_REPLAY_STATE),
     "cdc_branch_state": (q_cdc_branch_state, _SQL_CDC_REPLAY_STATE),
+    "cdc_replica_state": (q_cdc_replica_state, _SQL_CDC_REPLAY_STATE),
     "cdc_bootstrap_tail": (q_cdc_bootstrap_tail, _SQL_CDC_BOOTSTRAP_TAIL),
     "cdc_routed_union": (q_cdc_routed_union, _SQL_CDC_ROUTED_UNION),
     "cdc_windowed_state": (q_cdc_windowed_state, _SQL_CDC_WINDOWED_STATE),
