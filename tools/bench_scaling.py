@@ -178,12 +178,19 @@ def main() -> None:
         man = generate_changelog(changes, n_convs=n_convs, mean_turns=8, n_files=64, seed=7)
     print(f"changelog: {man.n_events} events, {len(man.files)} files", file=sys.stderr)
 
-    # disjoint fixed cpusets: lo on [2, 2+n), hi on [8, 8+4n) — both away
-    # from CPUs 0-1 where kernel/interrupt work tends to land
+    # disjoint fixed cpusets: lo on [LO_BASE, +n), hi on [HI_BASE, +4n) —
+    # both away from CPUs 0-1 where kernel/interrupt work tends to land.
+    # The bases are env-overridable because host co-tenant pressure is
+    # sometimes LOCALIZED to a guest-CPU range (measured: a 4-wide busy
+    # loop on cpus 8-11 ran 40% slower than on any other group while a
+    # neighbor was hot) — pinning into such a range corrupts one level
+    # only and fakes a scaling collapse. Scan with a busy loop first.
+    lo_base = int(os.environ.get("SCALING_LO_BASE", "2"))
+    hi_base = int(os.environ.get("SCALING_HI_BASE", "8"))
     lo_runs, hi_runs = [], []
     for t in range(trials):
-        lo_runs.append(run_trial(n, 2, changes, repo, mode))
-        hi_runs.append(run_trial(4 * n, 8, changes, repo, mode))
+        lo_runs.append(run_trial(n, lo_base, changes, repo, mode))
+        hi_runs.append(run_trial(4 * n, hi_base, changes, repo, mode))
         print(
             f"trial {t + 1}/{trials}: lo {lo_runs[-1]['sec']:.1f}s "
             f"(steal {lo_runs[-1].get('steal_frac', 0):.1%}) "
@@ -215,6 +222,10 @@ def main() -> None:
                 "n_events": man.n_events,
                 "rows_final": hi_runs[0]["rows"],
                 "pair": f"{n}->{4 * n}",
+                "cpusets": [
+                    f"{lo_base}-{lo_base + n - 1}",
+                    f"{hi_base}-{hi_base + 4 * n - 1}",
+                ],
                 f"local[{n}]_sec_min": round(lo_min, 2),
                 f"local[{n}]_sec_median": round(lo_med, 2),
                 f"local[{4 * n}]_sec_min": round(hi_min, 2),
