@@ -1037,6 +1037,114 @@ def q_cdc_branch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: second participant of the multi-table transaction replay: a projection
+#: index of the transcripts table (who spoke each turn), maintained
+#: atomically WITH the facts — the consistent-pair analog of the reference's
+#: register-then-upload cycle (Connector.java:136-146), which has no
+#: atomicity between the two writes.
+_TURNS_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), nullable=False),
+        T.StructField("turn_idx", T.IntegerType(), nullable=False),
+        T.StructField("role", T.StringType(), nullable=True),
+        T.StructField("ts", T.TimestampNTZType(), nullable=False),
+        T.StructField("lsn", T.LongType(), nullable=False),
+    ]
+)
+
+_TXN_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _txn_replayed_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[SnapshotTable, SnapshotTable]:
+    """Replay the flagship changelog into TWO tables — the transcripts
+    facts and a (conv_id, turn_idx) → role projection index — with every
+    epoch committed through ONE :class:`MultiTableTransaction` (stage both
+    merges invisibly, hard-link the decision record, publish both). Either
+    table alone equals its single-table replay; the pair is additionally
+    epoch-atomic: no crash point leaves an epoch visible in one table and
+    not (eventually) the other."""
+    from .lake.txn import MultiTableTransaction
+
+    key = os.path.normpath(sf_dir)
+    if key in _TXN_CACHE:
+        pa, pb = _TXN_CACHE[key]
+        return SnapshotTable(spark, pa), SnapshotTable(spark, pb)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_txn_", dir=base)
+    facts = SnapshotTable.create(
+        spark,
+        os.path.join(work, "transcripts"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=8,
+        mode="mor",
+    )
+    index = SnapshotTable.create(
+        spark,
+        os.path.join(work, "turns_index"),
+        _TURNS_INDEX_SCHEMA,
+        n_buckets=8,
+        mode="mor",
+    )
+    changes = _events_changelog(spark, sf_dir)
+    epoch_of = F.pmod(F.col("lsn"), F.lit(_N_EPOCHS))
+    log_dir = os.path.join(work, "txnlog")
+    for e in range(_N_EPOCHS):
+        batch = changes.filter(epoch_of == e)
+        if e >= _EVOLVE_EPOCH:
+            batch = batch.withColumn(
+                "metadata",
+                F.when(
+                    F.col("op") != "delete",
+                    F.concat(
+                        F.lit('{"rev": '), F.col("lsn").cast("string"), F.lit("}")
+                    ),
+                ),
+            )
+        st_f = apply_changes(facts, batch, epoch_id=e, stage=True)
+        st_i = apply_changes(
+            index,
+            batch.select("lsn", "op", "conv_id", "turn_idx", "role", "ts"),
+            epoch_id=e,
+            stage=True,
+        )
+        txn = MultiTableTransaction(log_dir, txn_id=f"epoch-{e}")
+        txn.enlist(facts, st_f.staged_ref)
+        txn.enlist(index, st_i.staged_ref)
+        txn.commit()
+    _TXN_CACHE[key] = (facts.path, index.path)
+    return facts, index
+
+
+def q_cdc_txn_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full replay where every epoch commits ATOMICALLY across two tables
+    (``lake/txn.py`` presumed-abort 2PC over staged snapshots): the
+    transcripts facts and a turn-role projection index. The returned rows
+    take ``role`` from the INDEX table and everything else from the facts
+    via an inner join on the merge key — so the identical flagship oracle
+    only matches if the two tables hold exactly the same keys with the
+    same per-key LWW winners (a lost/duplicated epoch on either side shows
+    up as a row-count or hash mismatch).
+
+    Reference parity: the register-devices-then-upload-rows cycle
+    (Connector.java:136-146) with the atomicity the reference lacks.
+    """
+    facts, index = _txn_replayed_tables(spark, sf_dir)
+    f = facts.read().alias("f")
+    i = index.read().alias("i")
+    return f.join(i, on=["conv_id", "turn_idx"], how="inner").select(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("i.role").alias("role"),
+        F.col("f.text").alias("text"),
+        F.col("f.tool").alias("tool"),
+        F.date_format(F.col("f.ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("f.lsn").alias("lsn"),
+        F.col("f.metadata").alias("metadata"),
+    )
+
+
 def q_cdc_replica_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table replication: the flagship table's changes feed folded
     into a second table via ``replication.sync_replica`` — one exactly-once
@@ -1958,6 +2066,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
     "cdc_wap_state": (q_cdc_wap_state, _SQL_CDC_REPLAY_STATE),
     "cdc_branch_state": (q_cdc_branch_state, _SQL_CDC_REPLAY_STATE),
+    "cdc_txn_state": (q_cdc_txn_state, _SQL_CDC_REPLAY_STATE),
     "cdc_replica_state": (q_cdc_replica_state, _SQL_CDC_REPLAY_STATE),
     "cdc_bootstrap_tail": (q_cdc_bootstrap_tail, _SQL_CDC_BOOTSTRAP_TAIL),
     "cdc_routed_union": (q_cdc_routed_union, _SQL_CDC_ROUTED_UNION),

@@ -6,6 +6,11 @@ from .snapshot_table import (  # noqa: F401
     MergeStats,
     SnapshotTable,
 )
+from .txn import (  # noqa: F401
+    MultiTableTransaction,
+    TransactionError,
+    recover as recover_transactions,
+)
 
 #: the bundled LakeTable implementation under its descriptive name
 ParquetSnapshotTable = SnapshotTable
