@@ -307,6 +307,35 @@ _SQL_CDC_WINDOWED_STATE = (
 )
 
 
+def q_cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same windowed read AFTER a clustered rewrite
+    (``compact(cluster_files=…)`` — Iceberg sort-order rewrite / Delta
+    OPTIMIZE ZORDER analog on the event-time dimension): the replayed table
+    is zero-copy CLONED (hard links, O(files)), the clone's buckets are
+    each range-sliced into up to 4 files tiling their time range, and the
+    windowed read runs against the clustered layout. Same oracle as
+    ``cdc_windowed_state``, so the driver hash proves the clustered
+    rewrite changes WHICH files exist, never what the table says — while
+    ``tests/test_cluster_compact.py`` pins that the windowed read now
+    prunes sub-bucket files the plain compaction could not."""
+    source = _replayed_table(spark, sf_dir)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_cluster_", dir=base)
+    clone = source.clone(os.path.join(work, "clustered"))
+    clone.compact(max_files=0, cluster_files=4)
+    df = clone.read(min_event_time=_WINDOW_MIN_TS)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+    )
+
+
 def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changes feed (Delta-CDF analog) off the replayed MoR
     table: every change applied in the LAST TWO epochs, straight from the
@@ -2071,6 +2100,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_bootstrap_tail": (q_cdc_bootstrap_tail, _SQL_CDC_BOOTSTRAP_TAIL),
     "cdc_routed_union": (q_cdc_routed_union, _SQL_CDC_ROUTED_UNION),
     "cdc_windowed_state": (q_cdc_windowed_state, _SQL_CDC_WINDOWED_STATE),
+    "cdc_clustered_scan": (q_cdc_clustered_scan, _SQL_CDC_WINDOWED_STATE),
     "debezium_parse": (q_debezium_parse, _SQL_DEBEZIUM_PARSE),
     "cdc_changes_feed": (q_cdc_changes_feed, _SQL_CDC_CHANGES_FEED),
     "cdc_cdf_typed": (q_cdc_cdf_typed, _SQL_CDC_CDF_TYPED),

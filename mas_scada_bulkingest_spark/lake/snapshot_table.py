@@ -2547,7 +2547,7 @@ class SnapshotTable(LakeTable):
             "gave up committing key purge after 10 rebase attempts"
         )
 
-    def compact(self, max_files: int = 8) -> int:
+    def compact(self, max_files: int = 8, cluster_files: int = 1) -> int:
         """Merge-on-read maintenance: rewrite every bucket holding more than
         ``max_files`` files into ONE LWW-collapsed file per bucket
         (tombstones retained — ``purge_tombstones`` owns their removal).
@@ -2557,6 +2557,26 @@ class SnapshotTable(LakeTable):
         O(bucket bytes) but amortizes over the epochs since the last
         compaction, keeping the *per-epoch* amortized cost O(batch). The
         analog of Iceberg's ``rewrite_data_files`` minor compaction.
+
+        ``cluster_files=k`` (k > 1) additionally CLUSTERS each rewritten
+        bucket on the first LWW-order column (the event-time column): the
+        collapsed state is range-sliced into up to k files per bucket whose
+        manifest [min, max] bounds tile the bucket's time range — the
+        Iceberg sort-order rewrite / Delta ``OPTIMIZE ZORDER`` analog (one
+        dimension, which is what a transcript workload windows on). After
+        clustering, a windowed ``read(min_event_time=…)`` skips ~(1 - w/k)
+        of even the COMPACTED files, where w is the window's slice overlap
+        — without it, compaction collapses each bucket to one file spanning
+        the full time range and data skipping degrades to bucket
+        granularity. Slice assignment is pure map-side column arithmetic
+        (boundaries interpolated from the manifest's existing per-file
+        stats — no extra data pass, no window, no exchange; see
+        ``_cluster_slice_expr``), so the clustered rewrite has the same
+        plan shape and cost as the plain one. Buckets without usable stats
+        degrade to plain compaction, never fail. At 100 TB this is the
+        "recent window" read path: a last-day scan over a month of
+        clustered buckets opens ~1/30th of the bytes at unchanged bucket
+        parallelism.
 
         Concurrency (round 4): compaction may race an ingest writer — the
         exact pattern a 100 TB deployment runs (background maintenance vs
@@ -2585,19 +2605,30 @@ class SnapshotTable(LakeTable):
         # ``_read_collapsed_local``), and writes its own partition directory,
         # so the rewrite needs NO repartition pass either.
         collapsed = self._read_collapsed_local(buckets=targets, with_bucket_col=True)
+        k = max(int(cluster_files), 1)
+        part_cols = ["_bucket"]
+        if k > 1:
+            collapsed = collapsed.withColumn(
+                "_slice", self._cluster_slice_expr(targets, k)
+            )
+            part_cols = ["_bucket", "_slice"]
         rel_dir = os.path.join("data", f"compact-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
-        collapsed.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        collapsed.write.partitionBy(*part_cols).mode("overwrite").parquet(out_dir)
         outputs_by_bucket: dict[str, list[str]] = {str(t): [] for t in targets}
         for entry in os.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             bval = entry.split("=", 1)[1]
-            outputs_by_bucket[bval] = [
-                os.path.join(rel_dir, entry, fn)
-                for fn in os.listdir(os.path.join(out_dir, entry))
-                if fn.endswith(".parquet")
-            ]
+            found: list[str] = []
+            for root, _dirs, fns in os.walk(os.path.join(out_dir, entry)):
+                rel_root = os.path.relpath(root, self.path)
+                found.extend(
+                    os.path.join(rel_root, fn)
+                    for fn in fns
+                    if fn.endswith(".parquet")
+                )
+            outputs_by_bucket[bval] = sorted(found)
         for _attempt in range(10):
             new_buckets = {b: list(f) for b, f in self._snapshot["buckets"].items()}
             applied = 0
@@ -2630,6 +2661,60 @@ class SnapshotTable(LakeTable):
         raise ConcurrentCommitError(
             "gave up committing compaction after 10 rebase attempts"
         )
+
+    def _cluster_slice_expr(self, targets: list[int], k: int):
+        """Map-side slice assignment for ``compact(cluster_files=k)``: per
+        target bucket, k-1 boundary literals interpolated between the
+        bucket's manifest-level [min, max] of the first LWW-order column;
+        a row's slice is the count of boundaries at or below its value
+        (sum of indicator casts — pure column arithmetic, no window, no
+        exchange, because the boundaries come from the snapshot's existing
+        per-file footer stats, not a data pass). Rows with a NULL order
+        value land in slice 0. A bucket degrades to a single slice (plain
+        compaction) when any of its files lacks usable stats, the order
+        type is not interpolatable (string order columns have no midpoint),
+        or the range is degenerate — clustering never blocks compaction.
+        Range slicing (vs ntile) is the right shape here: file boundaries
+        then align exactly with the range predicates the windowed read
+        prunes on, at the cost of uneven file sizes under skewed time
+        distributions (bounded by the bucket's own size)."""
+        o0 = list(self.order)[0]
+        stats = self._snapshot.get("file_stats", {})
+        is_ts = o0 in self.schema.fieldNames() and isinstance(
+            self.schema[o0].dataType, (T.TimestampType, T.TimestampNTZType)
+        )
+
+        def _dec(v):
+            if is_ts and isinstance(v, str):
+                try:
+                    return datetime.fromisoformat(v)
+                except ValueError:
+                    return None
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                return None
+            return v
+
+        expr = F.lit(0)
+        for b in targets:
+            bounds = [
+                stats.get(f) for f in self._snapshot["buckets"].get(str(b), [])
+            ]
+            if not bounds or any(s is None for s in bounds):
+                continue
+            los = [_dec(s[0]) for s in bounds]
+            his = [_dec(s[1]) for s in bounds]
+            if any(v is None for v in [*los, *his]):
+                continue
+            lo, hi = min(los), max(his)
+            if not lo < hi:
+                continue
+            step = (hi - lo) / k
+            sl = F.lit(0)
+            for i in range(1, k):
+                ind = (F.col(o0) >= self._bound_lit(lo + step * i)).cast("int")
+                sl = sl + F.coalesce(ind, F.lit(0))
+            expr = F.when(F.col("_bucket") == int(b), sl).otherwise(expr)
+        return expr.cast("int")
 
     def rebucket(self, n_buckets: int) -> int:
         """Offline resharding: rewrite the table under a NEW bucket count
