@@ -50,7 +50,9 @@ from pyspark.sql import types as T
 from .derived import (
     create_conversation_index,
     create_conversation_rollup,
+    create_dedup_index,
     index_state,
+    lsh_index_state,
     refresh_derived,
     refresh_rollup,
 )
@@ -591,6 +593,89 @@ SELECT conv_id,
        arg_max(text, turn_idx)        AS last_text
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 GROUP BY conv_id
+"""
+
+
+def q_cdc_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup indexing over the CDC stream — the join of the
+    engine's two halves: the same generic derived-table machinery that
+    maintains the rollup (``refresh_derived``) maintains a MinHash-LSH
+    index over the replayed conversations (``lsh_index_state``: ordered
+    turn assembly → word-3-gram shingles → 8 minhashes → 4 band bucket
+    keys, all map-side past one hash aggregate). Two incremental refreshes
+    (epochs [0,1], then the rest) fold conversation EDITS into updated
+    index rows at O(changed conversations) — a 100 TB corpus under churn
+    never re-shingles itself; candidate pairs then come from equi-joining
+    the index's band columns, never an all-pairs pass. The oracle is the
+    INDEPENDENT from-scratch recompute (DuckDB: LWW reduction → ordered
+    string_agg per conversation → shingle/minhash/band chain in the exact
+    md5 parity form of the batch ``dedup_minhash_lsh`` entry), so the
+    driver hash proves incremental index maintenance ≡ batch indexing."""
+    source = _replayed_table(spark, sf_dir, epoching="blocked")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_lshidx_", dir=base)
+    idx = create_dedup_index(spark, os.path.join(work, "lshidx"))
+    refresh_derived(source, idx, lsh_index_state, to_epoch=1)
+    refresh_derived(source, idx, lsh_index_state)
+    if refresh_derived(source, idx, lsh_index_state) is not None:
+        raise AssertionError("refresh after catch-up must return None")
+    return idx.read().select(
+        "conv_id", "n_shingles", "band_0", "band_1", "band_2", "band_3"
+    )
+
+
+# NOTE: numeric literals (8 hashes, // 2 banding) mirror queries._N_HASHES /
+# _BAND_R — the same constants lsh_index_state imports, and the same CTE
+# shape as queries._SQL_BANDSIG_KEPT (keyed by conv_id instead of doc_id,
+# over the LWW-reduced conversation documents instead of the documents table)
+_SQL_CDC_DEDUP_INDEX = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  ),
+  docs AS (
+    SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    GROUP BY conv_id
+  ),
+  toks AS (
+    SELECT conv_id,
+           unnest(string_split(trim(text), ' ')) AS tok,
+           generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+    FROM docs
+  ),
+  shingles AS (
+    SELECT DISTINCT a.conv_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM toks a
+    JOIN toks b ON b.conv_id = a.conv_id AND b.pos = a.pos + 1
+    JOIN toks c ON c.conv_id = a.conv_id AND c.pos = a.pos + 2
+  ),
+  hashed AS (
+    SELECT conv_id, j, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+    FROM shingles, (SELECT unnest(range(0, 8)) AS j)
+  ),
+  sig AS (SELECT conv_id, j, min(h) AS minhash FROM hashed GROUP BY conv_id, j),
+  bands AS (
+    SELECT conv_id, CAST(j // 2 AS INT) AS band,
+           string_agg(CAST(j AS VARCHAR) || ':' || minhash, '|' ORDER BY j) AS bandkey
+    FROM sig GROUP BY 1, 2
+  ),
+  counts AS (
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_shingles
+    FROM shingles GROUP BY conv_id
+  )
+SELECT d.conv_id,
+       COALESCE(c.n_shingles, 0) AS n_shingles,
+       max(CASE WHEN b.band = 0 THEN b.bandkey END) AS band_0,
+       max(CASE WHEN b.band = 1 THEN b.bandkey END) AS band_1,
+       max(CASE WHEN b.band = 2 THEN b.bandkey END) AS band_2,
+       max(CASE WHEN b.band = 3 THEN b.bandkey END) AS band_3
+FROM docs d
+LEFT JOIN counts c ON c.conv_id = d.conv_id
+LEFT JOIN bands b ON b.conv_id = d.conv_id
+GROUP BY d.conv_id, c.n_shingles
 """
 
 
@@ -2107,6 +2192,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_ivm_rollup": (q_cdc_ivm_rollup, _SQL_CDC_IVM_ROLLUP),
     "cdc_derived_rollup": (q_cdc_derived_rollup, _SQL_CDC_DERIVED_ROLLUP),
     "cdc_derived_index": (q_cdc_derived_index, _SQL_CDC_DERIVED_INDEX),
+    "cdc_dedup_index": (q_cdc_dedup_index, _SQL_CDC_DEDUP_INDEX),
     "cdc_constraints": (q_cdc_constraints, _SQL_CDC_CONSTRAINTS),
     "cdc_quarantine": (q_cdc_quarantine, _SQL_CDC_QUARANTINE),
     "cdc_generated": (q_cdc_generated, _SQL_CDC_GENERATED),

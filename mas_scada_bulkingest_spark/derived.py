@@ -91,6 +91,18 @@ INDEX_SCHEMA = T.StructType(
 )
 
 
+#: per-conversation MinHash-LSH near-dup index via :func:`lsh_index_state`
+#: (band count kept in lockstep with queries._N_HASHES // queries._BAND_R)
+DEDUP_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_shingles", T.LongType()),
+        *[T.StructField(f"band_{b}", T.StringType()) for b in range(4)],
+        T.StructField("refresh_epoch", T.LongType()),
+    ]
+)
+
+
 def create_derived_table(
     spark: SparkSession,
     path: str,
@@ -129,6 +141,80 @@ def create_conversation_index(
     """The per-conversation latest-turn serving index (``INDEX_SCHEMA``)."""
     return create_derived_table(
         spark, path, INDEX_SCHEMA, n_buckets=n_buckets, mode=mode
+    )
+
+
+def create_dedup_index(
+    spark: SparkSession, path: str, n_buckets: int = 8, mode: str = "mor"
+) -> SnapshotTable:
+    """The per-conversation MinHash-LSH near-dup index table
+    (``DEDUP_INDEX_SCHEMA``), maintained via :func:`lsh_index_state`."""
+    return create_derived_table(
+        spark, path, DEDUP_INDEX_SCHEMA, n_buckets=n_buckets, mode=mode
+    )
+
+
+def lsh_index_state(state: DataFrame, key: str = "conv_id") -> DataFrame:
+    """Per-conversation MinHash-LSH index row — the INCREMENTAL near-dup
+    surface: assemble each conversation's live turns (ordered by
+    ``turn_idx``, the input_hint's stable-turn-ordering invariant) into one
+    document, derive its word-3-gram shingle set, and reduce that to
+    ``n_shingles`` plus one bucket key per MinHash band (the same
+    ``md5(j:shingle)`` parity form as the batch ``dedup_minhash_lsh``
+    pipeline, ``queries.py``).
+
+    Run through :func:`refresh_derived`, this maintains a near-dup index
+    at O(changed conversations) per refresh — the 100 TB shape: a corpus
+    under CDC churn never re-shingles itself end-to-end; only edited
+    conversations recompute, and candidate pairs come from equi-joining
+    the (bounded) band buckets of the index, never an all-pairs pass.
+    Everything is map-side per conversation past the one turn-assembly
+    hash aggregate: shingles, signatures, and band keys are pure column
+    arithmetic over the assembled text (no explode, no per-row Python).
+    Conversations with fewer than 3 tokens carry NULL band keys and
+    ``n_shingles = 0`` (nothing to hash — they can near-dup nothing)."""
+    from .queries import _BAND_R, _N_HASHES, _SHINGLE_EXPR
+
+    doc = state.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("_doc")
+    )
+    toks = F.split(F.trim(F.col("_doc")), " ")
+    shset = F.when(
+        F.size("_toks") >= 3, F.array_distinct(F.expr(_SHINGLE_EXPR))
+    ).otherwise(F.array().cast("array<string>"))
+    wide = doc.select(key, toks.alias("_toks")).select(
+        key, shset.alias("_shset")
+    )
+
+    def _hash_fn(j: int):
+        prefix = f"{j}:"
+        # single-arg lambda on purpose (F.transform treats 2-arg as
+        # (element, index)) — same convention as queries._band_signatures
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sigs = {
+        j: F.array_min(F.transform(F.col("_shset"), _hash_fn(j)))
+        for j in range(_N_HASHES)
+    }
+    bands = []
+    for bnd in range(_N_HASHES // _BAND_R):
+        parts = [
+            F.concat(F.lit(f"{j}:"), sigs[j])
+            for j in range(bnd * _BAND_R, (bnd + 1) * _BAND_R)
+        ]
+        bands.append(
+            F.when(F.size("_shset") > 0, F.concat_ws("|", *parts)).alias(
+                f"band_{bnd}"
+            )
+        )
+    return wide.select(
+        key, F.size("_shset").cast("long").alias("n_shingles"), *bands
     )
 
 
