@@ -2492,6 +2492,50 @@ FROM c, unnest(generate_series(1, c.n_copies)) AS t(copy_idx)
 WHERE c.n_copies > 0
 """
 
+
+_SOURCE_QUOTA = 10
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota — the corpus-governance op that caps any
+    one source's contribution to the training mix ("no domain may exceed
+    N documents"), deterministically: within each source, documents are
+    ranked by ``md5('quota:' || doc_id)`` (doc_id tiebreak) and the first
+    ``_SOURCE_QUOTA`` survive. Like the split/mixture ops, selection is a
+    pure function of the document set — reproducible across engines,
+    reruns, and partitionings, and auditable per document (a doc's rank
+    explains its exclusion). Plan shape: ONE hash-by-source exchange for
+    the rank window; the md5 rank key is computed map-side. At 100 TB,
+    sources are typically domains with heavy skew (one domain holding
+    10^8 docs) — exact ranking then pays that skew in one reducer, and
+    the documented scale knob is the threshold form (keep iff the same
+    uniform < quota/|source|, zero-shuffle given per-source counts, the
+    same trade :func:`q_corpus_mixture` makes); the exact form stays the
+    oracle because the quota here is a hard cap, not a rate."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    rank_key = F.md5(
+        F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(rank_key, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("quota_rank") <= _SOURCE_QUOTA)
+    )
+
+
+_SQL_SOURCE_QUOTA = f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS quota_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_SOURCE_QUOTA}
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2536,5 +2580,6 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "dedup_chunks": (q_dedup_chunks, _SQL_DEDUP_CHUNKS),
     "corpus_split": (q_corpus_split, _SQL_CORPUS_SPLIT),
     "corpus_mixture": (q_corpus_mixture, _SQL_CORPUS_MIXTURE),
+    "source_quota": (q_source_quota, _SQL_SOURCE_QUOTA),
     "events_cube": (q_events_cube, _SQL_EVENTS_CUBE),
 }
