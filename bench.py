@@ -136,6 +136,16 @@ def main() -> None:
     timings["cdc_mor_read_collapse"] = round(mor_read_sec, 3)
     win_sec, win_pruned, win_files = bench_windowed_read(mor_table)
     timings["cdc_mor_windowed_read"] = round(win_sec, 3)
+    # clustered rewrite (compact(cluster_files=4)): the same 20%-tail window
+    # must prune MORE files afterwards — post-compaction data skipping at
+    # sub-bucket granularity (plain compaction would leave one full-range
+    # file per bucket and prune nothing)
+    t0 = time.perf_counter()
+    mor_table.compact(max_files=0, cluster_files=4)
+    cluster_sec = time.perf_counter() - t0
+    timings["cdc_cluster_rewrite"] = round(cluster_sec, 3)
+    cwin_sec, cwin_pruned, cwin_files = bench_windowed_read(mor_table)
+    timings["cdc_clustered_windowed_read"] = round(cwin_sec, 3)
     cow_sec, _, _, cow_table = bench_cdc_replay(spark, sf_name, mode="cow")
     timings["cdc_replay_cow"] = round(cow_sec, 3)
 
@@ -189,6 +199,8 @@ def main() -> None:
         # manifest data skipping: newest-20%-window read over the MoR table
         "windowed_read_pruned_files": win_pruned,
         "windowed_read_total_files": win_files,
+        "clustered_read_pruned_files": cwin_pruned,
+        "clustered_read_total_files": cwin_files,
         # snapshot-phase bulk load (bootstrap): direct bucket-layout write
         "bootstrap_rows_per_sec": round(boot_stats.applied / boot_sec, 1),
         "cores": cpus,
