@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--deep-verify", action="store_true",
                    help="with --verify-integrity: also assert every stored row hashes"
                         " to the bucket holding it (one Spark job)")
+    p.add_argument("--cluster-files", type=int, metavar="K",
+                   help="clustered compaction: rewrite every bucket of --table-path "
+                        "into up to K files range-sliced on event time (keeps "
+                        "windowed reads prunable after compaction) and exit")
     p.add_argument("--clone-to", metavar="DEST_PATH",
                    help="zero-copy (hard-link) clone of --table-path to DEST_PATH "
                         "and exit; both tables then evolve independently")
@@ -261,6 +265,17 @@ def main(argv: list[str] | None = None) -> int:
         n = tbl.clear_quarantine(which)
         print(json.dumps({"cleared_quarantine_epochs": n,
                           "scope": args.clear_quarantine}))
+        return 0
+
+    if args.cluster_files:
+        tbl = SnapshotTable(spark, args.table_path)
+        n = tbl.compact(max_files=0, cluster_files=args.cluster_files)
+        print(json.dumps({
+            "clustered_buckets": n,
+            "n_data_files": sum(
+                len(f) for f in tbl._snapshot["buckets"].values()
+            ),
+        }))
         return 0
 
     if args.clone_to:

@@ -4179,6 +4179,7 @@ class SnapshotTable(LakeTable):
         stats_source: DataFrame | None = None,
         pre_stats: list | None = None,
         auto_compact_files: int | None = None,
+        auto_cluster_files: int | None = None,
         stage: bool = False,
     ) -> MergeStats:
         """Idempotent MERGE of an LWW-collapsed change batch.
@@ -4852,7 +4853,14 @@ class SnapshotTable(LakeTable):
             # post-commit maintenance: exactly-once is already sealed by the
             # snapshot above; compaction is its own (crash-safe) commit.
             _t0 = time.perf_counter()
-            n = self.compact(max_files=auto_compact_files)
+            # auto_cluster_files=k range-slices the rewritten buckets on
+            # event time (see compact(cluster_files=…)) so steady-state
+            # maintenance keeps windowed reads prunable at sub-bucket
+            # granularity with no separate clustering pass.
+            n = self.compact(
+                max_files=auto_compact_files,
+                cluster_files=auto_cluster_files or 1,
+            )
             if n:
                 _timings["compact"] = round(time.perf_counter() - _t0, 3)
         return MergeStats(

@@ -68,6 +68,7 @@ def apply_changes(
     hot_key_threshold: int | None = None,
     skew_strategy: str | None = None,
     auto_compact_files: int | None = None,
+    auto_cluster_files: int | None = None,
     registry: LakeTable | None = None,
     stage: bool = False,
 ) -> MergeStats:
@@ -92,7 +93,10 @@ def apply_changes(
     ``hot_key_threshold`` without a strategy implies ``"salted"``
     (back-compat). ``skew_salt=N`` always forces two-phase with N salts.
     ``auto_compact_files=K`` (merge-on-read tables) compacts any bucket that
-    exceeds K delta files after the commit.
+    exceeds K delta files after the commit; ``auto_cluster_files=k`` makes
+    that maintenance rewrite CLUSTERED (range-sliced on event time, see
+    ``SnapshotTable.compact(cluster_files=…)``) so windowed reads keep
+    skipping sub-bucket files between compactions.
     ``registry``: a conversations dimension table to maintain alongside the
     facts — first-seen registration runs BEFORE the fact merge (the
     reference registers devices before upload, Connector.java:136-146),
@@ -144,6 +148,7 @@ def apply_changes(
         epoch_id,
         pre_stats=pre,
         auto_compact_files=auto_compact_files,
+        auto_cluster_files=auto_cluster_files,
         stage=stage,
     )
 

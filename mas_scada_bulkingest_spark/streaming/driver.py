@@ -162,7 +162,11 @@ def _apply_staged(table, batch_df, epoch_key, wap_audit, apply_kwargs) -> None:
             ref = r  # resume a crashed stage→publish at the audit step
             break
     if ref is None:
-        kwargs = {k: v for k, v in apply_kwargs.items() if k != "auto_compact_files"}
+        kwargs = {
+            k: v
+            for k, v in apply_kwargs.items()
+            if k not in ("auto_compact_files", "auto_cluster_files")
+        }
         stats = apply_changes(table, batch_df, epoch_key, stage=True, **kwargs)
         if stats.was_noop:  # committed by a concurrent replay meanwhile
             return

@@ -106,6 +106,28 @@ def test_clustered_compact_equals_plain_under_deletes(spark, tmpdir_path):
     assert got == 0
 
 
+def test_auto_cluster_on_merge(spark, tmpdir_path):
+    """apply_changes(auto_compact_files=…, auto_cluster_files=k) makes the
+    post-commit maintenance rewrite clustered — steady-state ingest keeps
+    the layout windowed-read-prunable without a separate clustering pass."""
+    tbl = create_transcripts_table(
+        spark, f"{tmpdir_path}/t", n_buckets=4, mode="mor"
+    )
+    for e in range(3):
+        batch = spark.createDataFrame(_rows(day=e + 1, lsn0=100 * e), _COLS)
+        apply_changes(
+            tbl, batch, epoch_id=e, auto_compact_files=1, auto_cluster_files=3
+        )
+    buckets = tbl._snapshot["buckets"]
+    assert all(1 < len(fs) <= 3 for fs in buckets.values())
+    stats = tbl._snapshot["file_stats"]
+    assert all(stats.get(f) for fs in buckets.values() for f in fs)
+    tbl.last_read_pruned_files = 0
+    got = _pdf(tbl.read(min_event_time=_day(3)))
+    assert tbl.last_read_pruned_files >= 4
+    assert set(got.conv_id) == {f"c3-{i}" for i in range(8)}
+
+
 def test_cluster_degrades_gracefully_without_stats(spark, tmpdir_path):
     """A bucket whose stats are unusable compacts to one file instead of
     failing (slice expr returns 0 for it)."""
