@@ -466,6 +466,12 @@ class SnapshotTable(LakeTable):
         flip is idempotent — same name, forward-only).
         """
         self._enrich_snapshot(snap)
+        # wall-clock commit stamp (Iceberg snapshot timestamp-ms analog):
+        # set at WRITE time, not merge-build time, so a staged epoch gets its
+        # publish instant and a rebase retry gets its winning attempt's —
+        # TIMESTAMP AS OF (`at_timestamp`) then tracks visibility order,
+        # which matches version order because versions are monotonic.
+        snap["committed_at"] = time.time()
         name = f"v{snap['version']:08d}.json"
         snap_path = os.path.join(self.path, "snapshots", name)
         tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -1169,6 +1175,38 @@ class SnapshotTable(LakeTable):
             int(f[1:9]) for f in os.listdir(snap_dir) if f.endswith(".json")
         )
 
+    def at_timestamp(self, ts) -> "SnapshotTable":
+        """Read-only handle onto the latest snapshot committed at or before
+        ``ts`` — the Iceberg ``TIMESTAMP AS OF`` analog to ``at_version``'s
+        ``VERSION AS OF``. ``ts`` may be a unix-seconds float, a
+        ``datetime``, or an ISO string (naive values are local time, like
+        the ``time.time()`` stamps they compare against). Raises
+        ``ValueError`` when every retained snapshot postdates ``ts``
+        (before table creation, or the matching snapshot was expired by
+        vacuum — the message lists the earliest retained stamp). Snapshots
+        predating the ``committed_at`` stamp (older engine versions) sort
+        as arbitrarily old, consistent with "the table already looked like
+        this when stamping began"."""
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts)
+        if isinstance(ts, datetime):
+            ts = ts.timestamp()
+        ts = float(ts)
+        snap_dir = os.path.join(self.path, "snapshots")
+        best, best_at, earliest = None, None, None
+        for v in self.versions():
+            with open(os.path.join(snap_dir, f"v{v:08d}.json")) as f:
+                at = json.load(f).get("committed_at", 0.0)
+            earliest = at if earliest is None else min(earliest, at)
+            if at <= ts and (best is None or v > best):
+                best, best_at = v, at
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts} "
+                f"(earliest retained commit: {earliest})"
+            )
+        return self.at_version(best)
+
     # ------------------------------------------------- write-audit-publish
     # Iceberg's WAP (stage a commit under wap.id → audit → cherry-pick to
     # publish), mapped onto the snapshot protocol: a staged merge is a fully
@@ -1427,6 +1465,7 @@ class SnapshotTable(LakeTable):
                 (
                     v,
                     s.get("parent"),
+                    s.get("committed_at"),
                     epochs,
                     len(added) if added is not None else None,
                     sum(sizes.get(fl, 0) for fl in added) if added is not None else None,
@@ -1437,7 +1476,8 @@ class SnapshotTable(LakeTable):
                 )
             )
         schema = (
-            "version long, parent long, epochs_committed long, "
+            "version long, parent long, committed_at double, "
+            "epochs_committed long, "
             "files_added long, bytes_added long, live_files long, "
             "live_bytes long, n_buckets long, schema_fields long"
         )

@@ -200,6 +200,7 @@ def run_stream(
     prepare_batch: Callable | None = None,
     sink: Callable | None = None,
     rollup_path: str | None = None,
+    derived_tables: list | None = None,
     wap_audit: Callable | None = None,
     **apply_kwargs,
 ):
@@ -236,6 +237,14 @@ def run_stream(
     range, and a replayed batch no-ops both merges. Requires the default
     single-table sink on a merge-on-read table.
 
+    ``derived_tables`` generalizes the cascade to ANY per-key aggregates:
+    a list of ``(derived_SnapshotTable, aggregate)`` pairs (the caller
+    creates the tables — e.g. ``create_dedup_index`` + ``lsh_index_state``
+    to keep a near-dup LSH index fresh to within one micro-batch alongside
+    the rollup), each refreshed through ``derived.refresh_derived`` after
+    every merge with the same crash-safe cursor and the same
+    rebuild-on-truncated-feed fallback as ``rollup_path``.
+
     ``wap_audit(staged_table, stats) -> bool`` gates every micro-batch
     through write-audit-publish: the merge is STAGED (invisible), the
     callback audits the staged state through the normal read path
@@ -250,22 +259,25 @@ def run_stream(
     precedes the audit. Requires the default single-table sink.
     """
     table = None if sink is not None else SnapshotTable(spark, table_path)
-    rollup = None
-    if rollup_path is not None:
+    cascades: list[tuple] = []
+    if rollup_path is not None or derived_tables:
         if table is None:
-            raise ValueError("rollup_path requires the default single-table sink")
+            raise ValueError(
+                "rollup_path/derived_tables require the default single-table sink"
+            )
         if getattr(table, "mode", None) != "mor":
             raise ValueError(
-                "rollup_path requires a merge-on-read table (the refresh "
-                "reads the changes feed); use derived.rebuild_rollup for CoW"
+                "rollup_path/derived_tables require a merge-on-read table "
+                "(the refresh reads the changes feed); use "
+                "derived.rebuild_derived for CoW"
             )
-        from ..derived import (
-            create_conversation_rollup,
-            rebuild_rollup,
-            refresh_rollup,
-        )
+        from ..derived import create_conversation_rollup, rollup_state
 
-        rollup = create_conversation_rollup(spark, rollup_path)
+        if rollup_path is not None:
+            cascades.append(
+                (create_conversation_rollup(spark, rollup_path), rollup_state)
+            )
+        cascades.extend(derived_tables or [])
     # Namespace epoch ids by checkpoint lineage: the same checkpoint replays
     # the same batch ids (-> no-ops), while a NEW checkpoint must not collide
     # with previously committed ids (its batch ids restart at 0). Re-applied
@@ -283,16 +295,20 @@ def run_stream(
                 _apply_staged(table, batch_df, epoch_key, wap_audit, apply_kwargs)
             else:
                 apply_changes(table, batch_df, epoch_key, **apply_kwargs)
-            if rollup is not None:
-                try:
-                    refresh_rollup(table, rollup)
-                except FileNotFoundError:
-                    # feed cannot serve the pending state (bootstrap load,
-                    # vacuumed range): absorb once via full rebuild, which
-                    # also catches the cursor up so later batches refresh
-                    # incrementally. ValueError (source restored backwards)
-                    # propagates and fails the stream loudly.
-                    rebuild_rollup(table, rollup)
+            if cascades:
+                from ..derived import rebuild_derived, refresh_derived
+
+                for dt, agg in cascades:
+                    try:
+                        refresh_derived(table, dt, agg)
+                    except FileNotFoundError:
+                        # feed cannot serve the pending state (bootstrap
+                        # load, vacuumed range): absorb once via full
+                        # rebuild, which also catches the cursor up so
+                        # later batches refresh incrementally. ValueError
+                        # (source restored backwards) propagates and fails
+                        # the stream loudly.
+                        rebuild_derived(table, dt, agg)
 
     rs = spark.readStream.option(
         "maxFilesPerTrigger", max_files_per_trigger or 1000000

@@ -135,6 +135,53 @@ def test_edit_reindexes_only_changed_conversation(spark, source, tmpdir_path):
     )
 
 
+def test_stream_cascades_index_and_rollup(spark, tmpdir_path):
+    """run_stream(derived_tables=[(index, lsh_index_state)]) keeps the LSH
+    index fresh inside the micro-batch loop, alongside rollup_path — the
+    generalized cascade."""
+    from mas_scada_bulkingest_spark.derived import (
+        create_conversation_rollup,
+        rollup_state,
+    )
+    from mas_scada_bulkingest_spark.lake import SnapshotTable
+    from mas_scada_bulkingest_spark.sources import generate_changelog
+    from mas_scada_bulkingest_spark.streaming import run_stream
+
+    d = tmpdir_path
+    generate_changelog(d + "/log", n_convs=40, mean_turns=4, seed=5)
+    create_transcripts_table(spark, d + "/t", n_buckets=4, mode="mor")
+    idx = create_dedup_index(spark, d + "/idx", n_buckets=4)
+    q = run_stream(
+        spark, d + "/log", d + "/t", d + "/ckpt",
+        max_files_per_trigger=2, available_now=True,
+        rollup_path=d + "/r",
+        derived_tables=[(idx, lsh_index_state)],
+    )
+    q.awaitTermination()
+    src = SnapshotTable(spark, d + "/t")
+    idx = create_dedup_index(spark, d + "/idx", n_buckets=4)  # open-existing
+    assert idx.committed_epoch_count > 1  # refreshed per batch, not once
+    pd.testing.assert_frame_equal(
+        _idx_state(idx), _recompute(src), check_dtype=False
+    )
+    rollup = create_conversation_rollup(spark, d + "/r")
+    got = (
+        rollup.read()
+        .select("conv_id", "live_turns")
+        .orderBy("conv_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = (
+        rollup_state(src.read())
+        .select("conv_id", "live_turns")
+        .orderBy("conv_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_split_refresh_equals_rebuild_and_delete_tombstones(
     spark, source, tmpdir_path
 ):
