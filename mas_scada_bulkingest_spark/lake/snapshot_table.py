@@ -2133,7 +2133,9 @@ class SnapshotTable(LakeTable):
         return len(inputs)
 
     # ----------------------------------------------------------- maintenance
-    def vacuum(self, retain_versions: int = 1) -> int:
+    def vacuum(
+        self, retain_versions: int = 1, older_than_secs: float | None = None
+    ) -> int:
         """Delete data files no longer referenced by recent snapshots.
 
         Copy-on-write MERGE rewrites whole buckets, so superseded epoch
@@ -2141,9 +2143,15 @@ class SnapshotTable(LakeTable):
         ``expire_snapshots`` + ``remove_orphan_files``). Keeps every file
         referenced by the current snapshot and the ``retain_versions - 1``
         snapshots before it (time travel window); returns files deleted.
-        Tagged versions (:meth:`tag`) are retained regardless of the window,
-        and files referenced by a staged-but-unpublished WAP epoch are never
-        orphans (an audit in flight must survive a concurrent vacuum).
+        ``older_than_secs=S`` additionally retains every snapshot committed
+        within the last S seconds regardless of the version window — the
+        Iceberg ``expire_snapshots(older_than=…)`` age guarantee, so an
+        operator can promise "time travel always reaches 24 h back" while
+        the count bound caps worst-case history under bursty commits. The
+        two compose as retain-if-EITHER-says-retain. Tagged versions
+        (:meth:`tag`) are retained regardless of both windows, and files
+        referenced by a staged-but-unpublished WAP epoch are never orphans
+        (an audit in flight must survive a concurrent vacuum).
         Single-writer assumption: do not run concurrently with a merge.
         """
         snap_dir = os.path.join(self.path, "snapshots")
@@ -2151,6 +2159,14 @@ class SnapshotTable(LakeTable):
             int(f[1:9]) for f in os.listdir(snap_dir) if f.endswith(".json")
         )
         keep_versions = set(versions[-max(retain_versions, 1):])
+        if older_than_secs is not None:
+            horizon = time.time() - float(older_than_secs)
+            for v in versions:
+                with open(os.path.join(snap_dir, f"v{v:08d}.json")) as f:
+                    # a pre-stamp snapshot (no committed_at) is arbitrarily
+                    # old — only the version window can retain it
+                    if json.load(f).get("committed_at", 0.0) >= horizon:
+                        keep_versions.add(v)
         keep_versions |= {v for v in self.tags().values() if v in set(versions)}
         referenced: set[str] = set()
         for v in keep_versions:

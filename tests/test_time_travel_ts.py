@@ -55,6 +55,29 @@ def test_at_timestamp_resolves_commit_order(spark, tmpdir_path):
     assert stamps == sorted(stamps)
 
 
+def test_vacuum_age_retention(spark, tmpdir_path):
+    """vacuum(older_than_secs=S) retains every snapshot younger than S even
+    when the version-count window would expire it; a tiny S falls back to
+    the count window."""
+    tbl = create_transcripts_table(spark, f"{tmpdir_path}/t", n_buckets=2)
+    _apply(spark, tbl, [(0, "update", "c0", 0, "u", "v1", None,
+                         datetime(2024, 1, 1))], 0)
+    t_mid = time.time()
+    time.sleep(0.05)
+    _apply(spark, tbl, [(1, "update", "c0", 0, "u", "v2", None,
+                         datetime(2024, 1, 2))], 1)
+    before = tbl.versions()
+    # everything committed within the last hour: nothing expires
+    tbl.vacuum(retain_versions=1, older_than_secs=3600)
+    assert tbl.versions() == before
+    assert [r["text"] for r in tbl.at_timestamp(t_mid).read().collect()] == ["v1"]
+    # age guarantee lapsed: the count window governs
+    tbl.vacuum(retain_versions=1, older_than_secs=0.0)
+    assert len(tbl.versions()) == 1
+    with pytest.raises(ValueError):
+        tbl.at_timestamp(t_mid)
+
+
 def test_at_timestamp_respects_vacuum_expiry(spark, tmpdir_path):
     tbl = create_transcripts_table(spark, f"{tmpdir_path}/t", n_buckets=2)
     _apply(spark, tbl, [(0, "update", "c0", 0, "u", "v1", None,
