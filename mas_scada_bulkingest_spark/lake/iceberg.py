@@ -46,6 +46,8 @@ is pure and unit-tested without a catalog.
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta, timezone
+
 from pyspark.sql import SparkSession
 
 from .base import LakeTable
@@ -283,6 +285,59 @@ class IcebergTable(LakeTable):
                 f"rename_column: {old!r} is a key/LWW-order column"
             )
         return f"ALTER TABLE {self.identifier} RENAME COLUMN {old} TO {new}"
+
+    def sort_order_sql(self) -> str:
+        """≙ ``SnapshotTable.compact(cluster_files=…)`` as a DECLARED sort
+        order: ``WRITE ORDERED BY <event-time>`` makes every subsequent
+        Iceberg write (including ``rewrite_data_files`` compactions) emit
+        time-clustered files with tight manifest bounds — the catalog-native
+        form of the parquet backend's range-sliced rewrite."""
+        return (
+            f"ALTER TABLE {self.identifier} "
+            f"WRITE ORDERED BY {self._order[0]}"
+        )
+
+    def rewrite_data_files_sql(self, where: str | None = None) -> str:
+        """≙ ``SnapshotTable.compact``: Iceberg's ``rewrite_data_files``
+        procedure with ``sort`` strategy — combined with
+        :meth:`sort_order_sql` this IS clustered compaction. ``where``
+        scopes the rewrite (e.g. one bucket or time range), mirroring
+        ``compact``'s per-bucket targeting."""
+        parts = self.identifier.split(".")
+        catalog = parts[0] if len(parts) > 2 else "spark_catalog"
+        table = ".".join(parts[1:]) if len(parts) > 2 else self.identifier
+        w = f", where => '{where}'" if where else ""
+        return (
+            f"CALL {catalog}.system.rewrite_data_files("
+            f"table => '{table}', strategy => 'sort'{w})"
+        )
+
+    def expire_snapshots_sql(self, older_than_secs: float, retain_last: int = 1) -> str:
+        """≙ ``SnapshotTable.vacuum(retain_versions=…, older_than_secs=…)``:
+        Iceberg's ``expire_snapshots`` takes the same two composed bounds —
+        an age horizon plus a minimum retained count (tagged refs survive
+        on both backends)."""
+        parts = self.identifier.split(".")
+        catalog = parts[0] if len(parts) > 2 else "spark_catalog"
+        table = ".".join(parts[1:]) if len(parts) > 2 else self.identifier
+        horizon = datetime.now(timezone.utc) - timedelta(seconds=older_than_secs)
+        return (
+            f"CALL {catalog}.system.expire_snapshots("
+            f"table => '{table}', "
+            f"older_than => TIMESTAMP "
+            f"'{horizon.replace(tzinfo=None).isoformat(sep=' ', timespec='seconds')}', "
+            f"retain_last => {int(retain_last)})"
+        )
+
+    def select_at_timestamp_sql(self, ts: str) -> str:
+        """≙ ``SnapshotTable.at_timestamp``: Iceberg ``TIMESTAMP AS OF``
+        (commit wall-clock, same semantics as the parquet backend's
+        ``committed_at`` stamps); tombstones filtered like ``read()``."""
+        return (
+            f"SELECT * FROM {self.identifier} "
+            f"TIMESTAMP AS OF '{ts}' "
+            f"WHERE NOT coalesce(_tombstone, false)"
+        )
 
     # ---- LakeTable surface (thin wrappers over the SQL above) ------------
     @property

@@ -138,3 +138,27 @@ def test_iceberg_ref_builders_encode_the_contract():
     t2 = object.__new__(IcebergTable)
     t2.identifier = "db.transcripts"
     assert "CALL spark_catalog.system.fast_forward" in t2.fast_forward_sql("b")
+
+
+def test_iceberg_maintenance_builders_encode_the_contract():
+    # clustering / expiry / timestamp travel map compact(cluster_files=…),
+    # vacuum(older_than_secs=…) and at_timestamp onto Iceberg's native DDL
+    t = object.__new__(IcebergTable)
+    t.identifier = "cat.db.transcripts"
+    t._key = ("conv_id", "turn_idx")
+    t._order = ("ts", "lsn")
+    t._n_buckets = 16
+
+    assert (
+        t.sort_order_sql()
+        == "ALTER TABLE cat.db.transcripts WRITE ORDERED BY ts"
+    )
+    rw = t.rewrite_data_files_sql(where="ts >= TIMESTAMP '2024-06-01'")
+    assert rw.startswith("CALL cat.system.rewrite_data_files(")
+    assert "strategy => 'sort'" in rw and "where => 'ts >= " in rw
+    exp = t.expire_snapshots_sql(older_than_secs=86400, retain_last=3)
+    assert "CALL cat.system.expire_snapshots(" in exp
+    assert "retain_last => 3" in exp and "older_than => TIMESTAMP '" in exp
+    sel = t.select_at_timestamp_sql("2024-06-01 12:00:00")
+    assert "TIMESTAMP AS OF '2024-06-01 12:00:00'" in sel
+    assert "NOT coalesce(_tombstone, false)" in sel
