@@ -27,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
+from mas_scada_bulkingest_spark.derived import (  # noqa: E402
+    create_dedup_index,
+    lsh_index_state,
+    refresh_derived,
+)
 from mas_scada_bulkingest_spark.pipeline import create_transcripts_table  # noqa: E402
 from mas_scada_bulkingest_spark.lake.snapshot_table import SnapshotTable  # noqa: E402
 from mas_scada_bulkingest_spark.sources.changelog_gen import generate_changelog  # noqa: E402
@@ -73,6 +78,16 @@ def main(argv: list[str] | None = None) -> int:
                         "(requires --checkpoint-dir; use the availableNow "
                         "drain for batch semantics)")
     p.add_argument("--vacuum", action="store_true", help="clean superseded epoch files after run")
+    p.add_argument("--vacuum-retain", type=int, default=1, metavar="N",
+                   help="with --vacuum: keep the last N snapshot versions (default 1)")
+    p.add_argument("--vacuum-older-than", type=float, default=None, metavar="SECS",
+                   help="with --vacuum: also retain every snapshot committed within "
+                        "the last SECS seconds (age guarantee for time travel), "
+                        "composing with --vacuum-retain")
+    p.add_argument("--dedup-index-path", metavar="PATH",
+                   help="maintain a MinHash-LSH near-dup index table at PATH inside "
+                        "the streaming loop / after the batch run (incremental off the "
+                        "changes feed; MoR tables only)")
     p.add_argument("--status-only", action="store_true", help="print table status and exit")
     p.add_argument("--bootstrap-dir", help="initial-snapshot dump (parquet dir) to bulk-load "
                    "into an EMPTY table before tailing --changes-dir (the CDC snapshot phase; "
@@ -389,6 +404,14 @@ def main(argv: list[str] | None = None) -> int:
                 hot_key_threshold=args.hot_key_threshold,
                 # CoW tables fall back to the post-run rebuild below
                 rollup_path=args.rollup_path if table.mode == "mor" else None,
+                derived_tables=(
+                    [(
+                        create_dedup_index(spark, args.dedup_index_path),
+                        lsh_index_state,
+                    )]
+                    if args.dedup_index_path and table.mode == "mor"
+                    else None
+                ),
             )
         q.awaitTermination()
     else:
@@ -434,8 +457,30 @@ def main(argv: list[str] | None = None) -> int:
                f"epoch={st.epoch_id} applied={st.applied} deleted={st.deleted}"),
             file=sys.stderr,
         )
+    if args.dedup_index_path:
+        from mas_scada_bulkingest_spark.derived import rebuild_derived
+
+        idx = create_dedup_index(spark, args.dedup_index_path)
+        if table.mode == "mor":
+            try:
+                st = refresh_derived(table, idx, lsh_index_state)
+            except FileNotFoundError as exc:
+                print(f"dedup-index: incremental refresh unavailable ({exc});"
+                      f" falling back to full rebuild", file=sys.stderr)
+                st = rebuild_derived(table, idx, lsh_index_state)
+        else:
+            st = rebuild_derived(table, idx, lsh_index_state)
+        print(
+            "dedup-index: "
+            + ("caught up (no-op)" if st is None else
+               f"epoch={st.epoch_id} applied={st.applied} deleted={st.deleted}"),
+            file=sys.stderr,
+        )
     if args.vacuum:
-        n = table.vacuum()
+        n = table.vacuum(
+            retain_versions=args.vacuum_retain,
+            older_than_secs=args.vacuum_older_than,
+        )
         print(f"vacuum: removed {n} superseded data files", file=sys.stderr)
     print(json.dumps(status(table), indent=2))
     return 0
