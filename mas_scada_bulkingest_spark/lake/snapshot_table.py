@@ -2221,8 +2221,15 @@ class SnapshotTable(LakeTable):
         or below which the upstream can no longer re-deliver (e.g. the
         changelog retention horizon). ``None`` purges all tombstones —
         correct once replays of the covered range are impossible. The analog
-        of Iceberg's rewrite_data_files maintenance. Single-writer: do not
-        run concurrently with a merge.
+        of Iceberg's rewrite_data_files maintenance.
+
+        Physical: one map-side count pass finds which buckets actually hold
+        purgeable tombstones, then ONLY those buckets rewrite — at 4096
+        buckets a retention sweep after a quiet week touches a handful, not
+        100 TB, and untouched buckets keep their layout (a clustered
+        multi-file bucket stays clustered). Commits via the version CAS with
+        rebase, like ``compact``; a concurrent rewrite of an affected bucket
+        raises :class:`ConcurrentCommitError`.
         """
         if self.mode == "mor":
             # Collapse to winners first (bucket-locally, no Exchange):
@@ -2230,33 +2237,56 @@ class SnapshotTable(LakeTable):
             # key survives in an earlier delta file would RESURRECT that
             # version at read time. Collapsing also compacts the rewritten
             # buckets as a side effect.
-            raw = self._read_collapsed_local(with_bucket_col=True)
+            raw_all = self._read_collapsed_local(with_bucket_col=True)
         else:
-            raw = self._read_raw()
-            if raw is not None:
+            raw_all = self._read_raw()
+            if raw_all is not None:
                 # CoW files are already bucket-pure on disk, so tagging rows
                 # with their bucket id and letting the dynamic-partition
                 # writer split per value needs NO repartition exchange.
-                raw = raw.withColumn(
+                raw_all = raw_all.withColumn(
                     "_bucket", _bucket_expr(list(self.key)[0], self.n_buckets)
                 )
-        if raw is None:
+        if raw_all is None:
             return 0
-        is_dead = F.col(_TOMBSTONE)
-        if before_lsn is not None and "lsn" in raw.columns:
-            # Null-safe: a tombstone with NULL lsn must be RETAINED (kept on
-            # the ~is_dead side), not silently dropped by three-valued logic.
-            is_dead = is_dead & F.coalesce(
-                F.col("lsn") < F.lit(int(before_lsn)), F.lit(False)
+
+        def _dead(df):
+            is_dead = F.col(_TOMBSTONE)
+            if before_lsn is not None and "lsn" in df.columns:
+                # Null-safe: a tombstone with NULL lsn must be RETAINED (kept
+                # on the keep side), not silently dropped by 3-valued logic.
+                is_dead = is_dead & F.coalesce(
+                    F.col("lsn") < F.lit(int(before_lsn)), F.lit(False)
+                )
+            return is_dead
+
+        per_bucket = (
+            raw_all.groupBy("_bucket")
+            .agg(F.sum(_dead(raw_all).cast("long")).alias("_hits"))
+            .filter(F.col("_hits") > 0)
+            .collect()
+        )  # bounded: ≤ n_buckets rows
+        if not per_bucket:
+            return 0
+        affected = sorted(int(r["_bucket"]) for r in per_bucket)
+        n_purge = int(sum(r["_hits"] for r in per_bucket))
+        inputs_by_bucket = {
+            str(b): set(self._snapshot["buckets"].get(str(b), []))
+            for b in affected
+        }
+        if self.mode == "mor":
+            raw = self._read_collapsed_local(
+                buckets=affected, with_bucket_col=True
             )
-        n_purge = raw.filter(is_dead).count()
-        if n_purge == 0:
-            return 0
-        keep = raw.filter(~is_dead)
+        else:
+            raw = self._read_raw(buckets=affected).withColumn(
+                "_bucket", _bucket_expr(list(self.key)[0], self.n_buckets)
+            )
+        keep = raw.filter(~_dead(raw))
         rel_dir = os.path.join("data", f"purge-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         keep.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
-        new_buckets: dict[str, list[str]] = {}
+        new_files_by_bucket: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
@@ -2267,16 +2297,39 @@ class SnapshotTable(LakeTable):
                 if fn.endswith(".parquet")
             ]
             if files:
-                new_buckets[bval] = files
-        snap = {
-            **self._snapshot,
-            "version": self._snapshot["version"] + 1,
-            "buckets": new_buckets,
-            "parent": self._snapshot["version"],
-        }
-        self._write_snapshot(snap)
-        self._snapshot = snap
-        return int(n_purge)
+                new_files_by_bucket[bval] = files
+        for _attempt in range(10):
+            for b, inputs in inputs_by_bucket.items():
+                if set(self._snapshot["buckets"].get(b, [])) != inputs:
+                    raise ConcurrentCommitError(
+                        f"bucket {b} was rewritten while purge_tombstones "
+                        f"ran; re-run against the new state"
+                    )
+            new_buckets = {
+                k: list(f) for k, f in self._snapshot["buckets"].items()
+            }
+            for b in inputs_by_bucket:
+                if b in new_files_by_bucket:
+                    new_buckets[b] = new_files_by_bucket[b]
+                else:
+                    # every surviving row purged away: bucket is now empty
+                    new_buckets.pop(b, None)
+            snap = {
+                **self._snapshot,
+                "version": self._snapshot["version"] + 1,
+                "buckets": new_buckets,
+                "parent": self._snapshot["version"],
+            }
+            try:
+                self._write_snapshot(snap)
+            except ConcurrentCommitError:
+                self._snapshot = self._read_current_snapshot()
+                continue
+            self._snapshot = snap
+            return n_purge
+        raise ConcurrentCommitError(
+            "gave up committing purge_tombstones after 10 rebase attempts"
+        )
 
     def delete_where(self, predicate: str) -> int:
         """Ad-hoc predicate delete — the Delta ``DELETE FROM … WHERE``
@@ -2717,6 +2770,41 @@ class SnapshotTable(LakeTable):
         raise ConcurrentCommitError(
             "gave up committing compaction after 10 rebase attempts"
         )
+
+    def maintain(
+        self,
+        max_files: int = 8,
+        cluster_files: int = 1,
+        changelog_retention_lsn: int | None = None,
+        retain_versions: int = 1,
+        older_than_secs: float | None = None,
+    ) -> dict:
+        """One-call background maintenance — the OPTIMIZE + VACUUM combo a
+        deployment schedules between epochs: (1) compact buckets over
+        ``max_files`` (clustered when ``cluster_files`` > 1), (2) purge
+        tombstones the upstream can provably never contradict
+        (``changelog_retention_lsn`` = the changelog's retention horizon —
+        the wiring the README's tombstone-retention note calls for; omit
+        to keep all tombstones), (3) fold lineage + constraint-metrics
+        files, (4) expire snapshots under the composed count + age
+        retention bounds. Each step is its own crash-safe commit, in an
+        order that compounds: compaction shrinks what purge rewrites,
+        both shrink what vacuum walks. Returns a per-step report dict.
+        Same single-writer caveat as ``vacuum``."""
+        report = {
+            "compacted_buckets": self.compact(
+                max_files=max_files, cluster_files=cluster_files
+            )
+        }
+        if changelog_retention_lsn is not None:
+            report["tombstones_purged"] = self.purge_tombstones(
+                before_lsn=changelog_retention_lsn
+            )
+        report["lineage_files_folded"] = self.compact_lineage()
+        report["files_vacuumed"] = self.vacuum(
+            retain_versions=retain_versions, older_than_secs=older_than_secs
+        )
+        return report
 
     def _cluster_slice_expr(self, targets: list[int], k: int):
         """Map-side slice assignment for ``compact(cluster_files=k)``: per

@@ -101,6 +101,9 @@ def status(table: SnapshotTable) -> dict:
         "max_lsn": int(lin["max_lsn"]) if lin["max_lsn"] is not None else None,
         "last_commit_ts": str(lin["last_commit_ts"]) if lin["last_commit_ts"] else None,
         "snapshot_version": snap["version"],
+        # wall-clock commit stamp of the current snapshot (TIMESTAMP AS OF
+        # anchor; None on pre-stamp snapshots)
+        "snapshot_committed_at": snap.get("committed_at"),
         "n_buckets": snap["n_buckets"],
         "n_data_files": n_files,
         "schema_fields": [f.name for f in table.schema.fields],

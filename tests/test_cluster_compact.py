@@ -128,6 +128,35 @@ def test_auto_cluster_on_merge(spark, tmpdir_path):
     assert set(got.conv_id) == {f"c3-{i}" for i in range(8)}
 
 
+def test_maintain_one_call(spark, tmpdir_path):
+    """maintain() chains clustered compaction, watermark-gated tombstone
+    purge, lineage folding, and retention vacuum — content identical,
+    history bounded, tombstones below the horizon gone."""
+    tbl = _build(spark, f"{tmpdir_path}/t", n_days=4)
+    apply_changes(
+        tbl,
+        spark.createDataFrame(
+            [(900, "delete", "c2-1", 0, None, None, None, _day(5))], _COLS
+        ),
+        epoch_id=100,
+    )
+    before = _pdf(tbl.read())
+    rep = tbl.maintain(
+        max_files=0,
+        cluster_files=3,
+        changelog_retention_lsn=901,  # horizon above the delete's lsn
+        retain_versions=1,
+    )
+    assert rep["compacted_buckets"] > 0
+    assert rep["tombstones_purged"] == 1
+    assert rep["files_vacuumed"] > 0
+    assert_frames_equal(_pdf(tbl.read()), before)
+    assert len(tbl.versions()) == 1
+    # clustered layout survived the chain: >1 stats-carrying file per bucket
+    buckets = tbl._snapshot["buckets"]
+    assert any(len(fs) > 1 for fs in buckets.values())
+
+
 def test_cluster_degrades_gracefully_without_stats(spark, tmpdir_path):
     """A bucket whose stats are unusable compacts to one file instead of
     failing (slice expr returns 0 for it)."""

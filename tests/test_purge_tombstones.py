@@ -65,3 +65,30 @@ def test_purge_respects_watermark_and_keeps_live_rows(spark, tmpdir_path):
     assert tbl.purge_tombstones() == 1
     rows = tbl.read().collect()
     assert len(rows) == 1 and rows[0]["conv_id"] == "c"
+
+
+def test_purge_rewrites_only_affected_buckets(spark, tmpdir_path):
+    """The purge is bucket-targeted: buckets without purgeable tombstones
+    keep their exact file lists (no whole-table rewrite for one tombstone —
+    the 100 TB retention-sweep property)."""
+    tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=8)
+    rows = [
+        (i + 1, "insert", f"c{i}", 0, "user", f"x{i}", None, _t(1))
+        for i in range(32)
+    ]
+    apply_changes(tbl, spark.createDataFrame(rows, _COLS), 0)
+    apply_changes(
+        tbl,
+        spark.createDataFrame(
+            [(100, "delete", "c0", 0, None, None, None, _t(2))], _COLS
+        ),
+        1,
+    )
+    before = {b: list(fs) for b, fs in tbl._snapshot["buckets"].items()}
+    live_before = sorted(r["conv_id"] for r in tbl.read().collect())
+    assert tbl.purge_tombstones() == 1
+    after = tbl._snapshot["buckets"]
+    changed = [b for b in before if after.get(b) != before[b]]
+    # exactly one bucket (the one holding c0's tombstone) was rewritten
+    assert len(changed) == 1
+    assert sorted(r["conv_id"] for r in tbl.read().collect()) == live_before
