@@ -166,6 +166,20 @@ def main(argv: list[str] | None = None) -> int:
                         "stays replayable)")
     p.add_argument("--list-staged", action="store_true",
                    help="print staged (written, unpublished) epoch refs")
+    p.add_argument("--maintain", action="store_true",
+                   help="one-call background maintenance: clustered compaction "
+                        "(--cluster-files), tombstone purge below "
+                        "--changelog-retention-lsn, lineage fold, then vacuum "
+                        "under --vacuum-retain/--vacuum-older-than; prints a "
+                        "per-step JSON report")
+    p.add_argument("--maintain-max-files", type=int, default=8, metavar="N",
+                   help="with --maintain: compact buckets holding more than N "
+                        "files (default 8)")
+    p.add_argument("--changelog-retention-lsn", type=int, default=None,
+                   metavar="LSN",
+                   help="with --maintain: purge tombstones strictly below this "
+                        "LSN (the upstream changelog's retention horizon); "
+                        "omit to keep all tombstones")
     p.add_argument("--demo", action="store_true", help="self-contained run on generated data")
     args = p.parse_args(argv)
 
@@ -280,6 +294,18 @@ def main(argv: list[str] | None = None) -> int:
         n = tbl.clear_quarantine(which)
         print(json.dumps({"cleared_quarantine_epochs": n,
                           "scope": args.clear_quarantine}))
+        return 0
+
+    if args.maintain:
+        tbl = SnapshotTable(spark, args.table_path)
+        report = tbl.maintain(
+            max_files=args.maintain_max_files,
+            cluster_files=args.cluster_files or 1,
+            changelog_retention_lsn=args.changelog_retention_lsn,
+            retain_versions=args.vacuum_retain,
+            older_than_secs=args.vacuum_older_than,
+        )
+        print(json.dumps(report))
         return 0
 
     if args.cluster_files:

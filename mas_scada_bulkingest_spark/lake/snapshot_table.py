@@ -2343,25 +2343,39 @@ class SnapshotTable(LakeTable):
         update still resurrects the key — exactly Delta's
         delete-then-upsert behavior under late data.
 
-        Physical: one map-side count pass over live state finds the
-        buckets holding matches, then ONLY those buckets rewrite (their
-        matched rows tombstoned with payload nulled, everything else —
-        including existing tombstones — carried through; under MoR the
-        rewrite collapses the bucket as a side effect, like
-        ``purge_tombstones``). At 4096 buckets a narrow predicate touches
-        a few; a retention sweep touches many — the honest copy-on-write
-        cost Delta pays too (deletion vectors are the escape hatch
-        neither backend implements). A NULL predicate result keeps the
-        row (SQL DELETE three-valued logic). Like compaction, this is a
-        maintenance rewrite, NOT a CDC event: the changes feed does not
-        emit the deletions (downstream consumers apply the same predicate
-        themselves); time travel below the delete still shows the rows
-        until ``vacuum`` expires it.
+        Physical — two strategies, the same logical result:
 
-        Returns rows deleted. Raises ``ValueError`` if the predicate does
-        not resolve as a boolean; ``ConcurrentCommitError`` if a writer
-        rewrote an affected bucket meanwhile (re-run against new state).
-        Single-writer vs merges on the SAME buckets, like ``purge_key``.
+        * **MoR: deletion-vector analog** (Delta deletion vectors /
+          Iceberg positional deletes — merge-on-read deletes). One
+          map-side count pass finds the buckets holding matches, then the
+          matched keys' tombstones APPEND as a new per-bucket delta file
+          — O(matched rows) written, ZERO bucket rewrite. The read
+          collapse breaks exact-order ties toward the tombstone, so the
+          appended tombstone beats the still-present base row the same
+          way it beats a stale re-delivery. A retention sweep matching
+          half a 100 TB table writes half the table's *keys*, not its
+          bytes; ``compact()``/``purge_tombstones`` fold the layer later.
+        * **CoW: targeted rewrite** (no delta layer to append to): ONLY
+          the matched buckets rewrite, matched rows tombstoned in place
+          with payload nulled, everything else — including existing
+          tombstones — carried through.
+
+        A NULL predicate result keeps the row (SQL DELETE three-valued
+        logic). Like compaction, this is a maintenance op, NOT a CDC
+        event: the changes feed does not emit the deletions (they live
+        outside ``data/epoch=``; downstream consumers apply the same
+        predicate themselves); time travel below the delete still shows
+        the rows until ``vacuum`` expires it.
+
+        Returns rows deleted (as of the snapshot read — snapshot
+        isolation: rows that start matching after the count pass are not
+        deleted). Raises ``ValueError`` if the predicate does not resolve
+        as a boolean. Concurrency: the MoR append is order-correct under
+        ANY concurrent commit (a racing newer update wins over the
+        tombstone, a stale one loses, compaction preserves winners) so it
+        rebases and retries; the CoW rewrite raises
+        ``ConcurrentCommitError`` if a writer rewrote an affected bucket
+        meanwhile (re-run against new state).
         """
         try:
             self.read().limit(0).select(F.expr(predicate).cast("boolean"))
@@ -2396,19 +2410,88 @@ class SnapshotTable(LakeTable):
             return 0
         affected = sorted(int(r["_bucket"]) for r in per_bucket)
         n_deleted = int(sum(r["_hits"] for r in per_bucket))
+        keep_cols = set(key) | set(order) | {"_bucket", _TOMBSTONE}
+        if self.mode == "mor":
+            # ---- deletion-vector path: append matched keys' tombstones as
+            # a per-bucket delta, rewrite nothing. Tombstones keep the
+            # deleted row's OWN order tuple (key + order carried, payload
+            # nulled — `when(hit, NULL)` keeps each column's type and the
+            # filter keeps only hit rows, where it is always NULL).
+            raw = self._read_collapsed_local(
+                buckets=affected, with_bucket_col=True
+            )
+            tomb = (
+                raw.select(
+                    *[
+                        (
+                            F.col(c)
+                            if c in keep_cols
+                            else F.when(hit, F.lit(None))
+                            .otherwise(F.col(c))
+                            .alias(c)
+                        )
+                        for c in raw.columns
+                        if c != _TOMBSTONE
+                    ],
+                    F.lit(True).alias(_TOMBSTONE),
+                    hit.alias("_hit"),
+                )
+                .filter(F.col("_hit"))
+                .drop("_hit")
+            )
+            rel_dir = os.path.join(
+                "data", f"deletewhere-{uuid.uuid4().hex[:8]}"
+            )
+            out_dir = os.path.join(self.path, rel_dir)
+            tomb.write.partitionBy("_bucket").mode("overwrite").parquet(
+                out_dir
+            )
+            appended: dict[str, list[str]] = {}
+            for entry in os.listdir(out_dir):
+                if not entry.startswith("_bucket="):
+                    continue
+                bval = entry.split("=", 1)[1]
+                files = [
+                    os.path.join(rel_dir, entry, fn)
+                    for fn in os.listdir(os.path.join(out_dir, entry))
+                    if fn.endswith(".parquet")
+                ]
+                if files:
+                    appended[bval] = files
+            for _attempt in range(10):
+                # pure append: no input-files check needed — LWW layering
+                # stays correct over whatever the concurrent commit did
+                new_buckets = {
+                    k: list(f) for k, f in self._snapshot["buckets"].items()
+                }
+                for b, fs in appended.items():
+                    new_buckets[b] = new_buckets.get(b, []) + fs
+                snap = {
+                    **self._snapshot,
+                    "version": self._snapshot["version"] + 1,
+                    "buckets": new_buckets,
+                    "parent": self._snapshot["version"],
+                }
+                try:
+                    self._write_snapshot(snap)
+                except ConcurrentCommitError:
+                    self._snapshot = self._read_current_snapshot()
+                    continue
+                self._snapshot = snap
+                return n_deleted
+            raise ConcurrentCommitError(
+                "gave up committing delete_where after 10 rebase attempts"
+            )
+        # ---- CoW: targeted bucket rewrite
         inputs_by_bucket = {
             str(b): set(self._snapshot["buckets"].get(str(b), []))
             for b in affected
         }
-        if self.mode == "mor":
-            raw = self._read_collapsed_local(buckets=affected, with_bucket_col=True)
-        else:
-            raw = self._read_raw(buckets=affected).withColumn(
-                "_bucket", _bucket_expr(key[0], nb)
-            )
+        raw = self._read_raw(buckets=affected).withColumn(
+            "_bucket", _bucket_expr(key[0], nb)
+        )
         # matched live rows -> tombstones: keep key + order + bucket,
         # NULL the payload (a tombstone's payload is NULL by contract)
-        keep_cols = set(key) | set(order) | {"_bucket", _TOMBSTONE}
         rewritten = raw.select(
             *[
                 (

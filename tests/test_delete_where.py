@@ -95,6 +95,45 @@ def test_delete_where_semantics(spark, tmpdir_path, mode):
     assert state["c3"].text == "back"
 
 
+def test_mor_delete_where_appends_not_rewrites(spark, tmpdir_path):
+    """MoR delete_where is the deletion-vector analog: matched buckets get
+    appended tombstone delta files and keep every pre-existing file in
+    place (O(matched rows) written, zero rewrite); the appended layer is
+    invisible to the changes feed and folds away under compaction."""
+    tbl = create_transcripts_table(
+        spark, tmpdir_path + "/t", n_buckets=4, mode="mor"
+    )
+    rows = [_row(i, f"c{i}", i % 3) for i in range(1, 13)]
+    apply_changes(tbl, spark.createDataFrame(rows, _COLS), epoch_id=0)
+    before = {b: list(fs) for b, fs in tbl._snapshot["buckets"].items()}
+    feed_before = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in tbl.read_changes(0).select("conv_id", "turn_idx").collect()
+    )
+    n = tbl.delete_where("turn_idx = 0")
+    assert n == 4  # conv 3, 6, 9, 12
+    for b, fs in before.items():
+        after = tbl._snapshot["buckets"][b]
+        # strict append: the old list is a prefix of the new one
+        assert after[: len(fs)] == fs
+    # maintenance deletes never enter the changes feed
+    feed_after = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in tbl.read_changes(0).select("conv_id", "turn_idx").collect()
+    )
+    assert feed_after == feed_before
+    live = {r.conv_id for r in tbl.read().collect()}
+    assert live == {f"c{i}" for i in range(1, 13) if i % 3 != 0}
+    # the layer folds under compaction with identical state
+    assert tbl.compact(max_files=0) > 0
+    assert {r.conv_id for r in tbl.read().collect()} == live
+    # and a stale re-delivery of a deleted version still loses post-fold
+    apply_changes(
+        tbl, spark.createDataFrame([_row(3, "c3", 0)], _COLS), epoch_id=1
+    )
+    assert {r.conv_id for r in tbl.read().collect()} == live
+
+
 def test_delete_where_guards(spark, tmpdir_path):
     tbl = create_transcripts_table(spark, tmpdir_path + "/tg", n_buckets=2)
     with pytest.raises(ValueError, match="does not resolve"):
