@@ -89,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
                         "the streaming loop / after the batch run (incremental off the "
                         "changes feed; MoR tables only)")
     p.add_argument("--status-only", action="store_true", help="print table status and exit")
+    p.add_argument("--show-files", action="store_true",
+                   help="print the files() metadata table (Iceberg <table>.files "
+                        "analog: per-file origin/bytes/records/skip-bounds) and exit")
+    p.add_argument("--show-partitions", action="store_true",
+                   help="print the partitions() metadata table (per-bucket layout "
+                        "rollup: files/deltas/bytes/records/bounds) and exit")
     p.add_argument("--bootstrap-dir", help="initial-snapshot dump (parquet dir) to bulk-load "
                    "into an EMPTY table before tailing --changes-dir (the CDC snapshot phase; "
                    "idempotent under --bootstrap-epoch-id)")
@@ -199,6 +205,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.status_only:
         print(json.dumps(status(SnapshotTable(spark, args.table_path)), indent=2))
+        return 0
+
+    if args.show_files or args.show_partitions:
+        tbl = SnapshotTable(spark, args.table_path)
+        df = tbl.files() if args.show_files else tbl.partitions()
+        print(json.dumps([r.asDict() for r in df.collect()], indent=2))
         return 0
 
     if args.verify_integrity:

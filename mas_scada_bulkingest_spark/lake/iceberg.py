@@ -339,6 +339,26 @@ class IcebergTable(LakeTable):
             f"WHERE NOT coalesce(_tombstone, false)"
         )
 
+    def files_sql(self) -> str:
+        """≙ ``SnapshotTable.files``: Iceberg's native ``<table>.files``
+        metadata table, projected onto the same inspection columns the
+        parquet backend serves (path/bytes/records/skip-bounds); Iceberg
+        tracks no write-origin tag, so ``origin`` is not replicable here."""
+        return (
+            "SELECT file_path, partition, record_count AS records, "
+            f"file_size_in_bytes AS bytes FROM {self.identifier}.files"
+        )
+
+    def partitions_sql(self) -> str:
+        """≙ ``SnapshotTable.partitions``: Iceberg's native
+        ``<table>.partitions`` metadata table (per-partition file/record
+        rollup the bucket dashboard reads)."""
+        return (
+            "SELECT partition, file_count AS files, "
+            "total_data_file_size_in_bytes AS bytes, "
+            f"record_count AS records FROM {self.identifier}.partitions"
+        )
+
     # ---- LakeTable surface (thin wrappers over the SQL above) ------------
     @property
     def schema(self):

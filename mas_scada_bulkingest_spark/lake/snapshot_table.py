@@ -517,11 +517,13 @@ class SnapshotTable(LakeTable):
         prev_sizes: dict[str, int] = (prev or {}).get("file_sizes", {})
         prev_stats: dict = (prev or {}).get("file_stats", {})
         prev_digests: dict = (prev or {}).get("file_key_digests", {})
+        prev_rows: dict = (prev or {}).get("file_rows", {})
         order_col = (snap.get("order") or [None])[0]
         key_col = (snap.get("key") or [None])[0]
         sizes: dict[str, int] = {}
         stats: dict[str, list | None] = {}
         digests: dict[str, str | None] = {}
+        rows: dict[str, int | None] = {}
         for files in snap["buckets"].values():
             for f in files:
                 if f in prev_stats:
@@ -536,6 +538,18 @@ class SnapshotTable(LakeTable):
                     digests[f] = _file_key_digest(
                         os.path.join(self.path, f), key_col
                     )
+                if f in prev_rows:
+                    rows[f] = prev_rows[f]
+                else:
+                    # record count from the same (page-cache-hot) footer
+                    # the stats read above just opened — the Iceberg
+                    # manifest `record_count` column, served by files()
+                    try:
+                        rows[f] = pq.ParquetFile(
+                            os.path.join(self.path, f)
+                        ).metadata.num_rows
+                    except Exception:
+                        rows[f] = None
                 sz = prev_sizes.get(f)
                 if sz is None:
                     try:
@@ -546,6 +560,7 @@ class SnapshotTable(LakeTable):
         snap["file_sizes"] = sizes
         snap["file_stats"] = stats
         snap["file_key_digests"] = digests
+        snap["file_rows"] = rows
         # Per-commit file delta (Iceberg manifest-list analog): lets history
         # walkers (read_changes) load O(files added by this commit) per
         # snapshot instead of the full table file list — at 10^4 epochs the
@@ -1480,6 +1495,125 @@ class SnapshotTable(LakeTable):
             "epochs_committed long, "
             "files_added long, bytes_added long, live_files long, "
             "live_bytes long, n_buckets long, schema_fields long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def files(self) -> DataFrame:
+        """One row per LIVE data file of this snapshot — the Iceberg
+        ``<table>.files`` metadata-table analog (reference operational
+        parity: the Java connector's per-run file accounting in
+        ``DataUtilities.java`` logs what each extract produced; here the
+        manifest answers it queryably). Built ENTIRELY from the snapshot
+        JSON manifest: no data scan, no footer open — at 10^10 events an
+        inspection query must not stat a million files.
+
+        Columns: ``file_path`` (relative), ``bucket``, ``origin`` (which
+        writer produced it: ``epoch`` delta, ``bootstrap``, ``compact`` /
+        ``rebucket`` / ``purge`` / ``purgekey`` base rewrite, or
+        ``deletewhere`` tombstone delta), ``epoch`` (the epoch number for
+        epoch deltas, else NULL), ``is_delta`` (appended delta layer vs
+        bucket-base rewrite output), ``bytes``, ``records`` (manifest
+        record count; NULL on snapshots predating it), ``bound_min`` /
+        ``bound_max`` (the manifest's [min,max] of the event-time column —
+        the data-skipping bounds — rendered as strings), and
+        ``has_key_digest`` (whether a point-lookup membership digest is
+        stored, i.e. the file holds ≤ cap distinct keys).
+
+        Time travel composes: ``at_version(v).files()`` /
+        ``at_tag(t).files()`` inspect any retained snapshot."""
+        snap = self._snapshot
+        sizes = snap.get("file_sizes", {})
+        stats = snap.get("file_stats", {})
+        digests = snap.get("file_key_digests", {})
+        recs = snap.get("file_rows", {})
+        rows = []
+        for b, files in sorted(
+            snap["buckets"].items(), key=lambda kv: int(kv[0])
+        ):
+            for f in files:
+                first = f.split("/", 2)[1] if "/" in f else ""
+                origin, _, tail = first.partition("-")
+                epoch = None
+                if origin.startswith("epoch="):
+                    epoch = int(origin.split("=", 1)[1])
+                    origin = "epoch"
+                st = stats.get(f)
+                rows.append(
+                    (
+                        f,
+                        int(b),
+                        origin,
+                        epoch,
+                        origin in ("epoch", "deletewhere"),
+                        sizes.get(f),
+                        recs.get(f),
+                        str(st[0]) if st else None,
+                        str(st[1]) if st else None,
+                        digests.get(f) is not None,
+                    )
+                )
+        schema = (
+            "file_path string, bucket int, origin string, epoch long, "
+            "is_delta boolean, bytes long, records long, "
+            "bound_min string, bound_max string, has_key_digest boolean"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def partitions(self) -> DataFrame:
+        """Per-bucket layout rollup — the Iceberg ``<table>.partitions``
+        metadata-table analog, folded driver-side from the same manifest
+        ``files()`` serves (no data scan). The operator's skew / compaction
+        dashboard: a bucket whose ``delta_files`` or ``bytes`` runs far
+        ahead of its peers is the straggler task of the next bucket-local
+        read and the next ``compact()``'s first target.
+
+        Columns: ``bucket``, ``files``, ``delta_files`` (appended delta
+        layers awaiting compaction), ``bytes``, ``records`` (sum of
+        manifest record counts; NULL if any member file predates record
+        tracking), ``bound_min`` / ``bound_max`` (event-time range covered),
+        ``stats_coverage`` (fraction of files carrying skip bounds)."""
+        snap = self._snapshot
+        sizes = snap.get("file_sizes", {})
+        stats = snap.get("file_stats", {})
+        recs = snap.get("file_rows", {})
+        rows = []
+        for b, files in sorted(
+            snap["buckets"].items(), key=lambda kv: int(kv[0])
+        ):
+            if not files:
+                continue
+            n_delta = sum(
+                1
+                for f in files
+                if (f.split("/", 2)[1] if "/" in f else "").startswith(
+                    ("epoch=", "deletewhere-")
+                )
+            )
+            file_recs = [recs.get(f) for f in files]
+            sts = [stats.get(f) for f in files if stats.get(f) is not None]
+            try:
+                mn = min((s[0] for s in sts), default=None)
+                mx = max((s[1] for s in sts), default=None)
+            except TypeError:  # mixed-type bounds (e.g. widened order col)
+                mn = mx = None
+            rows.append(
+                (
+                    int(b),
+                    len(files),
+                    n_delta,
+                    sum(sizes.get(f, 0) for f in files),
+                    None
+                    if any(r is None for r in file_recs)
+                    else sum(file_recs),
+                    str(mn) if mn is not None else None,
+                    str(mx) if mx is not None else None,
+                    round(len(sts) / len(files), 4),
+                )
+            )
+        schema = (
+            "bucket int, files long, delta_files long, bytes long, "
+            "records long, bound_min string, bound_max string, "
+            "stats_coverage double"
         )
         return self.spark.createDataFrame(rows, schema)
 

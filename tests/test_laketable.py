@@ -162,3 +162,7 @@ def test_iceberg_maintenance_builders_encode_the_contract():
     sel = t.select_at_timestamp_sql("2024-06-01 12:00:00")
     assert "TIMESTAMP AS OF '2024-06-01 12:00:00'" in sel
     assert "NOT coalesce(_tombstone, false)" in sel
+    # inspection metadata tables map onto Iceberg's native ones
+    assert "FROM cat.db.transcripts.files" in t.files_sql()
+    assert "record_count AS records" in t.files_sql()
+    assert "FROM cat.db.transcripts.partitions" in t.partitions_sql()
