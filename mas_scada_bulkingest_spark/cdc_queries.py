@@ -386,6 +386,57 @@ WHERE rn = 1 AND epoch >= {_EVOLVE_EPOCH}
 """
 
 
+def q_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changes feed consumed THROUGH the Structured-Streaming table
+    source (``format("table_changes")`` — Spark 4 Python DataSource API,
+    ``streaming/table_source.py``): the replayed MoR table is tailed as a
+    stream from ``sinceEpoch=_EVOLVE_EPOCH``, drained with an
+    ``availableNow`` trigger into a parquet sink (distributed write — rows
+    never pass through the driver), and read back. Must equal the batch
+    ``read_changes`` surface row for row, so it shares
+    ``cdc_changes_feed``'s oracle: the streaming source and the batch feed
+    are two consumers of one contract (per-(key, epoch) LWW batch winners,
+    deletes as tombstone-watermark rows).
+    """
+    import tempfile
+
+    from .streaming.table_source import TableChangesDataSource
+
+    table = _replayed_table(spark, sf_dir)
+    try:
+        spark.dataSource.register(TableChangesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    work = tempfile.mkdtemp(prefix="msbs-streamfeed-")
+    feed = (
+        spark.readStream.format("table_changes")
+        .option("path", table.path)
+        .option("sinceEpoch", _EVOLVE_EPOCH)
+        .load()
+    )
+    q = (
+        feed.writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    df = spark.read.schema(feed.schema).parquet(work + "/out")
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_epoch").alias("change_epoch"),
+    )
+
+
 def q_cdc_cdf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed state-transition feed (Delta-CDF ``insert``/``update``/
     ``delete`` parity) off the replayed MoR table, full replay range.
@@ -2188,6 +2239,7 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_clustered_scan": (q_cdc_clustered_scan, _SQL_CDC_WINDOWED_STATE),
     "debezium_parse": (q_debezium_parse, _SQL_DEBEZIUM_PARSE),
     "cdc_changes_feed": (q_cdc_changes_feed, _SQL_CDC_CHANGES_FEED),
+    "cdc_stream_feed": (q_cdc_stream_feed, _SQL_CDC_CHANGES_FEED),
     "cdc_cdf_typed": (q_cdc_cdf_typed, _SQL_CDC_CDF_TYPED),
     "cdc_ivm_rollup": (q_cdc_ivm_rollup, _SQL_CDC_IVM_ROLLUP),
     "cdc_derived_rollup": (q_cdc_derived_rollup, _SQL_CDC_DERIVED_ROLLUP),

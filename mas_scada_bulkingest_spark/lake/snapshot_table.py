@@ -187,6 +187,124 @@ def _fold_epochs(
     return sorted(rest), wm
 
 
+def _changes_file_map(
+    path: str,
+    snap: dict,
+    since_epoch: int,
+    to_epoch: int | None,
+    change_types: bool = False,
+) -> dict[int, list[str]]:
+    """Driver-side, SPARK-FREE discovery of the changes feed's delta files:
+    {numeric epoch -> absolute delta-file paths} for the requested range,
+    with the feed's full truncation/rollback contract enforced. Shared by
+    :meth:`SnapshotTable.read_changes` and the Structured-Streaming table
+    source (``streaming/table_source.py``), which plans micro-batches in a
+    plain Python process where no SparkSession exists.
+
+    ``snap`` is the snapshot dict the walk is relative to (normally the
+    current one). Raises ``ValueError`` on a copy-on-write table and
+    ``FileNotFoundError`` when a clone floor, vacuumed files, or expired
+    snapshot history truncate the requested range.
+    """
+    if snap.get("mode", "cow") != "mor":
+        raise ValueError(
+            "read_changes requires a merge-on-read table: copy-on-write "
+            "rewrites whole buckets and keeps no per-epoch change files"
+        )
+    floor = int(snap.get("feed_floor", 0))
+    if floor and (0 if change_types else since_epoch) < floor:
+        # on a clone()d table the feed starts at the clone point:
+        # pre-clone compaction may have folded delta files this table
+        # never saw, so serving (or classifying against) older epochs
+        # could silently under-report — same contract as vacuum
+        # truncation. The typed feed needs history from epoch 0, so it
+        # always refers back to the source table.
+        raise FileNotFoundError(
+            f"changes feed on this clone starts at epoch {floor} "
+            f"(pre-clone history lives on the source table); "
+            f"recompute downstream state from a full read()"
+        )
+    # every epoch delta file referenced by any retained snapshot —
+    # history-wide, so compaction cannot hide an epoch from the feed.
+    # Snapshots record their per-commit file delta (``added_files``), so
+    # the walk loads O(files added) per snapshot; the full-bucket-list
+    # scan remains as the fallback for pre-upgrade snapshots AND for the
+    # OLDEST retained snapshot (whose own added_files doesn't cover the
+    # files it inherited from expired ancestors).
+    seen: dict[str, int] = {}
+    epoch_prefix = os.path.join("data", "epoch=")
+    snap_dir = os.path.join(path, "snapshots")
+    versions = sorted(
+        int(f[1:9]) for f in os.listdir(snap_dir) if f.endswith(".json")
+    )
+    # files restore() rolled back: still in retained history, but not
+    # part of this table's logical past — the feed must not serve them
+    # (nor double-serve an epoch once its repaired replay re-appends)
+    excluded = set(snap.get("feed_excluded", []))
+    for i, v in enumerate(versions):
+        with open(os.path.join(snap_dir, f"v{v:08d}.json")) as fh:
+            s = json.load(fh)
+        added = s.get("added_files")
+        if added is None:
+            added = [f for fs in s["buckets"].values() for f in fs]
+        elif i == 0:
+            # the oldest retained snapshot inherited files its own
+            # added_files doesn't cover — take the UNION (not the
+            # bucket list alone: a fast_forward snapshot's adopted
+            # feed files live only in its added_files)
+            added = list(added) + [
+                f for fs in s["buckets"].values() for f in fs
+            ]
+        for f in added:
+            if f.startswith(epoch_prefix) and f not in excluded:
+                e = int(f.split("epoch=", 1)[1].split("-", 1)[0])
+                seen.setdefault(f, e)
+    # typed classification needs every retained epoch at or below the
+    # range (the prefix-max is relative to full prior state)
+    gather_since = 0 if change_types else since_epoch
+    by_epoch: dict[int, list[str]] = {}
+    for f, e in seen.items():
+        if e >= gather_since and (to_epoch is None or e <= to_epoch):
+            by_epoch.setdefault(e, []).append(os.path.join(path, f))
+    missing = [
+        f for fs in by_epoch.values() for f in fs if not os.path.exists(f)
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"changes feed truncated by vacuum ({len(missing)} delta "
+            f"files gone, e.g. {missing[0]}); recompute downstream "
+            f"state from a full read()"
+        )
+    # vacuum also EXPIRES snapshots, which can hide an epoch's files
+    # from the history walk entirely (silently-empty feed = silent data
+    # loss downstream). When the root snapshot v0 is retained the
+    # history is complete and a committed epoch with no files really
+    # was empty; once v0 is expired, a committed epoch in range with no
+    # visible files is indistinguishable from a vacuumed one — fail.
+    if 0 not in versions:
+        committed = {str(e) for e in snap["committed_epochs"]}
+        for ns, w in snap.get("epoch_watermarks", {}).items():
+            committed.update(
+                (f"{ns}:{i}" if ns else str(i)) for i in range(w + 1)
+            )
+        wanted = set()
+        for k in committed:
+            sp = _split_epoch_key(k)
+            if sp is not None:
+                n = sp[1]
+                if n >= gather_since and (to_epoch is None or n <= to_epoch):
+                    wanted.add(n)
+        lost = sorted(wanted - set(by_epoch))
+        if lost:
+            raise FileNotFoundError(
+                f"changes feed truncated by vacuum: committed epochs "
+                f"{lost} have no retained delta files (snapshot history "
+                f"was expired); recompute downstream state from a full "
+                f"read()"
+            )
+    return by_epoch
+
+
 def _bucket_expr(bucket_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
 
@@ -1882,94 +2000,9 @@ class SnapshotTable(LakeTable):
         ``read`` instead). Epochs are keyed by their numeric id
         (namespaced checkpoint epochs share the numeric component).
         """
-        if self.mode != "mor":
-            raise ValueError(
-                "read_changes requires a merge-on-read table: copy-on-write "
-                "rewrites whole buckets and keeps no per-epoch change files"
-            )
-        floor = int(self._snapshot.get("feed_floor", 0))
-        if floor and (0 if change_types else since_epoch) < floor:
-            # on a clone()d table the feed starts at the clone point:
-            # pre-clone compaction may have folded delta files this table
-            # never saw, so serving (or classifying against) older epochs
-            # could silently under-report — same contract as vacuum
-            # truncation. The typed feed needs history from epoch 0, so it
-            # always refers back to the source table.
-            raise FileNotFoundError(
-                f"changes feed on this clone starts at epoch {floor} "
-                f"(pre-clone history lives on the source table); "
-                f"recompute downstream state from a full read()"
-            )
-        # every epoch delta file referenced by any retained snapshot —
-        # history-wide, so compaction cannot hide an epoch from the feed.
-        # Snapshots record their per-commit file delta (``added_files``), so
-        # the walk loads O(files added) per snapshot; the full-bucket-list
-        # scan remains as the fallback for pre-upgrade snapshots AND for the
-        # OLDEST retained snapshot (whose own added_files doesn't cover the
-        # files it inherited from expired ancestors).
-        seen: dict[str, int] = {}
-        epoch_prefix = os.path.join("data", "epoch=")
-        snap_dir = os.path.join(self.path, "snapshots")
-        # files restore() rolled back: still in retained history, but not
-        # part of this table's logical past — the feed must not serve them
-        # (nor double-serve an epoch once its repaired replay re-appends)
-        excluded = set(self._snapshot.get("feed_excluded", []))
-        for i, v in enumerate(self.versions()):
-            with open(os.path.join(snap_dir, f"v{v:08d}.json")) as fh:
-                snap = json.load(fh)
-            added = snap.get("added_files")
-            if added is None:
-                added = [f for fs in snap["buckets"].values() for f in fs]
-            elif i == 0:
-                # the oldest retained snapshot inherited files its own
-                # added_files doesn't cover — take the UNION (not the
-                # bucket list alone: a fast_forward snapshot's adopted
-                # feed files live only in its added_files)
-                added = list(added) + [
-                    f for fs in snap["buckets"].values() for f in fs
-                ]
-            for f in added:
-                if f.startswith(epoch_prefix) and f not in excluded:
-                    e = int(f.split("epoch=", 1)[1].split("-", 1)[0])
-                    seen.setdefault(f, e)
-        # typed classification needs every retained epoch at or below the
-        # range (the prefix-max is relative to full prior state)
-        gather_since = 0 if change_types else since_epoch
-        by_epoch: dict[int, list[str]] = {}
-        for f, e in seen.items():
-            if e >= gather_since and (to_epoch is None or e <= to_epoch):
-                by_epoch.setdefault(e, []).append(os.path.join(self.path, f))
-        missing = [
-            f for fs in by_epoch.values() for f in fs if not os.path.exists(f)
-        ]
-        if missing:
-            raise FileNotFoundError(
-                f"changes feed truncated by vacuum ({len(missing)} delta "
-                f"files gone, e.g. {missing[0]}); recompute downstream "
-                f"state from a full read()"
-            )
-        # vacuum also EXPIRES snapshots, which can hide an epoch's files
-        # from the history walk entirely (silently-empty feed = silent data
-        # loss downstream). When the root snapshot v0 is retained the
-        # history is complete and a committed epoch with no files really
-        # was empty; once v0 is expired, a committed epoch in range with no
-        # visible files is indistinguishable from a vacuumed one — fail.
-        if 0 not in self.versions():
-            wanted = set()
-            for k in self.committed_epochs:
-                sp = _split_epoch_key(str(k))
-                if sp is not None:
-                    n = sp[1]
-                    if n >= gather_since and (to_epoch is None or n <= to_epoch):
-                        wanted.add(n)
-            lost = sorted(wanted - set(by_epoch))
-            if lost:
-                raise FileNotFoundError(
-                    f"changes feed truncated by vacuum: committed epochs "
-                    f"{lost} have no retained delta files (snapshot history "
-                    f"was expired); recompute downstream state from a full "
-                    f"read()"
-                )
+        by_epoch = _changes_file_map(
+            self.path, self._snapshot, since_epoch, to_epoch, change_types
+        )
         # delta storage schema: table schema + tombstone flag + max-lsn
         # helper; files predating an additive column read NULL for it
         delta_schema = T.StructType(

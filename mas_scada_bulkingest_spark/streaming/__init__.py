@@ -1,3 +1,4 @@
+from .table_source import TableChangesDataSource  # noqa: F401
 from .driver import (  # noqa: F401
     await_or_stop,
     build_session,

@@ -1,0 +1,258 @@
+"""The lake table as a Structured-Streaming SOURCE — ``spark.readStream
+.format("table_changes")`` over a merge-on-read :class:`SnapshotTable`.
+
+The Delta-Lake "streaming from a table" analog (``spark.readStream
+.format("delta")``), built on Spark 4's **Python DataSource API**
+(`pyspark.sql.datasource`) so downstream pipelines can *tail the lake
+table itself* instead of the upstream changelog: the batch surface is
+``read_changes`` (CDF); this is its continuous form. Reference parity:
+the Java connector only ever re-polls its input directory
+(ProcessTagData.java's restart loop) — here the committed table IS the
+replayable stream, with Spark's own offset log giving exactly-once.
+
+Design, Spark-first:
+
+* **Offsets are epochs.** ``latestOffset`` reads the table's current
+  snapshot JSON (one file read — no Spark job, no data open) and serves
+  the highest committed numeric epoch; each micro-batch covers an epoch
+  range ``(start, end]``. Epochs are the table's own commit units, so the
+  stream's replay story is exactly the table's: a restarted query re-plans
+  the same epoch range from the checkpointed offset and gets identical
+  rows (delta files are immutable; compaction never removes them from
+  retained history; vacuum truncation raises rather than under-serving —
+  the same contract ``read_changes`` enforces, via the shared
+  :func:`~..lake.snapshot_table._changes_file_map`).
+* **One InputPartition per delta file.** Planning is driver-side metadata
+  only; executors read their one parquet file via pyarrow and emit Arrow
+  RecordBatches (zero per-row Python — the rows never materialize as
+  Python objects). Schema evolution and ``rename_column`` aliases resolve
+  per file exactly like the JVM read path (missing columns fill typed
+  NULLs, former names coalesce newest-first).
+* **Rows are the raw CDF feed**: the per-(key, epoch) batch winners with
+  ``_change_type`` (``upsert``/``delete`` — deletes carry the tombstone's
+  order tuple) and ``_change_epoch``. Typed insert/update/delete
+  classification needs a full-history prefix-max (see
+  ``read_changes(change_types=True)``) and is not incremental; fold the
+  raw feed downstream the way ``replication.sync_replica`` does (winner-
+  of-winners per key), or maintain aggregates via ``derived``.
+
+Usage::
+
+    spark.dataSource.register(TableChangesDataSource)
+    feed = (spark.readStream.format("table_changes")
+            .option("path", table_path)
+            .option("sinceEpoch", 0)          # optional, default 0
+            .option("maxEpochsPerBatch", 4)   # optional rate limit
+            .load())
+    q = feed.writeStream.foreachBatch(fold).option("checkpointLocation", c).start()
+
+``maxEpochsPerBatch`` bounds how many NEW epochs each trigger of a live
+run admits (steady-tail admission control — the Delta
+``maxFilesPerTrigger`` analog, in commit units). The first offset of a
+run is uncapped: Spark's Python source API gives a restarted reader no
+checkpoint callback, so capping there could move offsets backwards and
+double-serve epochs — offset monotonicity wins (see the cursor comment
+in the reader). ``availableNow`` therefore drains the whole backlog in
+one micro-batch; use a processing-time trigger where admission control
+matters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_FEED_COLS = ("_change_type", "_change_epoch")
+
+
+def _load_current_snapshot(path: str) -> dict:
+    with open(os.path.join(path, "_CURRENT")) as f:
+        name = f.read().strip()
+    with open(os.path.join(path, "snapshots", name)) as f:
+        return json.load(f)
+
+
+def _last_committed_epoch(snap: dict) -> int:
+    """Highest committed numeric epoch across namespaces (mirrors
+    ``SnapshotTable.last_committed_epoch`` without a table handle)."""
+    last = -1
+    for w in snap.get("epoch_watermarks", {}).values():
+        last = max(last, int(w))
+    for k in snap.get("committed_epochs", []):
+        sp = str(k).rsplit(":", 1)
+        tail = sp[-1]
+        try:
+            last = max(last, int(tail))
+        except ValueError:
+            continue
+    return last
+
+
+@dataclass
+class _DeltaFilePartition(InputPartition):
+    """One epoch delta file: everything read() needs, fully picklable —
+    executors never see the table object."""
+
+    abs_path: str
+    epoch: int
+    # [(name, alias_names_newest_first)] for every output column in order;
+    # feed columns are synthesized, not listed here
+    columns: list
+    arrow_schema_pickle: bytes
+
+
+class TableChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        # Spark hands options through a case-insensitive map that lowercases
+        # keys — normalize so .option("sinceEpoch", …) lands regardless of
+        # whether the dict came from Spark or a direct construction
+        opts = {k.lower(): v for k, v in options.items()}
+        self._path = opts.get("path")
+        if not self._path:
+            raise ValueError("table_changes source requires .option('path', …)")
+        self._since = int(opts.get("sinceepoch", "0"))
+        mx = opts.get("maxepochsperbatch")
+        self._max_epochs = int(mx) if mx else None
+        # validate the table exists / is MoR up front (fail at stream start,
+        # not first trigger)
+        snap = _load_current_snapshot(self._path)
+        if snap.get("mode", "cow") != "mor":
+            raise ValueError(
+                "table_changes streaming requires a merge-on-read table"
+            )
+        import pickle
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql import types as T
+
+        out = T.StructType(
+            [f for f in schema.fields if f.name not in _FEED_COLS]
+        )
+        self._data_schema = out
+        self._arrow_pickle = pickle.dumps(to_arrow_schema(schema))
+        aliases = snap.get("column_aliases", {})
+        self._columns = [
+            (f.name, list(reversed(aliases.get(f.name, []))))
+            for f in out.fields
+        ]
+        # rate-limit cursor: the newest offset this reader has served or
+        # announced. None until the run's first offset interaction reveals
+        # it — Spark's Python source API has no restart callback and (as of
+        # Spark 4.1) calls latestOffset before initialOffset on a fresh
+        # availableNow run, so the FIRST latestOffset of any run returns the
+        # true head UNCAPPED: capping against a guessed cursor could move
+        # offsets BACKWARDS past a restart's checkpoint, and a regressed
+        # offset log re-serves epochs (duplicate delivery). Offset
+        # monotonicity beats admission control; the cap binds on every
+        # trigger after the first (i.e. the steady tail of a live run —
+        # availableNow drains the backlog in one batch regardless).
+        self._planned: int | None = None
+
+    # ---- offsets ---------------------------------------------------------
+    def initialOffset(self) -> dict:
+        if self._planned is None:
+            self._planned = self._since - 1
+        return {"epoch": self._since - 1}
+
+    def latestOffset(self) -> dict:
+        last = _last_committed_epoch(_load_current_snapshot(self._path))
+        if self._planned is not None:
+            if self._max_epochs is not None:
+                last = min(last, self._planned + self._max_epochs)
+            last = max(last, self._planned)  # never move offsets backwards
+        self._planned = last
+        return {"epoch": last}
+
+    def partitions(self, start: dict, end: dict):
+        from ..lake.snapshot_table import _changes_file_map
+
+        lo, hi = int(start["epoch"]), int(end["epoch"])
+        self._planned = max(lo, hi, self._planned if self._planned is not None else -(1 << 62))
+        if hi <= lo:
+            return [_DeltaFilePartition("", -1, [], b"")]  # empty batch
+        by_epoch = _changes_file_map(
+            self._path, _load_current_snapshot(self._path), lo + 1, hi
+        )
+        parts = [
+            _DeltaFilePartition(f, e, self._columns, self._arrow_pickle)
+            for e in sorted(by_epoch)
+            for f in by_epoch[e]
+        ]
+        # a range of committed-but-empty epochs still needs >=1 partition
+        return parts or [_DeltaFilePartition("", -1, [], b"")]
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing table-side
+
+    # ---- executor-side read (plain Python + pyarrow, no Spark) -----------
+    def read(self, partition: _DeltaFilePartition):
+        if partition.epoch < 0:
+            return iter(())
+        import pickle
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        target = pickle.loads(partition.arrow_schema_pickle)
+        tbl = pq.read_table(partition.abs_path)
+        n = tbl.num_rows
+        have = set(tbl.schema.names)
+        arrays = []
+        for name, olds in partition.columns:
+            src = name if name in have else next(
+                (o for o in olds if o in have), None
+            )
+            ftype = target.field(name).type
+            if src is None:
+                arrays.append(pa.nulls(n, type=ftype))
+            else:
+                arrays.append(tbl.column(src).cast(ftype))
+        # feed columns: delete iff the stored _tombstone flag is set
+        if "_tombstone" in have:
+            dead = tbl.column("_tombstone").fill_null(False)
+            ct = pc.if_else(dead, pa.scalar("delete"), pa.scalar("upsert"))
+        else:
+            ct = pa.array(["upsert"] * n)
+        arrays.append(ct)
+        arrays.append(pa.array([partition.epoch] * n, type=pa.int64()))
+        names = [c[0] for c in partition.columns] + list(_FEED_COLS)
+        yield pa.RecordBatch.from_arrays(
+            [
+                a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for a in arrays
+            ],
+            names=names,
+        )
+
+
+class TableChangesDataSource(DataSource):
+    """``format("table_changes")`` — register once per session with
+    ``spark.dataSource.register(TableChangesDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_changes"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        snap = _load_current_snapshot(self.options["path"])
+        base = T.StructType.fromJson(snap["schema"])
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_change_epoch", T.LongType()),
+            ]
+        )
+
+    def streamReader(self, schema) -> TableChangesStreamReader:
+        return TableChangesStreamReader(schema, dict(self.options))
