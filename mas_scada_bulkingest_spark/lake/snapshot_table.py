@@ -305,6 +305,32 @@ def _changes_file_map(
     return by_epoch
 
 
+#: write-origin path prefix -> commit operation, for snapshots written
+#: before the explicit ``operation`` stamp existed (history() fallback)
+_ORIGIN_OPS = {
+    "epoch=": "merge",
+    "deletewhere": "delete_where",
+    "compact": "compact",
+    "rebucket": "rebucket",
+    "purge": "purge_tombstones",
+    "purgekey": "purge_key",
+    "bootstrap": "bootstrap",
+}
+
+
+def _infer_operation(added_files: list | None) -> str | None:
+    """Best-effort operation label for a PRE-UPGRADE snapshot (no stored
+    ``operation``): data ops are unambiguous from the write-origin prefix
+    of the files the commit added; metadata-only commits are not."""
+    if not added_files:
+        return None
+    first = added_files[0].split("/", 2)
+    if len(first) < 2:
+        return None
+    seg = first[1].split("-", 1)[0].split("=", 1)[0]
+    return _ORIGIN_OPS.get(seg) or _ORIGIN_OPS.get(seg + "=")
+
+
 def _bucket_expr(bucket_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
 
@@ -546,7 +572,7 @@ class SnapshotTable(LakeTable):
         }
         tbl = object.__new__(cls)
         tbl.spark, tbl.path = spark, path
-        tbl._write_snapshot(snap)
+        tbl._write_snapshot(snap, operation="create")
         tbl._snapshot = snap
         return tbl
 
@@ -557,8 +583,12 @@ class SnapshotTable(LakeTable):
         with open(os.path.join(self.path, "snapshots", name)) as f:
             return json.load(f)
 
-    def _write_snapshot(self, snap: dict) -> None:
+    def _write_snapshot(self, snap: dict, operation: str | None = None) -> None:
         """Optimistic-concurrency snapshot commit (version CAS + helping).
+
+        ``operation`` stamps the commit with the op that produced it (the
+        Delta ``DESCRIBE HISTORY`` *operation* column / Iceberg snapshot
+        ``operation`` summary analog) — served by :meth:`history`.
 
         Two writers racing on the same parent must not silently last-write-
         win (the pre-round-4 unconditional ``_CURRENT`` rename would lose
@@ -590,6 +620,8 @@ class SnapshotTable(LakeTable):
         # TIMESTAMP AS OF (`at_timestamp`) then tracks visibility order,
         # which matches version order because versions are monotonic.
         snap["committed_at"] = time.time()
+        if operation is not None:
+            snap["operation"] = operation
         name = f"v{snap['version']:08d}.json"
         snap_path = os.path.join(self.path, "snapshots", name)
         tmp = snap_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -780,7 +812,7 @@ class SnapshotTable(LakeTable):
             "parent": int(cur["version"]),
             "schema_evolution": policy,
         }
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, operation="set_schema_evolution")
         self._snapshot = snap
         return int(snap["version"])
 
@@ -1473,7 +1505,7 @@ class SnapshotTable(LakeTable):
                         epoch: staged["staged_quarantine"],
                     }
             try:
-                self._write_snapshot(snap)
+                self._write_snapshot(snap, operation="publish_staged")
             except ConcurrentCommitError:
                 self._snapshot = self._read_current_snapshot()
                 continue
@@ -1598,6 +1630,7 @@ class SnapshotTable(LakeTable):
                 (
                     v,
                     s.get("parent"),
+                    s.get("operation", _infer_operation(added)),
                     s.get("committed_at"),
                     epochs,
                     len(added) if added is not None else None,
@@ -1609,8 +1642,8 @@ class SnapshotTable(LakeTable):
                 )
             )
         schema = (
-            "version long, parent long, committed_at double, "
-            "epochs_committed long, "
+            "version long, parent long, operation string, "
+            "committed_at double, epochs_committed long, "
             "files_added long, bytes_added long, live_files long, "
             "live_bytes long, n_buckets long, schema_fields long"
         )
@@ -2488,7 +2521,7 @@ class SnapshotTable(LakeTable):
                 "parent": self._snapshot["version"],
             }
             try:
-                self._write_snapshot(snap)
+                self._write_snapshot(snap, operation="purge_tombstones")
             except ConcurrentCommitError:
                 self._snapshot = self._read_current_snapshot()
                 continue
@@ -2640,7 +2673,7 @@ class SnapshotTable(LakeTable):
                     "parent": self._snapshot["version"],
                 }
                 try:
-                    self._write_snapshot(snap)
+                    self._write_snapshot(snap, operation="delete_where")
                 except ConcurrentCommitError:
                     self._snapshot = self._read_current_snapshot()
                     continue
@@ -2708,7 +2741,7 @@ class SnapshotTable(LakeTable):
                 "parent": self._snapshot["version"],
             }
             try:
-                self._write_snapshot(snap)
+                self._write_snapshot(snap, operation="delete_where")
             except ConcurrentCommitError:
                 self._snapshot = self._read_current_snapshot()
                 continue
@@ -2788,7 +2821,7 @@ class SnapshotTable(LakeTable):
                 "quarantine_files": merged,
             }
             try:
-                self._write_snapshot(snap)
+                self._write_snapshot(snap, operation="purge_key")
             except ConcurrentCommitError:
                 self._snapshot = self._read_current_snapshot()
                 continue
@@ -2894,7 +2927,7 @@ class SnapshotTable(LakeTable):
                 "parent": self._snapshot["version"],
             }
             try:
-                self._write_snapshot(snap)
+                self._write_snapshot(snap, operation="purge_key")
             except ConcurrentCommitError:
                 self._snapshot = self._read_current_snapshot()
                 continue
@@ -3011,7 +3044,7 @@ class SnapshotTable(LakeTable):
                 "parent": self._snapshot["version"],
             }
             try:
-                self._write_snapshot(snap)
+                self._write_snapshot(snap, operation="compact")
             except ConcurrentCommitError:
                 self._snapshot = self._read_current_snapshot()
                 continue
@@ -3181,7 +3214,7 @@ class SnapshotTable(LakeTable):
         # NO rebase on conflict: a concurrent epoch was merged under the OLD
         # bucket layout; grafting its files into the new layout would put
         # rows in the wrong buckets. The reshard fails whole; rerun it.
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, operation="rebucket")
         self._snapshot = snap
         return sum(len(f) for f in new_buckets.values())
 
@@ -3317,7 +3350,7 @@ class SnapshotTable(LakeTable):
                 **cur.get("file_key_digests", {}),
             },
         }
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, operation="restore")
         self._snapshot = snap
         return int(snap["version"])
 
@@ -3407,7 +3440,7 @@ class SnapshotTable(LakeTable):
             "generated_columns": gen,
             "constraints": cons,
         }
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, operation="drop_column")
         self._snapshot = snap
         return int(snap["version"])
 
@@ -3498,7 +3531,7 @@ class SnapshotTable(LakeTable):
             ).jsonValue(),
             "column_aliases": aliases,
         }
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, operation="rename_column")
         self._snapshot = snap
         return int(snap["version"])
 
@@ -3634,7 +3667,7 @@ class SnapshotTable(LakeTable):
                 cons_name: {"expr": f"{name} <=> ({expr})", "mode": "fail"},
             },
         }
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, operation="add_generated_column")
         self._snapshot = snap
         return int(snap["version"])
 
@@ -3755,7 +3788,7 @@ class SnapshotTable(LakeTable):
                 name: {"expr": expr, "mode": mode},
             },
         }
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, operation="add_constraint")
         self._snapshot = snap
         return int(snap["version"])
 
@@ -3786,7 +3819,7 @@ class SnapshotTable(LakeTable):
             "parent": int(cur["version"]),
             "constraints": cons,
         }
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, operation="drop_constraint")
         self._snapshot = snap
         return int(snap["version"])
 
@@ -3905,7 +3938,7 @@ class SnapshotTable(LakeTable):
             "parent": int(cur["version"]),
             "quarantine_files": qmap,
         }
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, operation="clear_quarantine")
         self._snapshot = snap
         return cleared
 
@@ -4037,7 +4070,7 @@ class SnapshotTable(LakeTable):
                 self._snapshot.get("file_key_digests", {})
             ),
         }
-        tbl._write_snapshot(snap)
+        tbl._write_snapshot(snap, operation="clone")
         tbl._snapshot = snap
         # static fork provenance (never vacuumed — snapshot v0 can expire):
         # fast_forward uses it to prove the fork descends from this table
@@ -4201,7 +4234,7 @@ class SnapshotTable(LakeTable):
                 **self._snapshot.get("file_key_digests", {}),
             },
         }
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, operation="fast_forward")
         self._snapshot = snap
         return int(snap["version"])
 
@@ -4450,7 +4483,7 @@ class SnapshotTable(LakeTable):
                 ),
             }
             try:
-                self._write_snapshot(snap)
+                self._write_snapshot(snap, operation="bootstrap")
             except ConcurrentCommitError:
                 self._snapshot = self._read_current_snapshot()
                 if self.is_epoch_committed(epoch_id):
@@ -5220,7 +5253,7 @@ class SnapshotTable(LakeTable):
             )
         for _attempt in range(10):
             try:
-                self._write_snapshot(snap)
+                self._write_snapshot(snap, operation="merge")
                 break
             except ConcurrentCommitError:
                 self._snapshot = self._read_current_snapshot()

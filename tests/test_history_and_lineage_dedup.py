@@ -84,6 +84,23 @@ def test_history_metadata_table(spark, tmpdir_path):
     assert h[2]["live_bytes"] > h[1]["live_bytes"] > 0
     assert h[2]["bytes_added"] > 0
     assert all(r["n_buckets"] == 2 for r in h.values())
+    # operation stamps (Delta DESCRIBE HISTORY operation column analog)
+    assert h[0]["operation"] == "create"
+    assert h[1]["operation"] == "merge" and h[2]["operation"] == "merge"
+    tbl.delete_where("turn_idx = 99")  # no match: no commit, no history row
+    tbl.compact(max_files=1)
+    tbl.rename_column("tool", "tool_name")
+    ops = {r["version"]: r["operation"] for r in tbl.history().collect()}
+    assert ops[3] == "compact" and ops[4] == "rename_column"
+    # pre-stamp snapshots fall back to write-origin inference
+    import json as _json, os as _os
+
+    sp = tmpdir_path + "/t/snapshots/v00000001.json"
+    s = _json.load(open(sp))
+    del s["operation"]
+    _json.dump(s, open(sp, "w"))
+    ops = {r["version"]: r["operation"] for r in tbl.history().collect()}
+    assert ops[1] == "merge"  # inferred from the epoch= file prefix
     # vacuum expires old snapshots -> history shrinks to the retained window
     tbl.vacuum(retain_versions=1)
-    assert [r["version"] for r in tbl.history().collect()] == [2]
+    assert [r["version"] for r in tbl.history().collect()] == [4]
