@@ -65,6 +65,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -233,6 +234,53 @@ class TableChangesStreamReader(DataSourceStreamReader):
         )
 
 
+class TableChangesBatchReader(DataSourceReader):
+    """Batch form — ``spark.read.format("table_changes")`` serves one
+    epoch range ad hoc (``sinceEpoch``/``toEpoch`` options), planned and
+    read exactly like a stream micro-batch. The DataFrame equivalent of
+    ``SnapshotTable.read_changes(since, to)`` for consumers that only have
+    the format string (SQL connectors, notebooks without the library)."""
+
+    def __init__(self, schema, options):
+        opts = {k.lower(): v for k, v in options.items()}
+        self._path = opts.get("path")
+        if not self._path:
+            raise ValueError("table_changes source requires .option('path', …)")
+        self._since = int(opts.get("sinceepoch", "0"))
+        to = opts.get("toepoch")
+        self._to = int(to) if to is not None else None
+        self._schema = schema
+
+    def partitions(self):
+        import pickle
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql import types as T
+
+        from ..lake.snapshot_table import _changes_file_map
+
+        snap = _load_current_snapshot(self._path)
+        by_epoch = _changes_file_map(self._path, snap, self._since, self._to)
+        out = T.StructType(
+            [f for f in self._schema.fields if f.name not in _FEED_COLS]
+        )
+        aliases = snap.get("column_aliases", {})
+        columns = [
+            (f.name, list(reversed(aliases.get(f.name, []))))
+            for f in out.fields
+        ]
+        arrow = pickle.dumps(to_arrow_schema(self._schema))
+        parts = [
+            _DeltaFilePartition(f, e, columns, arrow)
+            for e in sorted(by_epoch)
+            for f in by_epoch[e]
+        ]
+        return parts or [_DeltaFilePartition("", -1, [], b"")]
+
+    # identical executor-side file read as the stream reader
+    read = TableChangesStreamReader.read
+
+
 class TableChangesDataSource(DataSource):
     """``format("table_changes")`` — register once per session with
     ``spark.dataSource.register(TableChangesDataSource)``."""
@@ -253,6 +301,9 @@ class TableChangesDataSource(DataSource):
                 T.StructField("_change_epoch", T.LongType()),
             ]
         )
+
+    def reader(self, schema) -> TableChangesBatchReader:
+        return TableChangesBatchReader(schema, dict(self.options))
 
     def streamReader(self, schema) -> TableChangesStreamReader:
         return TableChangesStreamReader(schema, dict(self.options))

@@ -213,6 +213,29 @@ def test_rename_alias_resolves_in_stream(spark, tmpdir_path):
     )
 
 
+def test_batch_reader_range(spark, tmpdir_path):
+    tbl = create_transcripts_table(
+        spark, tmpdir_path + "/t", n_buckets=2, mode="mor"
+    )
+    for e in range(4):
+        apply_changes(
+            tbl,
+            spark.createDataFrame([_row(10 * e + i, f"c{i}", e) for i in range(3)], _COLS),
+            e,
+        )
+    spark.dataSource.register(TableChangesDataSource)
+    got = (
+        spark.read.format("table_changes")
+        .option("path", tbl.path)
+        .option("sinceEpoch", 1)
+        .option("toEpoch", 2)
+        .load()
+        .toPandas()
+    )
+    expect = tbl.read_changes(since_epoch=1, to_epoch=2).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(expect), check_dtype=False)
+
+
 def test_cow_refused(spark, tmpdir_path):
     tbl = create_transcripts_table(
         spark, tmpdir_path + "/t", n_buckets=2, mode="cow"
