@@ -65,10 +65,71 @@ def sync_replica(
     if target <= cursor:
         return None
     feed = source.read_changes(cursor + 1, target)
-    batch = feed.withColumn(
+    return apply_changes(
+        replica, _feed_to_batch(feed), epoch_id=int(target)
+    )
+
+
+def _feed_to_batch(feed):
+    """Changes-feed rows -> a mergeable change batch (op column from the
+    feed's change type; feed bookkeeping columns dropped)."""
+    return feed.withColumn(
         "op",
         F.when(F.col("_change_type") == "delete", F.lit("delete")).otherwise(
             F.lit("update")
         ),
     ).drop("_change_type", "_change_epoch")
-    return apply_changes(replica, batch, epoch_id=int(target))
+
+
+def run_stream_replica(
+    spark,
+    source_path: str,
+    replica: SnapshotTable,
+    checkpoint: str,
+    available_now: bool = True,
+    max_epochs_per_batch: int | None = None,
+):
+    """CONTINUOUS replication: tail the source table through the
+    ``table_changes`` Structured-Streaming source and fold every
+    micro-batch into the replica — ``sync_replica`` composed with Spark's
+    own trigger/offset machinery instead of a polling loop. The first
+    stream-native consumer of the table-as-a-source (``streaming/
+    table_source.py``); the reference's nearest analog is re-running its
+    whole extract at a second destination on a timer.
+
+    Exactly-once composes at BOTH layers: Spark's checkpoint replays a
+    failed micro-batch as the identical epoch range, whose fold commits
+    under the range's max SOURCE epoch — already committed on the replica
+    ⇒ no-op (the ``sync_replica`` cursor contract, per micro-batch). A
+    fresh checkpoint over an already-current replica starts at the
+    replica's cursor (``sinceEpoch``), so nothing double-applies; overlap
+    from a divergent restart resolves by LWW like any re-delivery.
+
+    Returns the started StreamingQuery.
+    """
+    from .streaming.table_source import TableChangesDataSource
+
+    try:
+        spark.dataSource.register(TableChangesDataSource)
+    except Exception:
+        pass  # already registered
+    reader = (
+        spark.readStream.format("table_changes")
+        .option("path", source_path)
+        .option("sinceEpoch", replica.last_committed_epoch + 1)
+    )
+    if max_epochs_per_batch is not None:
+        reader = reader.option("maxEpochsPerBatch", max_epochs_per_batch)
+
+    def _fold(df, _batch_id):
+        target = df.agg(F.max("_change_epoch")).first()[0]
+        if target is None:
+            return  # empty micro-batch
+        apply_changes(replica, _feed_to_batch(df), epoch_id=int(target))
+
+    writer = reader.load().writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

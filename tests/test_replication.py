@@ -115,3 +115,48 @@ def test_cow_source_refuses(spark, tmpdir_path):
     rep = create_transcripts_table(spark, tmpdir_path + "/r", n_buckets=2, mode="mor")
     with pytest.raises(ValueError):
         sync_replica(src, rep)
+
+
+def test_run_stream_replica(spark, tmpdir_path):
+    """Continuous replication through the table_changes stream source:
+    an availableNow drain catches the replica up (deletes + evolution
+    included), a second drain under the same checkpoint is a no-op, and a
+    later source epoch flows through incrementally."""
+    from mas_scada_bulkingest_spark.replication import run_stream_replica
+
+    src, rep = _mk_pair(spark, tmpdir_path)
+    apply_changes(src, spark.createDataFrame(
+        [_ins(1, "c1", 0, "a", 1), _ins(2, "c2", 0, "b", 2)], COLS), 0)
+    apply_changes(src, spark.createDataFrame(
+        [(3, "delete", "c1", 0, None, None, None, _t(3))], COLS), 1)
+    cols_meta = COLS + ", metadata string"
+    apply_changes(src, spark.createDataFrame(
+        [(4, "insert", "c3", 0, "user", "c", None, _t(4), '{"x":1}')], cols_meta), 2)
+
+    ck = tmpdir_path + "/ck"
+    q = run_stream_replica(spark, src.path, rep, ck)
+    q.awaitTermination(120)
+    assert _state(rep) == _state(src)
+    assert "metadata" in [f.name for f in rep.schema.fields]
+    assert rep.last_committed_epoch == 2
+
+    # idle drain: offsets unchanged, no new replica commit
+    n_before = rep.committed_epoch_count
+    q = run_stream_replica(spark, src.path, rep, ck)
+    q.awaitTermination(120)
+    assert rep.committed_epoch_count == n_before
+
+    # incremental tail: one more source epoch flows through
+    apply_changes(src, spark.createDataFrame(
+        [_ins(9, "c9", 1, "tail", 9)], COLS), 3)
+    q = run_stream_replica(spark, src.path, rep, ck)
+    q.awaitTermination(120)
+    assert _state(rep) == _state(src)
+    assert rep.last_committed_epoch == 3
+
+    # fresh checkpoint over the already-current replica: sinceEpoch starts
+    # at the cursor, nothing double-applies
+    q = run_stream_replica(spark, src.path, rep, tmpdir_path + "/ck2")
+    q.awaitTermination(120)
+    assert _state(rep) == _state(src)
+    assert rep.last_committed_epoch == 3
