@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
                         "the streaming loop / after the batch run (incremental off the "
                         "changes feed; MoR tables only)")
     p.add_argument("--status-only", action="store_true", help="print table status and exit")
+    p.add_argument("--sync-replica-to", metavar="REPLICA_PATH",
+                   help="catch the replica table at REPLICA_PATH up to this table's "
+                        "committed state via the changes feed (one exactly-once "
+                        "merge; creates the replica if absent) and exit")
     p.add_argument("--show-files", action="store_true",
                    help="print the files() metadata table (Iceberg <table>.files "
                         "analog: per-file origin/bytes/records/skip-bounds) and exit")
@@ -205,6 +209,27 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.status_only:
         print(json.dumps(status(SnapshotTable(spark, args.table_path)), indent=2))
+        return 0
+
+    if args.sync_replica_to:
+        import os as _os
+
+        from mas_scada_bulkingest_spark.replication import sync_replica
+
+        src = SnapshotTable(spark, args.table_path)
+        if _os.path.exists(_os.path.join(args.sync_replica_to, "_CURRENT")):
+            rep = SnapshotTable(spark, args.sync_replica_to)
+        else:
+            rep = SnapshotTable.create(
+                spark, args.sync_replica_to, src.schema,
+                n_buckets=src.n_buckets, mode="mor",
+            )
+        st = sync_replica(src, rep)
+        print(json.dumps({
+            "replica": args.sync_replica_to,
+            "synced_to_epoch": rep.last_committed_epoch,
+            "was_current": st is None,
+        }))
         return 0
 
     if args.show_files or args.show_partitions:

@@ -106,6 +106,25 @@ def status(table: SnapshotTable) -> dict:
         "snapshot_committed_at": snap.get("committed_at"),
         "n_buckets": snap["n_buckets"],
         "n_data_files": n_files,
+        # manifest-level layout totals (zero file opens — the same numbers
+        # files()/partitions() serve): bytes on disk, and the STORED row
+        # count (base + not-yet-compacted delta versions + tombstones, so
+        # >= the live-row count a read() returns; None before the
+        # record-count stamp existed)
+        "live_bytes": sum(snap.get("file_sizes", {}).values()),
+        "stored_records": (
+            None
+            if any(
+                snap.get("file_rows", {}).get(f) is None
+                for fs in snap["buckets"].values()
+                for f in fs
+            )
+            else sum(
+                snap["file_rows"][f]
+                for fs in snap["buckets"].values()
+                for f in fs
+            )
+        ),
         "schema_fields": [f.name for f in table.schema.fields],
         "constraint_violations": violations,
     }
@@ -125,6 +144,8 @@ _PROM_FIELDS = [
     ("snapshot_version", "gauge", "Current snapshot version"),
     ("n_buckets", "gauge", "Bucket count (hash layout)"),
     ("n_data_files", "gauge", "Live data files in the current snapshot"),
+    ("live_bytes", "gauge", "Bytes across live data files (manifest sizes)"),
+    ("stored_records", "gauge", "Stored rows incl. superseded delta versions"),
 ]
 
 

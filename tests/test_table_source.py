@@ -213,6 +213,27 @@ def test_rename_alias_resolves_in_stream(spark, tmpdir_path):
     )
 
 
+def test_stream_survives_compaction(spark, tmpdir_path):
+    """Compaction folds delta files out of the CURRENT snapshot before the
+    stream ever starts; the source must still serve every epoch (the
+    history-wide file walk read_changes pins, now through the stream)."""
+    tbl = create_transcripts_table(
+        spark, tmpdir_path + "/t", n_buckets=2, mode="mor"
+    )
+    for e in range(3):
+        apply_changes(
+            tbl,
+            spark.createDataFrame([_row(10 * e + i, f"c{i}", e) for i in range(3)], _COLS),
+            e,
+        )
+    assert tbl.compact(max_files=1) > 0  # deltas folded into base files
+    _, streamed = _drain(spark, tbl.path, tmpdir_path + "/ck")
+    pd.testing.assert_frame_equal(
+        _sorted(streamed), _sorted(tbl.read_changes(0).toPandas()), check_dtype=False
+    )
+    assert sorted(streamed["_change_epoch"].unique()) == [0, 1, 2]
+
+
 def test_batch_reader_range(spark, tmpdir_path):
     tbl = create_transcripts_table(
         spark, tmpdir_path + "/t", n_buckets=2, mode="mor"
