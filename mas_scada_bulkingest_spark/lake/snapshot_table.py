@@ -947,9 +947,15 @@ class SnapshotTable(LakeTable):
                     )
         return out
 
-    def _storage_schema(self) -> T.StructType:
+    def _storage_schema(self, project: set | None = None) -> T.StructType:
+        """Table schema + tombstone flag; ``project`` narrows to a column
+        subset (manifest-level pruning — the pinned scan schema IS the
+        pushdown, nothing else reaches the parquet reader)."""
+        fields = list(self.schema.fields)
+        if project is not None:
+            fields = [f for f in fields if f.name in project]
         return T.StructType(
-            list(self.schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())]
+            fields + [T.StructField(_TOMBSTONE, T.BooleanType())]
         )
 
     def _alias_read(self, files: list[str], pinned: T.StructType) -> DataFrame:
@@ -1015,6 +1021,7 @@ class SnapshotTable(LakeTable):
         with_bucket_col: bool = False,
         max_branches: int | None = None,
         min_enc=None,
+        project: set | None = None,
     ) -> DataFrame | None:
         """Merge-on-read LWW resolution WITHOUT a table-wide exchange.
 
@@ -1057,11 +1064,12 @@ class SnapshotTable(LakeTable):
             with_bucket_col,
             max_branches,
             min_enc,
+            None if project is None else frozenset(project),
         )
         cached = getattr(self, "_collapsed_plan_cache", None)
         if cached is not None and cached[0] == cache_key:
             return cached[1]
-        storage = self._storage_schema()
+        storage = self._storage_schema(project)
 
         def _branch(group: tuple[int, list[str]]) -> DataFrame:
             b, files = group
@@ -1263,6 +1271,7 @@ class SnapshotTable(LakeTable):
         max_branches: int | None = None,
         min_event_time=None,
         max_event_time=None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Current *live* table state (tombstones hidden, bucket-prunable).
 
@@ -1297,6 +1306,18 @@ class SnapshotTable(LakeTable):
         ``version=N`` time-travels to snapshot N (Iceberg ``VERSION AS OF``
         analog): any snapshot not yet expired by ``vacuum(retain_versions=…)``
         is readable — each snapshot's file list is immutable.
+
+        ``columns=[…]`` is MANIFEST-LEVEL COLUMN PRUNING: the scan's pinned
+        schema narrows to (key ∪ order ∪ requested ∪ tombstone flag), so
+        unrequested payload columns are never read off disk — Catalyst's
+        own pruning cannot reach through the MoR read's frozen-RDD barrier
+        (``_freeze_interpreted``), and the LWW collapse only NEEDS the key
+        and order columns to pick winners; the rest merely ride along. At
+        100 TB with wide transcript payloads, ``read(columns=["text"])``
+        scanning 4 of 9 columns is the difference between an IO-bound and
+        a metadata-bound aggregate job. Output schema: the key columns
+        (always — a keyed row without its key is meaningless) followed by
+        the requested columns in table order; unknown names raise.
         """
         if version is not None and version != self._snapshot["version"]:
             return self.at_version(version).read(
@@ -1304,24 +1325,42 @@ class SnapshotTable(LakeTable):
                 max_branches=max_branches,
                 min_event_time=min_event_time,
                 max_event_time=max_event_time,
+                columns=columns,
+            )
+        project = None
+        out_schema = self.schema
+        if columns is not None:
+            known = {f.name for f in self.schema.fields}
+            bad = sorted(set(columns) - known)
+            if bad:
+                raise ValueError(f"read(columns=…): unknown column(s) {bad}")
+            keep = set(columns) | set(self.key)
+            project = keep | set(self.order)
+            out_schema = T.StructType(
+                [f for f in self.schema.fields if f.name in keep]
             )
         lo, lo_enc = self._norm_bound(min_event_time)
         hi, hi_enc = self._norm_bound(max_event_time)
         if self.mode == "mor":
             df = self._read_collapsed_local(
-                buckets, max_branches=max_branches, min_enc=lo_enc
+                buckets,
+                max_branches=max_branches,
+                min_enc=lo_enc,
+                project=project,
             )
         else:
-            df = self._read_raw(buckets, min_enc=lo_enc, max_enc=hi_enc)
+            df = self._read_raw(
+                buckets, min_enc=lo_enc, max_enc=hi_enc, project=project
+            )
         if df is None:
-            return self.spark.createDataFrame([], self.schema)
+            return self.spark.createDataFrame([], out_schema)
         df = df.filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
         o0 = list(self.order)[0]
         if lo is not None:
             df = df.filter(F.col(o0) >= self._bound_lit(lo))
         if hi is not None:
             df = df.filter(F.col(o0) <= self._bound_lit(hi))
-        return align_schemas(df, self.schema)
+        return align_schemas(df, out_schema)
 
     def at_version(self, version: int) -> "SnapshotTable":
         """A read-only handle pinned to snapshot ``version`` (time travel).
@@ -2125,7 +2164,11 @@ class SnapshotTable(LakeTable):
         )
 
     def _read_raw(
-        self, buckets: list[int] | None = None, min_enc=None, max_enc=None
+        self,
+        buckets: list[int] | None = None,
+        min_enc=None,
+        max_enc=None,
+        project: set | None = None,
     ) -> DataFrame | None:
         """All stored rows incl. tombstones, with the ``_tombstone`` flag
         normalized to a non-null boolean; None when no files exist."""
@@ -2139,7 +2182,7 @@ class SnapshotTable(LakeTable):
         # the parquet reader itself. mergeSchema would instead FAIL to merge
         # int32/int64 footers and pay a footer-merge pass per read. Files
         # predating a rename_column resolve through _alias_read.
-        df = self._alias_read(files, self._storage_schema())
+        df = self._alias_read(files, self._storage_schema(project))
         return df.withColumn(_TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
 
     def lineage(self) -> DataFrame:
