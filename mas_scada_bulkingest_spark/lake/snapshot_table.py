@@ -4547,8 +4547,12 @@ class SnapshotTable(LakeTable):
             f"gave up committing bootstrap {epoch_id} after 10 attempts"
         )
 
-    def lookup(self, *key_values) -> DataFrame:
+    def lookup(self, *key_values, columns: list[str] | None = None) -> DataFrame:
         """Point read: resolve a key (or key prefix) by scanning ONE bucket.
+
+        ``columns=[…]`` composes with ``read(columns=…)``'s manifest-level
+        pruning: a point lookup of one wide conversation can skip the
+        payload columns it does not need.
 
         The writer's bucket function (``xxhash64(key[0]) % n_buckets``) is
         evaluated driver-side on the probe value, so the scan opens only
@@ -4595,7 +4599,7 @@ class SnapshotTable(LakeTable):
                 }
                 src = object.__new__(SnapshotTable)
                 src.spark, src.path, src._snapshot = self.spark, self.path, snap
-        df = src.read(buckets=[b])
+        df = src.read(buckets=[b], columns=columns)
         for col, val in zip(key, key_values):
             df = df.filter(F.col(col) == F.lit(val))
         return df

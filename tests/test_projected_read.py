@@ -136,3 +136,16 @@ def test_projection_with_evolution(spark, tmpdir_path):
     proj = tbl.read(columns=["metadata"]).toPandas().set_index("conv_id")
     assert proj.loc["c3", "metadata"] == "m"
     assert proj.loc[["c1", "c2"], "metadata"].isna().all()
+
+
+def test_projected_lookup(spark, tmpdir_path):
+    tbl = create_transcripts_table(
+        spark, tmpdir_path + "/t", n_buckets=4, mode="mor"
+    )
+    apply_changes(
+        tbl, spark.createDataFrame([_row(i, f"c{i % 5}", i % 3) for i in range(15)], _COLS), 0
+    )
+    got = tbl.lookup("c1", 0, columns=["text"])
+    assert [f.name for f in got.schema.fields] == ["conv_id", "turn_idx", "text"]
+    full = tbl.lookup("c1", 0).select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
