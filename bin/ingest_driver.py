@@ -212,17 +212,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.sync_replica_to:
-        import os as _os
-
         from mas_scada_bulkingest_spark.replication import sync_replica
 
         src = SnapshotTable(spark, args.table_path)
-        if _os.path.exists(_os.path.join(args.sync_replica_to, "_CURRENT")):
+        if os.path.exists(os.path.join(args.sync_replica_to, "_CURRENT")):
             rep = SnapshotTable(spark, args.sync_replica_to)
         else:
+            # replica must share the source's FULL merge identity — a
+            # default key/order on a non-default source would silently
+            # diverge under deletes/collapse
             rep = SnapshotTable.create(
                 spark, args.sync_replica_to, src.schema,
-                n_buckets=src.n_buckets, mode="mor",
+                n_buckets=src.n_buckets, key=src.key, order=src.order,
+                mode="mor", type_widening=src.type_widening,
+                schema_evolution=src.schema_evolution,
             )
         st = sync_replica(src, rep)
         print(json.dumps({

@@ -398,8 +398,6 @@ def q_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     are two consumers of one contract (per-(key, epoch) LWW batch winners,
     deletes as tombstone-watermark rows).
     """
-    import tempfile
-
     from .streaming.table_source import TableChangesDataSource
 
     table = _replayed_table(spark, sf_dir)
@@ -407,7 +405,8 @@ def q_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(TableChangesDataSource)
     except Exception:
         pass  # already registered in this session
-    work = tempfile.mkdtemp(prefix="msbs-streamfeed-")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="msbs-streamfeed-", dir=base)
     feed = (
         spark.readStream.format("table_changes")
         .option("path", table.path)
@@ -421,7 +420,9 @@ def q_cdc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("cdc_stream_feed drain did not finish in 600s")
     df = spark.read.schema(feed.schema).parquet(work + "/out")
     return df.select(
         "conv_id",

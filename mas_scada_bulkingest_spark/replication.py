@@ -122,10 +122,18 @@ def run_stream_replica(
         reader = reader.option("maxEpochsPerBatch", max_epochs_per_batch)
 
     def _fold(df, _batch_id):
-        target = df.agg(F.max("_change_epoch")).first()[0]
-        if target is None:
-            return  # empty micro-batch
-        apply_changes(replica, _feed_to_batch(df), epoch_id=int(target))
+        # persist: the max-epoch probe AND the merge both consume the
+        # batch, and an un-persisted foreachBatch df re-runs the source's
+        # per-file reads per action — on a 10^4-epoch catch-up drain that
+        # doubles the file I/O
+        df.persist()
+        try:
+            target = df.agg(F.max("_change_epoch")).first()[0]
+            if target is None:
+                return  # empty micro-batch
+            apply_changes(replica, _feed_to_batch(df), epoch_id=int(target))
+        finally:
+            df.unpersist()
 
     writer = reader.load().writeStream.foreachBatch(_fold).option(
         "checkpointLocation", checkpoint

@@ -82,17 +82,17 @@ def _load_current_snapshot(path: str) -> dict:
 
 def _last_committed_epoch(snap: dict) -> int:
     """Highest committed numeric epoch across namespaces (mirrors
-    ``SnapshotTable.last_committed_epoch`` without a table handle)."""
+    ``SnapshotTable.last_committed_epoch`` without a table handle; one
+    epoch-key grammar — :func:`.._split_epoch_key` — not a reparse)."""
+    from ..lake.snapshot_table import _split_epoch_key
+
     last = -1
     for w in snap.get("epoch_watermarks", {}).values():
         last = max(last, int(w))
     for k in snap.get("committed_epochs", []):
-        sp = str(k).rsplit(":", 1)
-        tail = sp[-1]
-        try:
-            last = max(last, int(tail))
-        except ValueError:
-            continue
+        sp = _split_epoch_key(str(k))
+        if sp is not None:
+            last = max(last, sp[1])
     return last
 
 
@@ -120,7 +120,10 @@ class TableChangesStreamReader(DataSourceStreamReader):
             raise ValueError("table_changes source requires .option('path', …)")
         self._since = int(opts.get("sinceepoch", "0"))
         mx = opts.get("maxepochsperbatch")
-        self._max_epochs = int(mx) if mx else None
+        self._max_epochs = int(mx) if mx is not None else None
+        if self._max_epochs is not None and self._max_epochs < 1:
+            # 0 would freeze the offset head forever (planned + 0)
+            raise ValueError("maxEpochsPerBatch must be >= 1")
         # validate the table exists / is MoR up front (fail at stream start,
         # not first trigger)
         snap = _load_current_snapshot(self._path)
@@ -172,15 +175,31 @@ class TableChangesStreamReader(DataSourceStreamReader):
         return {"epoch": last}
 
     def partitions(self, start: dict, end: dict):
+        from pyspark.sql import types as T
+
         from ..lake.snapshot_table import _changes_file_map
 
         lo, hi = int(start["epoch"]), int(end["epoch"])
         self._planned = max(lo, hi, self._planned if self._planned is not None else -(1 << 62))
         if hi <= lo:
             return [_DeltaFilePartition("", -1, [], b"")]  # empty batch
-        by_epoch = _changes_file_map(
-            self._path, _load_current_snapshot(self._path), lo + 1, hi
-        )
+        snap = _load_current_snapshot(self._path)
+        # Schema-change guard (Delta streaming-source parity: fail, never
+        # silently drop): the output schema was pinned at stream start; a
+        # mid-stream additive evolution would otherwise serve the new
+        # column's epochs WITHOUT it, Spark would checkpoint them consumed,
+        # and the values would never be re-served. Restart the query to
+        # adopt the evolved schema.
+        current = [f.name for f in T.StructType.fromJson(snap["schema"]).fields]
+        pinned = [c[0] for c in self._columns]
+        if current != pinned:
+            raise RuntimeError(
+                f"table schema changed mid-stream (pinned {pinned}, table "
+                f"now {current}); restart the streaming query to pick up "
+                f"the evolved schema — epochs are not lost (offsets only "
+                f"advance on served batches)"
+            )
+        by_epoch = _changes_file_map(self._path, snap, lo + 1, hi)
         parts = [
             _DeltaFilePartition(f, e, self._columns, self._arrow_pickle)
             for e in sorted(by_epoch)

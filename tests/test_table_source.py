@@ -277,3 +277,36 @@ def test_cow_refused(spark, tmpdir_path):
     with pytest.raises(Exception, match="merge-on-read"):
         q.awaitTermination(60)
         raise RuntimeError("stream should have failed")
+
+
+def test_schema_change_mid_stream_fails_loudly(spark, tmpdir_path):
+    """Delta streaming-source parity: a mid-stream schema change fails the
+    query instead of silently serving epochs without the new column."""
+    from mas_scada_bulkingest_spark.streaming.table_source import (
+        TableChangesStreamReader,
+    )
+
+    tbl = create_transcripts_table(
+        spark, tmpdir_path + "/t", n_buckets=2, mode="mor"
+    )
+    apply_changes(tbl, spark.createDataFrame([_row(1, "c1", 0)], _COLS), 0)
+    spark.dataSource.register(TableChangesDataSource)
+    ds = TableChangesDataSource({"path": tbl.path})
+    r = TableChangesStreamReader(ds.schema(), {"path": tbl.path})
+    start = r.initialOffset()
+    # evolve mid-stream, then plan the next batch
+    evolved = _COLS + ", metadata string"
+    apply_changes(
+        tbl, spark.createDataFrame([_row(2, "c2", 0) + ("m",)], evolved), 1
+    )
+    with pytest.raises(RuntimeError, match="schema changed mid-stream"):
+        r.partitions(start, r.latestOffset())
+    # a restarted reader (fresh schema) serves both epochs
+    r2 = TableChangesStreamReader(ds.schema(), {"path": tbl.path})
+    parts = r2.partitions(r2.initialOffset(), r2.latestOffset())
+    assert sorted({p.epoch for p in parts}) == [0, 1]
+    # maxEpochsPerBatch=0 is rejected up front, not a frozen stream
+    with pytest.raises(ValueError, match="maxEpochsPerBatch"):
+        TableChangesStreamReader(
+            ds.schema(), {"path": tbl.path, "maxEpochsPerBatch": "0"}
+        )
