@@ -218,6 +218,9 @@ def lsh_index_state(state: DataFrame, key: str = "conv_id") -> DataFrame:
     )
 
 
+lsh_index_state.required_columns = ["turn_idx", "text"]
+
+
 def rollup_state(state: DataFrame, key: str = "conv_id") -> DataFrame:
     """The rollup aggregate over a (slice of) source live state — shared by
     the incremental refresh and the from-scratch oracle recompute."""
@@ -231,6 +234,14 @@ def rollup_state(state: DataFrame, key: str = "conv_id") -> DataFrame:
     )
 
 
+#: columns each built-in aggregate actually consumes — refresh/rebuild pass
+#: these to ``read(columns=…)`` so the recompute scan never reads payload
+#: columns the aggregate ignores (manifest-level pruning; key/order columns
+#: are always included by read()). Custom aggregates without the attribute
+#: get the full scan.
+rollup_state.required_columns = ["text", "ts", "lsn"]
+
+
 def index_state(state: DataFrame, key: str = "conv_id") -> DataFrame:
     """Latest-turn serving-index aggregate: the live row with the highest
     ``turn_idx`` per conversation (unique per key, so ``max_by`` is
@@ -240,6 +251,9 @@ def index_state(state: DataFrame, key: str = "conv_id") -> DataFrame:
         F.max_by("role", "turn_idx").alias("last_role"),
         F.max_by("text", "turn_idx").alias("last_text"),
     )
+
+
+index_state.required_columns = ["turn_idx", "role", "text"]
 
 
 def _bootstrap_cover_key(source: SnapshotTable) -> str | None:
@@ -350,7 +364,10 @@ def refresh_derived(
         .distinct()
         .collect()
     )
-    state = source.read(buckets=b_ids)
+    state = source.read(
+        buckets=b_ids,
+        columns=getattr(aggregate, "required_columns", None),
+    )
     live = _live(
         state.join(F.broadcast(affected), key, "left_semi"),
         key,
@@ -393,7 +410,12 @@ def rebuild_derived(
     if covered and latest <= last:
         return None
     key = source.key[0]
-    live = _live(source.read(), key, latest, aggregate)
+    live = _live(
+        source.read(columns=getattr(aggregate, "required_columns", None)),
+        key,
+        latest,
+        aggregate,
+    )
     gone_keys = (
         derived.read().select(key).join(live.select(key), key, "left_anti")
     )
