@@ -194,6 +194,9 @@ def serve_status(
 
     * ``GET /status`` → :func:`status` as JSON
     * ``GET /epochs`` → :func:`epoch_summary` rows as a JSON array
+    * ``GET /files`` / ``GET /partitions`` → the metadata inspection
+      tables (``SnapshotTable.files``/``partitions``) as JSON arrays —
+      the layout/skew dashboard, manifest-only (no data scan)
     * ``GET /metrics`` → :func:`render_prometheus` text exposition (the
       same numbers as ``/status``, scrapeable by Prometheus/Grafana)
     * ``POST /loglevel?level=DEBUG`` → flips the Spark log level live
@@ -228,6 +231,15 @@ def serve_status(
                     self._send(
                         200, [r.asDict() for r in epoch_summary(table).collect()]
                     )
+                elif self.path == "/files":
+                    self._send(
+                        200, [r.asDict() for r in table.files().collect()]
+                    )
+                elif self.path == "/partitions":
+                    self._send(
+                        200,
+                        [r.asDict() for r in table.partitions().collect()],
+                    )
                 elif self.path == "/metrics":
                     body = render_prometheus(status(table)).encode()
                     self.send_response(200)
@@ -240,7 +252,7 @@ def serve_status(
                 else:
                     self._send(
                         404,
-                        {"error": "not found", "endpoints": ["/status", "/epochs", "/metrics", "POST /stop", "POST /loglevel"]},
+                        {"error": "not found", "endpoints": ["/status", "/epochs", "/files", "/partitions", "/metrics", "POST /stop", "POST /loglevel"]},
                     )
             except Exception as e:  # surface, don't kill the server thread
                 self._send(500, {"error": str(e)})

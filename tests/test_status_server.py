@@ -62,6 +62,14 @@ def test_status_server_scrape_and_remote_stop(spark, tmpdir_path):
         assert metrics["cdc_ingest_epochs_committed"] == 2
         assert "# TYPE cdc_ingest_rows_applied counter" in text
 
+        # metadata inspection endpoints mirror files()/partitions()
+        files = _get(port, "/files")
+        assert len(files) == st["n_data_files"]
+        assert sum(f["bytes"] for f in files) == st["live_bytes"]
+        parts = _get(port, "/partitions")
+        assert sum(p["files"] for p in parts) == len(files)
+        assert sum(p["records"] for p in parts) == st["stored_records"]
+
         with pytest.raises(urllib.error.HTTPError) as exc:
             _get(port, "/nope")
         assert exc.value.code == 404
