@@ -268,6 +268,33 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_projected_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-projected read of the replayed MoR table:
+    ``read(columns=["text"])`` — manifest-level pruning narrows the pinned
+    scan schema to (key ∪ order ∪ text ∪ tombstone), so the unrequested
+    payload columns (role, tool, metadata) are never read off disk (plan-
+    pinned by tests/test_projected_read.py; at 100 TB the bytes never
+    scanned are the win). This entry proves winner selection stays EXACT
+    when losers' payload columns are unscanned: the oracle ranks the full
+    changelog and projects the same three columns.
+    """
+    table = _replayed_table(spark, sf_dir)
+    return table.read(columns=["text"])
+
+
+_SQL_CDC_PROJECTED_STATE = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  )
+SELECT conv_id, turn_idx, text
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 #: lower window bound for the data-skipping read entry — mid-range of the
 #: derived changelog's event-time spread at every sf, so both sides of the
 #: bound are populated
@@ -2230,6 +2257,7 @@ FROM asm
 CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
+    "cdc_projected_state": (q_cdc_projected_state, _SQL_CDC_PROJECTED_STATE),
     "cdc_wap_state": (q_cdc_wap_state, _SQL_CDC_REPLAY_STATE),
     "cdc_branch_state": (q_cdc_branch_state, _SQL_CDC_REPLAY_STATE),
     "cdc_txn_state": (q_cdc_txn_state, _SQL_CDC_REPLAY_STATE),
