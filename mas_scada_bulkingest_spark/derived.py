@@ -352,7 +352,9 @@ def refresh_derived(
     if latest == last:
         return None
     key = source.key[0]
-    feed = source.read_changes(last + 1, latest)
+    # columns=[]: the affected-key probe needs only the merge key — the
+    # pending deltas' payload columns (the transcripts) are never scanned
+    feed = source.read_changes(last + 1, latest, columns=[])
     affected = feed.select(key).distinct()
     # bucket pruning: the affected set hashes to a (often small) subset of
     # buckets — read only those. The bucket ids are O(n_buckets) to collect.

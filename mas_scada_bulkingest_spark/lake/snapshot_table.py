@@ -2027,6 +2027,7 @@ class SnapshotTable(LakeTable):
         since_epoch: int,
         to_epoch: int | None = None,
         change_types: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Incremental changes feed: every change applied in epochs
         ``[since_epoch, to_epoch]`` (inclusive; ``to_epoch=None`` = latest)
@@ -2034,6 +2035,15 @@ class SnapshotTable(LakeTable):
         engine MAINTAINS from one change stream can itself be TAILED as a
         change stream by downstream consumers (e.g. a derived index or
         aggregate kept fresh by polling ``read_changes(last_seen + 1)``).
+
+        ``columns=[…]`` prunes the feed like ``read(columns=…)``: delta
+        files are scanned with a narrowed pinned schema (key ∪ order ∪
+        requested — the order columns ride along for the typed
+        classification and cost nothing next to a wide payload), and the
+        output carries key ∪ requested plus the feed columns. The derived-
+        table refresh uses ``columns=[]`` for its affected-key probe: at
+        10^10 events that probe reads two narrow columns of the pending
+        deltas, not the transcripts.
 
         ``change_types=True`` upgrades the raw delta feed to a **state
         transition** feed with Delta-CDF-style typed rows: ``_change_type``
@@ -2075,19 +2085,40 @@ class SnapshotTable(LakeTable):
         by_epoch = _changes_file_map(
             self.path, self._snapshot, since_epoch, to_epoch, change_types
         )
+        keep = None
+        scan = None
+        if columns is not None:
+            known = {f.name for f in self.schema.fields}
+            bad = sorted(set(columns) - known)
+            if bad:
+                raise ValueError(
+                    f"read_changes(columns=…): unknown column(s) {bad}"
+                )
+            keep = set(columns) | set(self.key)
+            scan = keep | set(self.order)
         # delta storage schema: table schema + tombstone flag + max-lsn
         # helper; files predating an additive column read NULL for it
         delta_schema = T.StructType(
-            list(self._storage_schema().fields)
+            list(self._storage_schema(scan).fields)
             + [T.StructField("_max_lsn", T.LongType())]
         )
-        out_fields = [f.name for f in self.schema.fields]
+        out_fields = [
+            f.name
+            for f in self.schema.fields
+            if keep is None or f.name in keep
+        ]
+        # the typed classification windows over the order columns — carry
+        # them through the branches even when the projection drops them
+        # from the output (classify's final select prunes back down)
+        carry = list(out_fields)
+        if change_types:
+            carry += [o for o in self.order if o not in carry]
         branches = []
         for e in sorted(by_epoch):
             df = self._alias_read(by_epoch[e], delta_schema)
             branches.append(
                 df.select(
-                    *out_fields,
+                    *carry,
                     F.when(
                         F.coalesce(F.col(_TOMBSTONE), F.lit(False)),
                         F.lit("delete"),
@@ -2099,7 +2130,11 @@ class SnapshotTable(LakeTable):
             )
         if not branches:
             empty = T.StructType(
-                list(self.schema.fields)
+                [
+                    f
+                    for f in self.schema.fields
+                    if keep is None or f.name in keep
+                ]
                 + [
                     T.StructField("_change_type", T.StringType()),
                     T.StructField("_change_epoch", T.LongType()),
@@ -2111,9 +2146,14 @@ class SnapshotTable(LakeTable):
             out = out.unionByName(b)
         if not change_types:
             return out
-        return self._classify_changes(out, since_epoch)
+        return self._classify_changes(out, since_epoch, out_fields)
 
-    def _classify_changes(self, feed: DataFrame, since_epoch: int) -> DataFrame:
+    def _classify_changes(
+        self,
+        feed: DataFrame,
+        since_epoch: int,
+        out_fields: list[str] | None = None,
+    ) -> DataFrame:
         """Turn the raw per-(key, epoch) delta feed (one batch winner per
         key per epoch, ``upsert``/``delete``) into the typed state-transition
         feed (see ``read_changes(change_types=True)``).
@@ -2149,7 +2189,8 @@ class SnapshotTable(LakeTable):
             .when(prev_live, F.lit("update"))
             .otherwise(F.lit("insert"))
         )
-        out_fields = [f.name for f in self.schema.fields]
+        if out_fields is None:
+            out_fields = [f.name for f in self.schema.fields]
         return (
             feed.withColumn("_typed", typed)
             .filter(

@@ -118,3 +118,40 @@ def test_feed_carries_evolved_columns(spark, tmpdir_path):
     feed = tbl.read_changes(since_epoch=0).orderBy("lsn").toPandas()
     assert feed["metadata"].tolist()[0] is None or feed["metadata"].isna()[0]
     assert feed["metadata"].tolist()[1] == "{}"
+
+
+def test_feed_projection(spark, tmpdir_path):
+    """read_changes(columns=…) prunes the delta scan like read(columns=…):
+    output = key ∪ requested + feed columns, values identical to the full
+    feed's projection; columns=[] serves keys only (the derived-refresh
+    affected-key probe); typed feed classifies identically with the order
+    columns carried internally and dropped from the output."""
+    import pandas as pd
+
+    tbl = _mk(spark, tmpdir_path + "/t")
+    full = tbl.read_changes(0).toPandas()
+    proj = tbl.read_changes(0, columns=["text"]).toPandas()
+    assert sorted(proj.columns) == sorted(
+        ["conv_id", "turn_idx", "text", "_change_type", "_change_epoch"]
+    )
+    key = ["_change_epoch", "conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        proj.sort_values(key).reset_index(drop=True),
+        full[proj.columns].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    keys_only = tbl.read_changes(0, columns=[]).toPandas()
+    assert sorted(keys_only.columns) == sorted(
+        ["conv_id", "turn_idx", "_change_type", "_change_epoch"]
+    )
+    assert len(keys_only) == len(full)
+    # typed feed under projection == typed feed projected
+    t_full = tbl.read_changes(0, change_types=True).toPandas()
+    t_proj = tbl.read_changes(0, change_types=True, columns=[]).toPandas()
+    pd.testing.assert_frame_equal(
+        t_proj.sort_values(key).reset_index(drop=True),
+        t_full[t_proj.columns].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        tbl.read_changes(0, columns=["nope"])
