@@ -136,6 +136,11 @@ def main() -> None:
     timings["cdc_mor_read_collapse"] = round(mor_read_sec, 3)
     win_sec, win_pruned, win_files = bench_windowed_read(mor_table)
     timings["cdc_mor_windowed_read"] = round(win_sec, 3)
+    # projected read: manifest-level column pruning (scan schema narrowed
+    # to key+order+text+tombstone; role/tool/metadata never read)
+    t0 = time.perf_counter()
+    _force(mor_table.read(columns=["text"]))
+    timings["cdc_mor_projected_read"] = round(time.perf_counter() - t0, 3)
     # clustered rewrite (compact(cluster_files=4)): the same 20%-tail window
     # must prune MORE files afterwards — post-compaction data skipping at
     # sub-bucket granularity (plain compaction would leave one full-range
