@@ -193,6 +193,7 @@ def _changes_file_map(
     since_epoch: int,
     to_epoch: int | None,
     change_types: bool = False,
+    walk_cache: dict | None = None,
 ) -> dict[int, list[str]]:
     """Driver-side, SPARK-FREE discovery of the changes feed's delta files:
     {numeric epoch -> absolute delta-file paths} for the requested range,
@@ -205,6 +206,16 @@ def _changes_file_map(
     current one). Raises ``ValueError`` on a copy-on-write table and
     ``FileNotFoundError`` when a clone floor, vacuumed files, or expired
     snapshot history truncate the requested range.
+
+    ``walk_cache``: an optional caller-owned dict memoizing the
+    history-walk (``{versions, excluded, seen}``). Snapshot history is
+    append-only (commits add higher versions; vacuum expires from the
+    bottom), so a repeat caller — the streaming table source plans a
+    micro-batch per trigger — walks only the snapshots committed since
+    its last call instead of the whole retained history. The cache fully
+    invalidates when the OLDEST retained version changed (vacuum) or the
+    exclusion set moved (restore), because both rewrite what the walk
+    would have produced for already-walked versions.
     """
     if snap.get("mode", "cow") != "mor":
         raise ValueError(
@@ -231,7 +242,6 @@ def _changes_file_map(
     # scan remains as the fallback for pre-upgrade snapshots AND for the
     # OLDEST retained snapshot (whose own added_files doesn't cover the
     # files it inherited from expired ancestors).
-    seen: dict[str, int] = {}
     epoch_prefix = os.path.join("data", "epoch=")
     snap_dir = os.path.join(path, "snapshots")
     versions = sorted(
@@ -241,7 +251,22 @@ def _changes_file_map(
     # part of this table's logical past — the feed must not serve them
     # (nor double-serve an epoch once its repaired replay re-appends)
     excluded = set(snap.get("feed_excluded", []))
+    cached_vs = (walk_cache or {}).get("versions")
+    if (
+        cached_vs
+        and versions
+        and cached_vs[0] == versions[0]
+        and walk_cache.get("excluded") == excluded
+        and set(cached_vs) <= set(versions)
+    ):
+        seen: dict[str, int] = dict(walk_cache["seen"])
+        to_walk = set(versions) - set(cached_vs)
+    else:
+        seen = {}
+        to_walk = set(versions)
     for i, v in enumerate(versions):
+        if v not in to_walk:
+            continue
         with open(os.path.join(snap_dir, f"v{v:08d}.json")) as fh:
             s = json.load(fh)
         added = s.get("added_files")
@@ -259,6 +284,10 @@ def _changes_file_map(
             if f.startswith(epoch_prefix) and f not in excluded:
                 e = int(f.split("epoch=", 1)[1].split("-", 1)[0])
                 seen.setdefault(f, e)
+    if walk_cache is not None:
+        walk_cache["versions"] = versions
+        walk_cache["excluded"] = excluded
+        walk_cache["seen"] = dict(seen)
     # typed classification needs every retained epoch at or below the
     # range (the prefix-max is relative to full prior state)
     gather_since = 0 if change_types else since_epoch

@@ -80,6 +80,28 @@ def _load_current_snapshot(path: str) -> dict:
         return json.load(f)
 
 
+def _plan_columns(snap: dict, schema):
+    """(columns, pickled arrow schema, canonical schema json) shared by the
+    stream and batch readers — one place for output-column order, rename-
+    alias resolution (newest former name first, mirroring ``_alias_read``),
+    and the arrow target the executor read casts to."""
+    import pickle
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql import types as T
+
+    out = T.StructType([f for f in schema.fields if f.name not in _FEED_COLS])
+    aliases = snap.get("column_aliases", {})
+    columns = [
+        (f.name, list(reversed(aliases.get(f.name, [])))) for f in out.fields
+    ]
+    return (
+        columns,
+        pickle.dumps(to_arrow_schema(schema)),
+        json.dumps(snap["schema"], sort_keys=True),
+    )
+
+
 def _last_committed_epoch(snap: dict) -> int:
     """Highest committed numeric epoch across namespaces (mirrors
     ``SnapshotTable.last_committed_epoch`` without a table handle; one
@@ -131,21 +153,14 @@ class TableChangesStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "table_changes streaming requires a merge-on-read table"
             )
-        import pickle
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql import types as T
-
-        out = T.StructType(
-            [f for f in schema.fields if f.name not in _FEED_COLS]
+        self._columns, self._arrow_pickle, self._pinned_schema = _plan_columns(
+            snap, schema
         )
-        self._data_schema = out
-        self._arrow_pickle = pickle.dumps(to_arrow_schema(schema))
-        aliases = snap.get("column_aliases", {})
-        self._columns = [
-            (f.name, list(reversed(aliases.get(f.name, []))))
-            for f in out.fields
-        ]
+        # history-walk memo: snapshot history is append-only, so each
+        # trigger walks only snapshots committed since the last one (a
+        # live stream must not pay O(retained snapshots) of driver JSON
+        # parsing per micro-batch)
+        self._walk_cache: dict = {}
         # rate-limit cursor: the newest offset this reader has served or
         # announced. None until the run's first offset interaction reveals
         # it — Spark's Python source API has no restart callback and (as of
@@ -175,8 +190,6 @@ class TableChangesStreamReader(DataSourceStreamReader):
         return {"epoch": last}
 
     def partitions(self, start: dict, end: dict):
-        from pyspark.sql import types as T
-
         from ..lake.snapshot_table import _changes_file_map
 
         lo, hi = int(start["epoch"]), int(end["epoch"])
@@ -190,16 +203,22 @@ class TableChangesStreamReader(DataSourceStreamReader):
         # column's epochs WITHOUT it, Spark would checkpoint them consumed,
         # and the values would never be re-served. Restart the query to
         # adopt the evolved schema.
-        current = [f.name for f in T.StructType.fromJson(snap["schema"]).fields]
-        pinned = [c[0] for c in self._columns]
-        if current != pinned:
+        # full-schema comparison (names AND types): additive evolution,
+        # renames, drops, and type widening must all trip the guard — a
+        # name-only check would let a widened int column reach the
+        # executor read as a narrowing arrow cast
+        if json.dumps(snap["schema"], sort_keys=True) != self._pinned_schema:
+            pinned = [c[0] for c in self._columns]
+            current = [f["name"] for f in snap["schema"].get("fields", [])]
             raise RuntimeError(
                 f"table schema changed mid-stream (pinned {pinned}, table "
                 f"now {current}); restart the streaming query to pick up "
                 f"the evolved schema — epochs are not lost (offsets only "
                 f"advance on served batches)"
             )
-        by_epoch = _changes_file_map(self._path, snap, lo + 1, hi)
+        by_epoch = _changes_file_map(
+            self._path, snap, lo + 1, hi, walk_cache=self._walk_cache
+        )
         parts = [
             _DeltaFilePartition(f, e, self._columns, self._arrow_pickle)
             for e in sorted(by_epoch)
@@ -240,9 +259,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
             dead = tbl.column("_tombstone").fill_null(False)
             ct = pc.if_else(dead, pa.scalar("delete"), pa.scalar("upsert"))
         else:
-            ct = pa.array(["upsert"] * n)
+            ct = pa.repeat(pa.scalar("upsert"), n)
         arrays.append(ct)
-        arrays.append(pa.array([partition.epoch] * n, type=pa.int64()))
+        arrays.append(pa.repeat(pa.scalar(partition.epoch, pa.int64()), n))
         names = [c[0] for c in partition.columns] + list(_FEED_COLS)
         yield pa.RecordBatch.from_arrays(
             [
@@ -271,24 +290,11 @@ class TableChangesBatchReader(DataSourceReader):
         self._schema = schema
 
     def partitions(self):
-        import pickle
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql import types as T
-
         from ..lake.snapshot_table import _changes_file_map
 
         snap = _load_current_snapshot(self._path)
         by_epoch = _changes_file_map(self._path, snap, self._since, self._to)
-        out = T.StructType(
-            [f for f in self._schema.fields if f.name not in _FEED_COLS]
-        )
-        aliases = snap.get("column_aliases", {})
-        columns = [
-            (f.name, list(reversed(aliases.get(f.name, []))))
-            for f in out.fields
-        ]
-        arrow = pickle.dumps(to_arrow_schema(self._schema))
+        columns, arrow, _ = _plan_columns(snap, self._schema)
         parts = [
             _DeltaFilePartition(f, e, columns, arrow)
             for e in sorted(by_epoch)
