@@ -215,6 +215,12 @@ def main(argv: list[str] | None = None) -> int:
         from mas_scada_bulkingest_spark.replication import sync_replica
 
         src = SnapshotTable(spark, args.table_path)
+        if src.mode != "mor":
+            # check BEFORE creating the replica: a failed run must not
+            # leave an empty junk table behind at REPLICA_PATH
+            print(json.dumps({"error": "sync-replica requires a merge-on-read "
+                                       "source table (changes feed)"}))
+            return 2
         if os.path.exists(os.path.join(args.sync_replica_to, "_CURRENT")):
             rep = SnapshotTable(spark, args.sync_replica_to)
         else:
