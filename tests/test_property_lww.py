@@ -113,3 +113,38 @@ def test_mor_matches_oracle_on_random_logs(spark, tmp_path_factory, case):
     want_full = reduce_changelog(pd.DataFrame(rows))
     want = want_full[["conv_id", "turn_idx", "role", "text", "tool"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_changelog(), st.sets(st.sampled_from(["role", "text", "tool", "ts", "lsn"])))
+def test_projected_read_matches_full_on_random_logs(
+    spark, tmp_path_factory, case, cols
+):
+    """read(columns=C) must equal read().select(key ∪ C) for ANY column
+    subset on ANY adversarial log under merge-on-read — winner selection
+    with unscanned payload columns stays exact (dup deliveries, ts ties,
+    deletes included)."""
+    rows, split = case
+    tmpdir = str(tmp_path_factory.mktemp("projprop"))
+    tbl = create_transcripts_table(spark, tmpdir + "/t", n_buckets=2, mode="mor")
+    colddl = (
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp_ntz"
+    )
+    epochs = [rows[:split], rows[split:]]
+    for i, ep in enumerate(epochs):
+        if ep:
+            apply_changes(
+                tbl,
+                spark.createDataFrame([tuple(r.values()) for r in ep], colddl),
+                i,
+            )
+    proj = tbl.read(columns=sorted(cols))
+    expect = tbl.read().select(*proj.columns)
+    got = sorted(map(tuple, proj.collect()))
+    want = sorted(map(tuple, expect.collect()))
+    assert got == want
