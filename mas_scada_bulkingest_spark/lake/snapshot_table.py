@@ -2447,7 +2447,10 @@ class SnapshotTable(LakeTable):
 
     # ----------------------------------------------------------- maintenance
     def vacuum(
-        self, retain_versions: int = 1, older_than_secs: float | None = None
+        self,
+        retain_versions: int = 1,
+        older_than_secs: float | None = None,
+        dry_run: bool = False,
     ) -> int:
         """Delete data files no longer referenced by recent snapshots.
 
@@ -2466,6 +2469,10 @@ class SnapshotTable(LakeTable):
         referenced by a staged-but-unpublished WAP epoch are never orphans
         (an audit in flight must survive a concurrent vacuum).
         Single-writer assumption: do not run concurrently with a merge.
+
+        ``dry_run=True`` (the Delta ``VACUUM … DRY RUN`` analog) reports
+        the parquet-file count that WOULD be deleted without touching
+        disk — snapshots included (none expire).
         """
         snap_dir = os.path.join(self.path, "snapshots")
         versions = sorted(
@@ -2517,13 +2524,15 @@ class SnapshotTable(LakeTable):
                     full = os.path.join(root, fn)
                     rel = os.path.relpath(full, self.path)
                     if rel not in referenced:  # parquet or _SUCCESS markers
-                        os.remove(full)
+                        if not dry_run:
+                            os.remove(full)
                         deleted += 1 if fn.endswith(".parquet") else 0
-                if root != base and not os.listdir(root):
+                if not dry_run and root != base and not os.listdir(root):
                     os.rmdir(root)
-        for v in versions:
-            if v not in keep_versions:
-                os.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
+        if not dry_run:
+            for v in versions:
+                if v not in keep_versions:
+                    os.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
         return deleted
 
     def purge_tombstones(self, before_lsn: int | None = None) -> int:
@@ -3052,7 +3061,12 @@ class SnapshotTable(LakeTable):
             "gave up committing key purge after 10 rebase attempts"
         )
 
-    def compact(self, max_files: int = 8, cluster_files: int = 1) -> int:
+    def compact(
+        self,
+        max_files: int = 8,
+        cluster_files: int = 1,
+        buckets: list[int] | None = None,
+    ) -> int:
         """Merge-on-read maintenance: rewrite every bucket holding more than
         ``max_files`` files into ONE LWW-collapsed file per bucket
         (tombstones retained — ``purge_tombstones`` owns their removal).
@@ -3094,11 +3108,17 @@ class SnapshotTable(LakeTable):
         meantime (another compaction, a vacuum) is skipped — its rewrite
         simply didn't happen; the next pass picks it up. Returns the number
         of buckets whose compaction committed.
+
+        ``buckets=[…]`` restricts the pass to those buckets (the Delta
+        ``OPTIMIZE … WHERE`` analog) — an operator reading the
+        ``partitions()`` dashboard compacts the one overdue bucket
+        without touching the rest of a 4096-bucket table.
         """
+        sel = None if buckets is None else {int(b) for b in buckets}
         targets = sorted(
             int(b)
             for b, files in self._snapshot["buckets"].items()
-            if len(files) > max_files
+            if len(files) > max_files and (sel is None or int(b) in sel)
         )
         if not targets:
             return 0
@@ -3466,6 +3486,14 @@ class SnapshotTable(LakeTable):
         self._write_snapshot(snap, operation="restore")
         self._snapshot = snap
         return int(snap["version"])
+
+    def restore_to_timestamp(self, ts) -> int:
+        """``RESTORE TABLE … TO TIMESTAMP AS OF`` analog: roll back to the
+        latest snapshot committed at or before ``ts`` (same resolution
+        rule as :meth:`at_timestamp`), as a new commit via
+        :meth:`restore` — all of restore's contracts (epoch-log rewind,
+        feed exclusions, replayability) apply unchanged."""
+        return self.restore(int(self.at_timestamp(ts)._snapshot["version"]))
 
     def drop_column(self, name: str) -> int:
         """Drop a value column from the table schema — the Iceberg

@@ -169,3 +169,21 @@ def test_cluster_degrades_gracefully_without_stats(spark, tmpdir_path):
     assert tbl.compact(max_files=0, cluster_files=4) > 0
     assert_frames_equal(_pdf(tbl.read()), before)
     assert len(tbl._snapshot["buckets"][some_bucket]) == 1
+
+
+def test_compact_bucket_filter(spark, tmpdir_path):
+    """compact(buckets=[…]) — OPTIMIZE WHERE analog: only the selected
+    overdue bucket rewrites; the other buckets keep their exact file
+    lists."""
+    tbl = _build(spark, tmpdir_path + "/t", n_days=4)
+    over = sorted(
+        int(b) for b, fs in tbl._snapshot["buckets"].items() if len(fs) > 1
+    )
+    assert len(over) >= 2  # needs at least two overdue buckets to matter
+    target, untouched = over[0], over[1]
+    before_untouched = list(tbl._snapshot["buckets"][str(untouched)])
+    before = sorted(map(tuple, tbl.read().collect()))
+    assert tbl.compact(max_files=1, buckets=[target]) == 1
+    assert tbl._snapshot["buckets"][str(untouched)] == before_untouched
+    assert len(tbl._snapshot["buckets"][str(target)]) == 1
+    assert sorted(map(tuple, tbl.read().collect())) == before
