@@ -78,6 +78,8 @@ def main(argv: list[str] | None = None) -> int:
                         "(requires --checkpoint-dir; use the availableNow "
                         "drain for batch semantics)")
     p.add_argument("--vacuum", action="store_true", help="clean superseded epoch files after run")
+    p.add_argument("--vacuum-dry-run", action="store_true",
+                   help="report how many files --vacuum WOULD reclaim, delete nothing, and exit")
     p.add_argument("--vacuum-retain", type=int, default=1, metavar="N",
                    help="with --vacuum: keep the last N snapshot versions (default 1)")
     p.add_argument("--vacuum-older-than", type=float, default=None, metavar="SECS",
@@ -239,6 +241,16 @@ def main(argv: list[str] | None = None) -> int:
             "synced_to_epoch": rep.last_committed_epoch,
             "was_current": st is None,
         }))
+        return 0
+
+    if args.vacuum_dry_run:
+        tbl = SnapshotTable(spark, args.table_path)
+        n = tbl.vacuum(
+            retain_versions=args.vacuum_retain,
+            older_than_secs=args.vacuum_older_than,
+            dry_run=True,
+        )
+        print(json.dumps({"would_reclaim_files": n}))
         return 0
 
     if args.show_files or args.show_partitions:
