@@ -95,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="catch the replica table at REPLICA_PATH up to this table's "
                         "committed state via the changes feed (one exactly-once "
                         "merge; creates the replica if absent) and exit")
+    p.add_argument("--show-history", action="store_true",
+                   help="print the history() metadata table (one row per retained "
+                        "snapshot: version/parent/operation/bytes) and exit")
     p.add_argument("--show-files", action="store_true",
                    help="print the files() metadata table (Iceberg <table>.files "
                         "analog: per-file origin/bytes/records/skip-bounds) and exit")
@@ -253,9 +256,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"would_reclaim_files": n}))
         return 0
 
-    if args.show_files or args.show_partitions:
+    if args.show_files or args.show_partitions or args.show_history:
         tbl = SnapshotTable(spark, args.table_path)
-        df = tbl.files() if args.show_files else tbl.partitions()
+        df = (
+            tbl.files()
+            if args.show_files
+            else tbl.partitions() if args.show_partitions else tbl.history()
+        )
         print(json.dumps([r.asDict() for r in df.collect()], indent=2))
         return 0
 
