@@ -1659,6 +1659,88 @@ SELECT doc_id, lang, n_chars, n_tokens, n_bpe_tokens, n_stopwords,
 FROM base
 """
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style filter CASCADE: the per-document keep/drop decision a
+    pretraining pipeline makes, composing the suite's quality signals into
+    one auditable row per document — language gate (the ``lang_id``
+    heuristic), token-length bounds, stopword-ratio floor, and a
+    chars-per-token sanity band. ``reasons`` lists every tripped gate (a
+    deterministic comma-joined string, so the audit is engine-portable);
+    ``keep`` is the conjunction. All gates are pure column expressions over
+    ONE scan — zero shuffles, zero per-row Python; at 100 TB the cascade is
+    a map-only pass whose output feeds ``corpus_split`` / ``corpus_mixture``
+    downstream. Thresholds are calibrated so every gate trips on the
+    synthetic corpus (see the distribution probe in the oracle); the SHAPE
+    is threshold-independent.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_the = F.size(F.expr(r"regexp_extract_all(text, '\\bthe\\b', 0)"))
+    n_a = F.size(F.expr(r"regexp_extract_all(text, '\\ba\\b', 0)"))
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_tokens = F.size(toks)
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    n_stop = F.expr(
+        f"size(filter(split(trim(text), ' '), t -> array_contains({stop_arr}, t)))"
+    )
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    cpt = F.length("text").cast("double") / n_tokens.cast("double")
+    gates = [
+        ("bad_lang", ~(n_the > n_a)),
+        ("too_short", n_tokens < F.lit(20)),
+        ("too_long", n_tokens > F.lit(90)),
+        ("low_stopword", stop_ratio < F.lit(0.03)),
+        ("weird_tokens", cpt > F.lit(6.0)),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in gates]
+    )
+    keep = F.lit(True)
+    for _name, cond in gates:
+        keep = keep & ~cond
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        cpt.alias("chars_per_token"),
+        reasons.alias("reasons"),
+        keep.alias("keep"),
+    )
+
+
+_SQL_CORPUS_FILTER = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\bthe\\b')) AS n_the,
+         len(regexp_extract_all(text, '\\ba\\b')) AS n_a,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(trim(text), ' '),
+             t -> t IN ({", ".join(f"'{w}'" for w in _STOPWORDS)}))) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+), g AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+         CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token,
+         NOT (n_the > n_a) AS bad_lang,
+         n_tokens < 20 AS too_short,
+         n_tokens > 90 AS too_long,
+         CAST(n_stop AS DOUBLE) / n_tokens < 0.03 AS low_stopword,
+         CAST(n_chars AS DOUBLE) / n_tokens > 6.0 AS weird_tokens
+  FROM s
+)
+SELECT doc_id, n_tokens, stopword_ratio, chars_per_token,
+       concat_ws(',',
+         CASE WHEN bad_lang THEN 'bad_lang' END,
+         CASE WHEN too_short THEN 'too_short' END,
+         CASE WHEN too_long THEN 'too_long' END,
+         CASE WHEN low_stopword THEN 'low_stopword' END,
+         CASE WHEN weird_tokens THEN 'weird_tokens' END) AS reasons,
+       NOT (bad_lang OR too_short OR too_long OR low_stopword OR weird_tokens) AS keep
+FROM g
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # text analysis: document fingerprinting
 # ---------------------------------------------------------------------------
@@ -2573,6 +2655,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "lang_id": (q_lang_id, _SQL_LANG_ID),
     "text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),
+    "corpus_filter": (q_corpus_filter, _SQL_CORPUS_FILTER),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "text_repetition": (q_text_repetition, _SQL_TEXT_REPETITION),
     "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
