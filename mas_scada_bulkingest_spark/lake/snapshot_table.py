@@ -2472,7 +2472,11 @@ class SnapshotTable(LakeTable):
 
         ``dry_run=True`` (the Delta ``VACUUM … DRY RUN`` analog) reports
         the parquet-file count that WOULD be deleted without touching
-        disk — snapshots included (none expire).
+        disk — snapshots included (none expire). The report is exact for
+        a real pass with the same arguments at the same instant; with
+        ``older_than_secs`` the age horizon moves with the wall clock, so
+        a later real pass may expire more (never fewer) snapshots than
+        the dry run saw.
         """
         snap_dir = os.path.join(self.path, "snapshots")
         versions = sorted(
@@ -3111,14 +3115,25 @@ class SnapshotTable(LakeTable):
 
         ``buckets=[…]`` restricts the pass to those buckets (the Delta
         ``OPTIMIZE … WHERE`` analog) — an operator reading the
-        ``partitions()`` dashboard compacts the one overdue bucket
-        without touching the rest of a 4096-bucket table.
+        ``partitions()`` dashboard compacts the one flagged bucket
+        without touching the rest of a 4096-bucket table. An EXPLICIT
+        selection overrides the ``max_files`` threshold (any selected
+        bucket with more than one file rewrites — "compact this bucket"
+        must not silently no-op below the background threshold), and an
+        unknown bucket id raises rather than returning 0.
         """
         sel = None if buckets is None else {int(b) for b in buckets}
+        if sel is not None:
+            unknown = sel - {int(b) for b in self._snapshot["buckets"]}
+            if unknown:
+                raise ValueError(
+                    f"compact(buckets=…): unknown bucket id(s) {sorted(unknown)}"
+                )
+        threshold = max_files if sel is None else 1
         targets = sorted(
             int(b)
             for b, files in self._snapshot["buckets"].items()
-            if len(files) > max_files and (sel is None or int(b) in sel)
+            if len(files) > threshold and (sel is None or int(b) in sel)
         )
         if not targets:
             return 0

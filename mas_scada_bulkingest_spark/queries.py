@@ -1623,14 +1623,34 @@ FROM scored GROUP BY 1, 2
 _STOPWORDS = ("the", "a", "of", "and")
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), " ")
-    n_tokens = F.size(toks)
+def _n_tokens_expr():
+    """Whitespace token count — ONE definition shared by every consumer
+    (quality scoring AND the filter cascade that composes it), so a
+    tokenization tweak can never diverge the keep/drop decisions from the
+    quality scores they claim to be built on."""
+    return F.size(F.split(F.trim(F.col("text")), " "))
+
+
+def _n_stopwords_expr():
     stop_arr = "array(" + ",".join(f"'{s}'" for s in _STOPWORDS) + ")"
-    n_stop = F.expr(
+    return F.expr(
         f"size(filter(split(trim(text), ' '), t -> array_contains({stop_arr}, t)))"
     )
+
+
+#: DuckDB mirrors of the two expressions above (same single-definition rule)
+_SQL_N_TOKENS = "len(string_split(trim(text), ' '))"
+_SQL_N_STOPWORDS = (
+    "len(list_filter(string_split(trim(text), ' '), t -> t IN ("
+    + ", ".join(f"'{s}'" for s in _STOPWORDS)
+    + ")))"
+)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = _n_tokens_expr()
+    n_stop = _n_stopwords_expr()
     bpe_tokens = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"))
     return d.select(
         "doc_id",
@@ -1647,10 +1667,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TEXT_QUALITY = f"""
 WITH base AS (
   SELECT doc_id, lang, length(text) AS n_chars,
-         len(string_split(trim(text), ' ')) AS n_tokens,
+         {_SQL_N_TOKENS} AS n_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-         len(list_filter(string_split(trim(text), ' '),
-             t -> t IN ({", ".join(f"'{s}'" for s in _STOPWORDS)}))) AS n_stopwords
+         {_SQL_N_STOPWORDS} AS n_stopwords
   FROM documents
 )
 SELECT doc_id, lang, n_chars, n_tokens, n_bpe_tokens, n_stopwords,
@@ -1676,12 +1695,8 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     n_the = F.size(F.expr(r"regexp_extract_all(text, '\\bthe\\b', 0)"))
     n_a = F.size(F.expr(r"regexp_extract_all(text, '\\ba\\b', 0)"))
-    toks = F.split(F.trim(F.col("text")), " ")
-    n_tokens = F.size(toks)
-    stop_arr = "array(" + ",".join(f"'{w}'" for w in _STOPWORDS) + ")"
-    n_stop = F.expr(
-        f"size(filter(split(trim(text), ' '), t -> array_contains({stop_arr}, t)))"
-    )
+    n_tokens = _n_tokens_expr()
+    n_stop = _n_stopwords_expr()
     stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
     cpt = F.length("text").cast("double") / n_tokens.cast("double")
     gates = [
@@ -1712,9 +1727,8 @@ WITH s AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '\\bthe\\b')) AS n_the,
          len(regexp_extract_all(text, '\\ba\\b')) AS n_a,
-         len(string_split(trim(text), ' ')) AS n_tokens,
-         len(list_filter(string_split(trim(text), ' '),
-             t -> t IN ({", ".join(f"'{w}'" for w in _STOPWORDS)}))) AS n_stop,
+         {_SQL_N_TOKENS} AS n_tokens,
+         {_SQL_N_STOPWORDS} AS n_stop,
          length(text) AS n_chars
   FROM documents
 ), g AS (

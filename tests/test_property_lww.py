@@ -144,7 +144,14 @@ def test_projected_read_matches_full_on_random_logs(
                 i,
             )
     proj = tbl.read(columns=sorted(cols))
-    expect = tbl.read().select(*proj.columns)
+    # output-schema contract: key ∪ requested, in table-schema order
+    want_cols = [
+        f.name
+        for f in tbl.schema.fields
+        if f.name in ({"conv_id", "turn_idx"} | cols)
+    ]
+    assert proj.columns == want_cols
+    expect = tbl.read().select(*want_cols)
     got = sorted(map(tuple, proj.collect()))
     want = sorted(map(tuple, expect.collect()))
     assert got == want

@@ -161,14 +161,14 @@ def test_restore_to_timestamp(spark, tmpdir_path):
     """RESTORE … TIMESTAMP AS OF sugar: resolves through at_timestamp's
     rule (latest snapshot committed at or before ts) and applies restore's
     full contract."""
-    import time as _time
+    import time
 
     tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=2, mode="mor")
     rows0 = [(1, "update", "c1", 0, "u", "a", None, datetime(2024, 1, 1))]
     apply_changes(tbl, spark.createDataFrame(rows0, _COLS), epoch_id=0)
     stamp = tbl._snapshot["committed_at"]
     state_v1 = sorted(map(tuple, tbl.read().collect()))
-    _time.sleep(0.05)
+    time.sleep(0.05)
     rows1 = [(2, "update", "c1", 0, "u", "b", None, datetime(2024, 1, 2))]
     apply_changes(tbl, spark.createDataFrame(rows1, _COLS), epoch_id=1)
     assert sorted(map(tuple, tbl.read().collect())) != state_v1

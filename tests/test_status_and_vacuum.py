@@ -81,18 +81,16 @@ def test_vacuum_dry_run(spark, tmpdir_path):
     """VACUUM DRY RUN analog: reports the reclaimable parquet count,
     deletes nothing (files AND snapshots untouched); the real pass then
     deletes exactly that count."""
-    import glob as _glob
-
     tbl = create_transcripts_table(spark, tmpdir_path + "/t", n_buckets=2, mode="mor")
     for e in range(3):
         rows = [(10 * e + i, "update", f"c{i}", 0, "u", "x", None,
                  datetime(2024, 1, 1, e, 0, i)) for i in range(4)]
         apply_changes(tbl, spark.createDataFrame(rows, _COLS), e)
     tbl.compact(max_files=1)  # supersede the delta files
-    before_files = set(_glob.glob(tmpdir_path + "/t/data/**/*.parquet", recursive=True))
+    before_files = set(glob.glob(tmpdir_path + "/t/data/**/*.parquet", recursive=True))
     before_versions = tbl.versions()
     would = tbl.vacuum(retain_versions=1, dry_run=True)
     assert would > 0
-    assert set(_glob.glob(tmpdir_path + "/t/data/**/*.parquet", recursive=True)) == before_files
+    assert set(glob.glob(tmpdir_path + "/t/data/**/*.parquet", recursive=True)) == before_files
     assert tbl.versions() == before_versions
     assert tbl.vacuum(retain_versions=1) == would
