@@ -2254,6 +2254,57 @@ FROM asm
 
 
 #: name -> (spark_fn, oracle_sql | None)
+def q_cdc_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned join of the replayed facts table with its
+    CDC-maintained rollup (``operators/colocated.colocated_join``): both
+    tables bucket on conv_id with the same bucket count, so every turn row
+    joins its conversation's rollup INSIDE its own bucket task — zero
+    Exchange on either side (plan regression-pinned in
+    tests/test_colocated.py; at 100 TB this is the large × large join that
+    broadcast cannot serve and a plain join would double-shuffle). The
+    rollup side is maintained incrementally off the changes feed
+    (``refresh_rollup``), so this entry proves the whole cascade: binlog
+    replay → derived maintenance → exchange-free co-located read. Oracle:
+    DuckDB recomputes the LWW final state AND the per-conversation
+    aggregate from the raw changelog and joins them."""
+    from .operators.colocated import colocated_join
+
+    source = _replayed_table(spark, sf_dir, epoching="blocked")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_spj_", dir=base)
+    rollup = create_conversation_rollup(spark, os.path.join(work, "rollup"))
+    refresh_rollup(source, rollup)
+    return colocated_join(
+        source,
+        rollup,
+        on=["conv_id"],
+        select_left=["turn_idx", "text"],
+        select_right=["live_turns", "total_chars"],
+    )
+
+
+_SQL_CDC_COLOCATED_JOIN = f"""
+WITH {_SQL_CHANGES},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  ),
+  final AS (
+    SELECT conv_id, turn_idx, text FROM ranked
+    WHERE rn = 1 AND op <> 'delete'
+  ),
+  rollup AS (
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT)                       AS live_turns,
+           CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
+    FROM final GROUP BY conv_id
+  )
+SELECT f.conv_id, f.turn_idx, f.text, r.live_turns, r.total_chars
+FROM final f JOIN rollup r USING (conv_id)
+"""
+
+
 CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_replay_state": (q_cdc_replay_state, _SQL_CDC_REPLAY_STATE),
     "cdc_replay_state_cow": (q_cdc_replay_state_cow, _SQL_CDC_REPLAY_STATE),
@@ -2289,4 +2340,5 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_scd2_history": (q_cdc_scd2_history, _SQL_CDC_SCD2_HISTORY),
     "cdc_sparse_state": (q_cdc_sparse_state, _SQL_CDC_SPARSE_STATE),
     "conversation_assembly": (q_conversation_assembly, _SQL_CONVERSATION_ASSEMBLY),
+    "cdc_colocated_join": (q_cdc_colocated_join, _SQL_CDC_COLOCATED_JOIN),
 }

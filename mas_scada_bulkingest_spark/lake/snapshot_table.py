@@ -1044,6 +1044,58 @@ class SnapshotTable(LakeTable):
                     df = df.withColumnRenamed(o, new)
         return df
 
+    def _collapsed_branch(
+        self,
+        group: tuple[int, list[str]],
+        storage: T.StructType,
+        with_bucket_col: bool = False,
+    ) -> DataFrame:
+        """One bucket group's exchange-free LWW branch::
+
+            Scan(bucket files) -> Project -> Coalesce(1) -> HashAggregate
+
+        The building block of :meth:`_read_collapsed_local` (see its
+        docstring for why SinglePartition output defeats the Exchange) —
+        also consumed directly by :func:`~..operators.colocated
+        .colocated_join`, which joins two tables' aligned branches inside
+        one task. Tombstone rows are KEPT (callers filter)."""
+        b, files = group
+        # Explicit snapshot schema, NOT mergeSchema: the snapshot already
+        # holds the authoritative merged schema, and per-branch
+        # mergeSchema inference would run one footer-merge job per bucket
+        # serially on the driver (measured 3x slower than the global
+        # collapse at 32 buckets). Files predating an additive column —
+        # or predating tombstones — read NULL for it, which the coalesce
+        # below normalizes; files predating a rename_column resolve
+        # through _alias_read's name coalesce.
+        df = self._alias_read(files, storage)
+        df = df.withColumn(
+            _TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False))
+        )
+        # _tombstone is an explicit FINAL order key, not a carried
+        # column: on an exact (ts, lsn) tie the tombstone must win —
+        # the same tiebreak _classify_changes documents. Ordinary
+        # re-deliveries tie only between identical rows (LSNs are
+        # unique per event) so this changes nothing for them; it is
+        # load-bearing for delete_where, whose synthesized tombstones
+        # carry the deleted row's own order tuple and must keep
+        # beating stale re-deliveries of exactly that version. As a
+        # carried column the tombstone would LOSE the tie instead:
+        # struct comparison reaches the payload columns first, and
+        # NULL (the tombstone's payload) sorts below any value.
+        collapsed = collapse_lww(
+            df.coalesce(1),
+            keys=self.key,
+            order=[*self.order, _TOMBSTONE],
+        )
+        if with_bucket_col:
+            # recompute from the key (not a branch literal) so a branch
+            # holding several grouped buckets still tags rows correctly
+            collapsed = collapsed.withColumn(
+                "_bucket", _bucket_expr(list(self.key)[0], self.n_buckets)
+            )
+        return collapsed
+
     def _read_collapsed_local(
         self,
         buckets: list[int] | None = None,
@@ -1101,42 +1153,7 @@ class SnapshotTable(LakeTable):
         storage = self._storage_schema(project)
 
         def _branch(group: tuple[int, list[str]]) -> DataFrame:
-            b, files = group
-            # Explicit snapshot schema, NOT mergeSchema: the snapshot already
-            # holds the authoritative merged schema, and per-branch
-            # mergeSchema inference would run one footer-merge job per bucket
-            # serially on the driver (measured 3x slower than the global
-            # collapse at 32 buckets). Files predating an additive column —
-            # or predating tombstones — read NULL for it, which the coalesce
-            # below normalizes; files predating a rename_column resolve
-            # through _alias_read's name coalesce.
-            df = self._alias_read(files, storage)
-            df = df.withColumn(
-                _TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False))
-            )
-            # _tombstone is an explicit FINAL order key, not a carried
-            # column: on an exact (ts, lsn) tie the tombstone must win —
-            # the same tiebreak _classify_changes documents. Ordinary
-            # re-deliveries tie only between identical rows (LSNs are
-            # unique per event) so this changes nothing for them; it is
-            # load-bearing for delete_where, whose synthesized tombstones
-            # carry the deleted row's own order tuple and must keep
-            # beating stale re-deliveries of exactly that version. As a
-            # carried column the tombstone would LOSE the tie instead:
-            # struct comparison reaches the payload columns first, and
-            # NULL (the tombstone's payload) sorts below any value.
-            collapsed = collapse_lww(
-                df.coalesce(1),
-                keys=self.key,
-                order=[*self.order, _TOMBSTONE],
-            )
-            if with_bucket_col:
-                # recompute from the key (not a branch literal) so a branch
-                # holding several grouped buckets still tags rows correctly
-                collapsed = collapsed.withColumn(
-                    "_bucket", _bucket_expr(list(self.key)[0], self.n_buckets)
-                )
-            return collapsed
+            return self._collapsed_branch(group, storage, with_bucket_col)
 
         # Branch construction is pure driver-side plan building (~0.1 s per
         # bucket: reader resolution + file-index listing over py4j), so build
