@@ -153,6 +153,13 @@ def main(argv: list[str] | None = None) -> int:
                         "(Delta DELETE WHERE analog; stale re-deliveries of "
                         "deleted versions keep losing, newer updates "
                         "resurrect) and exit")
+    p.add_argument("--update-where", nargs="+", metavar="ARG",
+                   help="patch all live rows matching a SQL predicate "
+                        "(Delta UPDATE SET WHERE analog): first arg is the "
+                        "predicate, the rest are COL=EXPR assignments "
+                        "evaluated against the pre-update row; patched rows "
+                        "keep their own (ts, lsn) so stale re-deliveries "
+                        "keep losing and newer updates overwrite; exits")
     p.add_argument("--add-generated-column", nargs=2, metavar=("NAME", "EXPR"),
                    help="register a generated column (Delta GENERATED ALWAYS "
                         "AS analog; empty table only; batches omitting it get "
@@ -326,6 +333,23 @@ def main(argv: list[str] | None = None) -> int:
         tbl = SnapshotTable(spark, args.table_path)
         n = tbl.delete_where(args.delete_where)
         print(json.dumps({"deleted_rows": n, "predicate": args.delete_where,
+                          "version": tbl._snapshot["version"]}))
+        return 0
+
+    if args.update_where:
+        if len(args.update_where) < 2:
+            p.error("--update-where needs PREDICATE plus >=1 COL=EXPR")
+        predicate, *assigns = args.update_where
+        set_exprs = {}
+        for a in assigns:
+            if "=" not in a:
+                p.error(f"--update-where assignment {a!r} is not COL=EXPR")
+            c, e = a.split("=", 1)
+            set_exprs[c.strip()] = e.strip()
+        tbl = SnapshotTable(spark, args.table_path)
+        n = tbl.update_where(predicate, set_exprs)
+        print(json.dumps({"updated_rows": n, "predicate": predicate,
+                          "set": set_exprs,
                           "version": tbl._snapshot["version"]}))
         return 0
 

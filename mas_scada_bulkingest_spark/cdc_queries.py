@@ -2254,6 +2254,77 @@ FROM asm
 
 
 #: name -> (spark_fn, oracle_sql | None)
+_UPDATE_WHERE_CACHE: dict[str, str] = {}
+
+
+def q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate update + late-data semantics end-to-end
+    (``SnapshotTable.update_where`` — the Delta ``UPDATE … SET … WHERE``
+    analog; the backfill/repair op the reference has no word for). The
+    block-epoched changelog replays, then ``update_where("turn_idx = 5",
+    {"text": upper(text)})`` patches the matching live rows KEEPING their
+    own order tuples (merge-on-read: a ``_patched`` layer append, zero
+    bucket rewrite), then one more epoch delivers the two late-data cases
+    the op's contract is about: every patched row with odd lsn
+    RE-DELIVERED VERBATIM (stale — the equal-order patch must keep
+    winning, which exercises the read collapse's patch-layer tiebreak)
+    and every patched row with even lsn re-sent with ts + 1 hour and new
+    text (genuinely newer — must overwrite the patch, Delta's
+    UPDATE-then-upsert behavior).
+
+    Output: the final live state. The oracle derives it declaratively:
+    turn 5 winners with odd lsn uppercased, with even lsn 'overwrote',
+    everything else unchanged.
+    """
+    ck = os.path.normpath(sf_dir)
+    if ck not in _UPDATE_WHERE_CACHE:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work = tempfile.mkdtemp(prefix="cdc_updw_", dir=base)
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(work, "t"),
+            TRANSCRIPT_SCHEMA,
+            n_buckets=8,
+            mode="mor",
+        )
+        changes = _events_changelog(spark, sf_dir)
+        epoch_of = F.pmod(F.floor(F.col("lsn") / F.lit(8)), F.lit(_N_EPOCHS))
+        for e in range(_N_EPOCHS):
+            apply_changes(table, changes.filter(epoch_of == e), epoch_id=e)
+        table.update_where("turn_idx = 5", {"text": "upper(text)"})
+        winners = collapse_lww(changes).filter(F.col("op") != "delete")
+        t5 = winners.filter(F.col("turn_idx") == 5)
+        stale = t5.filter(F.col("lsn") % 2 == 1)
+        overwrite = (
+            t5.filter(F.col("lsn") % 2 == 0)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+            .withColumn("text", F.lit("overwrote"))
+        )
+        apply_changes(
+            table, stale.unionByName(overwrite), epoch_id=_N_EPOCHS
+        )
+        _UPDATE_WHERE_CACHE[ck] = table.path
+    table = SnapshotTable(spark, _UPDATE_WHERE_CACHE[ck])
+    return table.read().select("conv_id", "turn_idx", "lsn", "text")
+
+
+_SQL_CDC_UPDATE_WHERE = f"""
+WITH {_SQL_CHANGES_BLOCKED},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  ),
+  live AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       CAST(lsn AS BIGINT) AS lsn,
+       CASE WHEN turn_idx = 5 AND lsn % 2 = 0 THEN 'overwrote'
+            WHEN turn_idx = 5 THEN upper(text)
+            ELSE text END AS text
+FROM live
+"""
+
+
 def q_cdc_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-partitioned join of the replayed facts table with its
     CDC-maintained rollup (``operators/colocated.colocated_join``): both
@@ -2341,4 +2412,5 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "cdc_sparse_state": (q_cdc_sparse_state, _SQL_CDC_SPARSE_STATE),
     "conversation_assembly": (q_conversation_assembly, _SQL_CONVERSATION_ASSEMBLY),
     "cdc_colocated_join": (q_cdc_colocated_join, _SQL_CDC_COLOCATED_JOIN),
+    "cdc_update_where": (q_cdc_update_where, _SQL_CDC_UPDATE_WHERE),
 }

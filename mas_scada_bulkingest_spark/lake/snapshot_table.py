@@ -79,6 +79,21 @@ _CURRENT = "_CURRENT"
 #: no delete concept at all; SURVEY.md §7.5). ``read()`` hides tombstones.
 _TOMBSTONE = "_tombstone"
 
+#: patch-layer sequence for ``update_where`` rewrites (merge-on-read): an
+#: in-place UPDATE keeps the row's OWN order tuple (a maintenance op must
+#: not fabricate source LSNs), so the patched row TIES with the original
+#: base row — and with any stale re-delivery of exactly that version — on
+#: every LWW order column. ``_patched`` breaks those ties as an explicit
+#: FINAL order key (after ``_tombstone``, which must keep beating patches):
+#: patch layer k+1 beats layer k beats the unpatched row beats a verbatim
+#: re-delivery (which arrives with no patch mark), while any genuinely
+#: NEWER upstream change still wins on (ts, lsn) first — Delta's
+#: UPDATE-then-upsert behavior under late data. Plain rows never carry the
+#: column (reads coalesce NULL -> 0); CoW needs none of this (its rewrite
+#: replaces the row in place and the merge's strict incoming > existing
+#: comparison already makes an equal-order re-delivery lose).
+_PATCHED = "_patched"
+
 
 #: verdict codes carried per row through the merge plan (ints, not strings:
 #: the CoW lineage observe evaluates O(buckets x verdicts) comparisons per
@@ -339,6 +354,7 @@ def _changes_file_map(
 _ORIGIN_OPS = {
     "epoch=": "merge",
     "deletewhere": "delete_where",
+    "updatewhere": "update_where",
     "compact": "compact",
     "rebucket": "rebucket",
     "purge": "purge_tombstones",
@@ -984,7 +1000,11 @@ class SnapshotTable(LakeTable):
         if project is not None:
             fields = [f for f in fields if f.name in project]
         return T.StructType(
-            fields + [T.StructField(_TOMBSTONE, T.BooleanType())]
+            fields
+            + [
+                T.StructField(_TOMBSTONE, T.BooleanType()),
+                T.StructField(_PATCHED, T.LongType()),
+            ]
         )
 
     def _alias_read(self, files: list[str], pinned: T.StructType) -> DataFrame:
@@ -1071,22 +1091,24 @@ class SnapshotTable(LakeTable):
         df = self._alias_read(files, storage)
         df = df.withColumn(
             _TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False))
-        )
-        # _tombstone is an explicit FINAL order key, not a carried
-        # column: on an exact (ts, lsn) tie the tombstone must win —
-        # the same tiebreak _classify_changes documents. Ordinary
-        # re-deliveries tie only between identical rows (LSNs are
-        # unique per event) so this changes nothing for them; it is
-        # load-bearing for delete_where, whose synthesized tombstones
-        # carry the deleted row's own order tuple and must keep
-        # beating stale re-deliveries of exactly that version. As a
-        # carried column the tombstone would LOSE the tie instead:
-        # struct comparison reaches the payload columns first, and
-        # NULL (the tombstone's payload) sorts below any value.
+        ).withColumn(_PATCHED, F.coalesce(F.col(_PATCHED), F.lit(0)))
+        # _tombstone and _patched are explicit FINAL order keys, not
+        # carried columns: on an exact (ts, lsn) tie the tombstone must
+        # win, then the highest patch layer — the same tiebreaks
+        # _classify_changes documents. Ordinary re-deliveries tie only
+        # between identical rows (LSNs are unique per event) so this
+        # changes nothing for them; it is load-bearing for delete_where
+        # and update_where, whose synthesized tombstones / patch rows
+        # carry the row's own order tuple and must keep beating stale
+        # re-deliveries of exactly that version. As carried columns they
+        # would LOSE the tie instead: struct comparison reaches the
+        # payload columns first, and NULL (a tombstone's payload) sorts
+        # below any value. _tombstone ranks before _patched so a delete
+        # of a patched row sticks.
         collapsed = collapse_lww(
             df.coalesce(1),
             keys=self.key,
-            order=[*self.order, _TOMBSTONE],
+            order=[*self.order, _TOMBSTONE, _PATCHED],
         )
         if with_bucket_col:
             # recompute from the key (not a branch literal) so a branch
@@ -1780,7 +1802,7 @@ class SnapshotTable(LakeTable):
                         int(b),
                         origin,
                         epoch,
-                        origin in ("epoch", "deletewhere"),
+                        origin in ("epoch", "deletewhere", "updatewhere"),
                         sizes.get(f),
                         recs.get(f),
                         str(st[0]) if st else None,
@@ -1822,7 +1844,7 @@ class SnapshotTable(LakeTable):
                 1
                 for f in files
                 if (f.split("/", 2)[1] if "/" in f else "").startswith(
-                    ("epoch=", "deletewhere-")
+                    ("epoch=", "deletewhere-", "updatewhere-")
                 )
             )
             file_recs = [recs.get(f) for f in files]
@@ -1930,7 +1952,9 @@ class SnapshotTable(LakeTable):
         # delta-file helper + drop_column'd names: retained files written
         # before a drop legitimately still carry the column (pruned by the
         # schema-pinned readers), so they are expected, not drift
-        helper_ok = {"_max_lsn"} | set(self._snapshot.get("dropped_columns", []))
+        helper_ok = {"_max_lsn", _PATCHED} | set(
+            self._snapshot.get("dropped_columns", [])
+        )
         drift = []
         for rel in referenced:
             if rel in missing_set:
@@ -2892,6 +2916,276 @@ class SnapshotTable(LakeTable):
             return n_deleted
         raise ConcurrentCommitError(
             "gave up committing delete_where after 10 rebase attempts"
+        )
+
+    def update_where(self, predicate: str, set_exprs: dict[str, str]) -> int:
+        """Ad-hoc predicate update — the Delta ``UPDATE … SET … WHERE``
+        analog (``update_where("role = 'user'", {"text": "upper(text)"})``),
+        the backfill/repair op every CDC deployment eventually needs
+        (fix a parser bug's output in place, redact a field) that the
+        reference (like its SCADA sources) has no word for. Matching LIVE
+        rows get the assignments applied **keeping the row's own order
+        tuple**: a maintenance rewrite must not fabricate source (ts, lsn)
+        — a verbatim stale re-delivery of the updated version must keep
+        losing, while any genuinely NEWER upstream change still wins and
+        overwrites the patch (Delta's UPDATE-then-upsert behavior under
+        late data).
+
+        Assignment right-hand sides are SQL expressions evaluated against
+        the PRE-update row (standard UPDATE semantics — ``{"a": "b",
+        "b": "a"}`` swaps), cast to the column's current type. Key, LWW
+        order, and generated columns refuse (generated columns recompute
+        from their expressions automatically when their sources change);
+        CHECK constraints are enforced in fail mode regardless of their
+        registered mode — an UPDATE that manufactures violations is an
+        operator error, there is no upstream to quarantine.
+
+        Physical — the same two strategies as :meth:`delete_where`:
+
+        * **MoR: patch-layer append.** The matched winners re-append with
+          the assignments applied and ``_patched`` = (previous patch
+          layer) + 1 — O(matched rows) written, ZERO bucket rewrite. The
+          read collapse orders by ``[*order, _tombstone, _patched]``, so
+          the patch beats the base row and any equal-order re-delivery,
+          a later patch beats an earlier one, and a tombstone (delete)
+          still beats every patch. ``compact()`` folds the layer and
+          PRESERVES the winner's patch seq, keeping the tie-break correct
+          against re-deliveries that arrive after compaction.
+        * **CoW: targeted rewrite.** Only matched buckets rewrite, rows
+          patched in place; no marker needed — the merge's strict
+          ``incoming > existing`` comparison already makes an equal-order
+          re-delivery lose.
+
+        Like ``delete_where`` this is maintenance, NOT a CDC event: the
+        changes feed does not emit patches (they live outside
+        ``data/epoch=``); time travel below the update shows the
+        original values until vacuum expires the version. NULL predicate
+        rows are kept unchanged (three-valued logic). Returns rows
+        updated (snapshot isolation, as of the count pass). Concurrency
+        matches delete_where: the MoR append rebases over any concurrent
+        commit; the CoW rewrite raises :class:`ConcurrentCommitError` if
+        an affected bucket was rewritten meanwhile.
+        """
+        try:
+            self.read().limit(0).select(F.expr(predicate).cast("boolean"))
+        except Exception as e:
+            raise ValueError(
+                f"update_where: predicate {predicate!r} does not resolve "
+                f"against the table schema as a boolean: {e}"
+            ) from None
+        if not set_exprs:
+            raise ValueError("update_where: empty assignment set")
+        key = list(self.key)
+        order = list(self.order)
+        gens = self._snapshot.get("generated_columns", {})
+        types = {f.name: f.dataType for f in self.schema.fields}
+        for c in set_exprs:
+            if c in key or c in order:
+                raise ValueError(
+                    f"update_where: {c!r} is a key/LWW-order column — "
+                    "updating it would move the row between buckets or "
+                    "rewrite its LWW identity; model that as a CDC "
+                    "delete + insert"
+                )
+            if c in gens:
+                raise ValueError(
+                    f"update_where: {c!r} is GENERATED ALWAYS AS "
+                    f"({gens[c]}); update its source columns instead"
+                )
+            if c not in types:
+                raise ValueError(f"update_where: unknown column {c!r}")
+        try:
+            self.read().limit(0).select(
+                *[F.expr(e).cast(types[c]) for c, e in set_exprs.items()]
+            )
+        except Exception as e:
+            raise ValueError(
+                f"update_where: an assignment expression does not resolve "
+                f"against the table schema: {e}"
+            ) from None
+        nb = self.n_buckets
+        if self.mode == "mor":
+            raw_all = self._read_collapsed_local(with_bucket_col=True)
+        else:
+            raw_all = self._read_raw()
+            if raw_all is not None:
+                raw_all = raw_all.withColumn(
+                    "_bucket", _bucket_expr(key[0], nb)
+                )
+        if raw_all is None:
+            return 0
+        hit = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)) & ~F.col(
+            _TOMBSTONE
+        )
+        per_bucket = (
+            raw_all.groupBy("_bucket")
+            .agg(F.sum(hit.cast("long")).alias("_hits"))
+            .filter(F.col("_hits") > 0)
+            .collect()
+        )  # bounded: <= n_buckets rows
+        if not per_bucket:
+            return 0
+        affected = sorted(int(r["_bucket"]) for r in per_bucket)
+        n_updated = int(sum(r["_hits"] for r in per_bucket))
+
+        def _patch_cols(df: DataFrame, hit_col) -> DataFrame:
+            """Apply assignments under ``hit_col`` (old-row context: every
+            RHS evaluates against df's pre-update columns in ONE select),
+            then recompute generated columns from the patched values."""
+            out = df.select(
+                *[
+                    (
+                        F.when(hit_col, F.expr(set_exprs[c]).cast(types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in set_exprs
+                        else F.col(c)
+                    )
+                    for c in df.columns
+                ],
+                hit_col.alias("_hit"),
+            )
+            for g, gexpr in gens.items():
+                out = out.withColumn(
+                    g,
+                    F.when(F.col("_hit"), F.expr(gexpr)).otherwise(F.col(g)),
+                )
+            return out
+
+        def _enforce_constraints(patched_rows: DataFrame) -> None:
+            """All registered constraints bind in fail mode (docstring)."""
+            _aug, flags, _helpers = self._constraint_checks(patched_rows)
+            if not flags:
+                return
+            counts = _aug.agg(
+                *[
+                    F.sum(F.when(v, 1).otherwise(0)).alias(n)
+                    for n, v in flags.items()
+                ]
+            ).first()
+            violations = {
+                n: int(counts[n] or 0) for n in flags if (counts[n] or 0) > 0
+            }
+            if violations:
+                raise ConstraintViolationError(
+                    f"update_where({predicate!r})", violations
+                )
+
+        if self.mode == "mor":
+            # ---- patch-layer append: rewrite nothing
+            raw = self._read_collapsed_local(
+                buckets=affected, with_bucket_col=True
+            )
+            patched = (
+                _patch_cols(raw, hit)
+                .filter(F.col("_hit"))
+                .drop("_hit")
+                .withColumn(
+                    _PATCHED, F.coalesce(F.col(_PATCHED), F.lit(0)) + F.lit(1)
+                )
+                .withColumn(_TOMBSTONE, F.lit(False))
+            )
+            _enforce_constraints(patched)
+            rel_dir = os.path.join(
+                "data", f"updatewhere-{uuid.uuid4().hex[:8]}"
+            )
+            out_dir = os.path.join(self.path, rel_dir)
+            patched.write.partitionBy("_bucket").mode("overwrite").parquet(
+                out_dir
+            )
+            appended: dict[str, list[str]] = {}
+            for entry in os.listdir(out_dir):
+                if not entry.startswith("_bucket="):
+                    continue
+                bval = entry.split("=", 1)[1]
+                files = [
+                    os.path.join(rel_dir, entry, fn)
+                    for fn in os.listdir(os.path.join(out_dir, entry))
+                    if fn.endswith(".parquet")
+                ]
+                if files:
+                    appended[bval] = files
+            for _attempt in range(10):
+                # pure append: LWW layering stays correct over whatever any
+                # concurrent commit did (a racing newer update outranks the
+                # patch on (ts, lsn); a racing stale one loses to it)
+                new_buckets = {
+                    k: list(f) for k, f in self._snapshot["buckets"].items()
+                }
+                for b, fs in appended.items():
+                    new_buckets[b] = new_buckets.get(b, []) + fs
+                snap = {
+                    **self._snapshot,
+                    "version": self._snapshot["version"] + 1,
+                    "buckets": new_buckets,
+                    "parent": self._snapshot["version"],
+                }
+                try:
+                    self._write_snapshot(snap, operation="update_where")
+                except ConcurrentCommitError:
+                    self._snapshot = self._read_current_snapshot()
+                    continue
+                self._snapshot = snap
+                return n_updated
+            raise ConcurrentCommitError(
+                "gave up committing update_where after 10 rebase attempts"
+            )
+        # ---- CoW: targeted bucket rewrite (patched in place, no marker)
+        inputs_by_bucket = {
+            str(b): set(self._snapshot["buckets"].get(str(b), []))
+            for b in affected
+        }
+        raw = self._read_raw(buckets=affected).withColumn(
+            "_bucket", _bucket_expr(key[0], nb)
+        )
+        rewritten = _patch_cols(raw, hit)
+        _enforce_constraints(rewritten.filter(F.col("_hit")))
+        rewritten = rewritten.drop("_hit")
+        rel_dir = os.path.join("data", f"updatewhere-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        rewritten.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        new_files_by_bucket: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            bval = entry.split("=", 1)[1]
+            files = [
+                os.path.join(rel_dir, entry, fn)
+                for fn in os.listdir(os.path.join(out_dir, entry))
+                if fn.endswith(".parquet")
+            ]
+            if files:
+                new_files_by_bucket[bval] = files
+        for _attempt in range(10):
+            for b, inputs in inputs_by_bucket.items():
+                if set(self._snapshot["buckets"].get(b, [])) != inputs:
+                    raise ConcurrentCommitError(
+                        f"bucket {b} was rewritten while update_where ran; "
+                        f"re-run against the new state"
+                    )
+            new_buckets = {
+                k: list(f) for k, f in self._snapshot["buckets"].items()
+            }
+            for b in inputs_by_bucket:
+                if b in new_files_by_bucket:
+                    new_buckets[b] = new_files_by_bucket[b]
+                else:
+                    new_buckets.pop(b, None)
+            snap = {
+                **self._snapshot,
+                "version": self._snapshot["version"] + 1,
+                "buckets": new_buckets,
+                "parent": self._snapshot["version"],
+            }
+            try:
+                self._write_snapshot(snap, operation="update_where")
+            except ConcurrentCommitError:
+                self._snapshot = self._read_current_snapshot()
+                continue
+            self._snapshot = snap
+            return n_updated
+        raise ConcurrentCommitError(
+            "gave up committing update_where after 10 rebase attempts"
         )
 
     def _purge_quarantine_key(self, key_cols: list, key_values: tuple) -> int:
