@@ -2254,6 +2254,90 @@ FROM asm
 
 
 #: name -> (spark_fn, oracle_sql | None)
+def q_cdc_cdf_preimages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Delta-CDF row vocabulary off the replayed MoR table:
+    ``read_changes(change_types=True, preimages=True)`` — updates emit an
+    ``update_preimage`` / ``update_postimage`` pair and deletes carry the
+    deleted row's PRE-delete image (Delta emits exactly these rows; the
+    compact typed feed is ``cdc_cdf_typed``). The prior image rides the
+    SAME per-key prefix-max window the classification already runs (the
+    struct widens from the order tuple to the full row — no second window,
+    no extra exchange). The oracle mirrors it in ANSI SQL with
+    ``arg_max(struct_pack(...), ord)`` over the preceding-epochs frame, so
+    the driver hash-checks every pre-image's payload against the prior
+    winner DuckDB computes independently."""
+    table = _replayed_table(spark, sf_dir, epoching="blocked")
+    df = table.read_changes(
+        since_epoch=0, change_types=True, preimages=True
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "lsn",
+        "metadata",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_epoch").alias("change_epoch"),
+    )
+
+
+_SQL_CDC_CDF_PREIMAGES = f"""
+WITH {_SQL_CHANGES_BLOCKED},
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, epoch
+                                 ORDER BY ts DESC, lsn DESC) AS rn
+    FROM changes
+  ),
+  w AS (
+    SELECT *, (lsn + (lsn * 2654435761) % 100000) * 10000000 + lsn AS ord
+    FROM ranked WHERE rn = 1
+  ),
+  p AS (
+    SELECT *,
+           max(ord) OVER prior AS prev_ord,
+           max(CASE WHEN op = 'delete' THEN ord END) OVER prior AS prev_del_ord,
+           arg_max(struct_pack(role := role, text := text, tool := tool,
+                               ts := ts, lsn := lsn, epoch := epoch),
+                   ord) OVER prior AS pimg
+    FROM w
+    WINDOW prior AS (PARTITION BY conv_id, turn_idx ORDER BY epoch
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+  ),
+  t AS (
+    SELECT *,
+           CASE WHEN prev_ord IS NOT NULL AND ord < prev_ord THEN NULL
+                WHEN op = 'delete'
+                     AND (prev_ord IS NULL OR prev_del_ord = prev_ord)
+                     THEN NULL
+                WHEN op = 'delete' THEN 'delete'
+                WHEN prev_ord IS NULL OR prev_del_ord = prev_ord THEN 'insert'
+                ELSE 'update' END AS change_type
+    FROM p
+  ),
+  typed AS (SELECT * FROM t WHERE change_type IS NOT NULL)
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, lsn,
+       CASE WHEN epoch >= {_EVOLVE_EPOCH}
+            THEN '{{"rev": ' || CAST(lsn AS VARCHAR) || '}}' END AS metadata,
+       CASE WHEN change_type = 'update' THEN 'update_postimage'
+            ELSE 'insert' END AS change_type,
+       epoch AS change_epoch
+FROM typed WHERE change_type IN ('insert', 'update')
+UNION ALL
+SELECT conv_id, turn_idx, pimg.role, pimg.text, pimg.tool,
+       strftime(pimg.ts, '%Y-%m-%d %H:%M:%S') AS ts_str, pimg.lsn,
+       CASE WHEN pimg.epoch >= {_EVOLVE_EPOCH}
+            THEN '{{"rev": ' || CAST(pimg.lsn AS VARCHAR) || '}}' END AS metadata,
+       CASE WHEN change_type = 'update' THEN 'update_preimage'
+            ELSE 'delete' END AS change_type,
+       epoch AS change_epoch
+FROM typed WHERE change_type IN ('update', 'delete')
+"""
+
+
 _UPDATE_WHERE_CACHE: dict[str, str] = {}
 
 
@@ -2413,4 +2497,5 @@ CDC_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "conversation_assembly": (q_conversation_assembly, _SQL_CONVERSATION_ASSEMBLY),
     "cdc_colocated_join": (q_cdc_colocated_join, _SQL_CDC_COLOCATED_JOIN),
     "cdc_update_where": (q_cdc_update_where, _SQL_CDC_UPDATE_WHERE),
+    "cdc_cdf_preimages": (q_cdc_cdf_preimages, _SQL_CDC_CDF_PREIMAGES),
 }

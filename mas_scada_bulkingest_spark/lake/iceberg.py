@@ -213,6 +213,42 @@ class IcebergTable(LakeTable):
             opts["end-snapshot-id"] = str(int(end_snapshot_id))
         return opts
 
+    def update_sql(self, predicate: str, set_exprs: dict[str, str]) -> str:
+        """≙ ``SnapshotTable.update_where``: Iceberg ``UPDATE … SET …
+        WHERE`` is native (copy-on-write or position-delta per
+        ``write.update.mode``), and because this mapping's MERGE guard is
+        STRICT (``incoming > existing``, :meth:`merge_sql`), an equal-order
+        stale re-delivery of the updated version already loses — no patch
+        marker needed, exactly like the parquet backend's CoW path.
+        Tombstone rows are excluded (they are not live rows); key/LWW-order
+        columns refuse, mirroring the parquet backend."""
+        if not set_exprs:
+            raise ValueError("update_sql: empty assignment set")
+        for c in set_exprs:
+            if c in (*self._key, *self._order):
+                raise ValueError(
+                    f"update_sql: {c!r} is a key/LWW-order column"
+                )
+        sets = ", ".join(f"{c} = {e}" for c, e in set_exprs.items())
+        return (
+            f"UPDATE {self.identifier} SET {sets} "
+            f"WHERE ({predicate}) AND NOT coalesce(_tombstone, false)"
+        )
+
+    @staticmethod
+    def spj_conf() -> dict[str, str]:
+        """Session confs that enable Iceberg's native storage-partitioned
+        join — the catalog form of ``operators/colocated.colocated_join``:
+        two tables sharing the ``bucket(N, key)`` transform join with no
+        Exchange. The parquet backend implements the same plan shape by
+        hand (per-bucket SinglePartition SortMergeJoins)."""
+        return {
+            "spark.sql.sources.v2.bucketing.enabled": "true",
+            "spark.sql.sources.v2.bucketing.pushPartValues.enabled": "true",
+            "spark.sql.requireAllClusterKeysForCoPartition": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+
     def purge_tombstones_sql(self, before_lsn: int | None = None) -> str:
         """≙ ``SnapshotTable.purge_tombstones``: physically drop tombstone
         rows once the changelog retention horizon guarantees no staler

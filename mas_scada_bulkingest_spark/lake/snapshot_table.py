@@ -2098,6 +2098,7 @@ class SnapshotTable(LakeTable):
         to_epoch: int | None = None,
         change_types: bool = False,
         columns: list[str] | None = None,
+        preimages: bool = False,
     ) -> DataFrame:
         """Incremental changes feed: every change applied in epochs
         ``[since_epoch, to_epoch]`` (inclusive; ``to_epoch=None`` = latest)
@@ -2151,7 +2152,25 @@ class SnapshotTable(LakeTable):
         :class:`FileNotFoundError` (recompute downstream from a full
         ``read`` instead). Epochs are keyed by their numeric id
         (namespaced checkpoint epochs share the numeric component).
+
+        ``preimages=True`` (requires ``change_types=True``) emits the FULL
+        Delta-CDF row vocabulary: updates become an ``update_preimage`` /
+        ``update_postimage`` pair (old row, new row — same
+        ``_change_epoch``) and ``delete`` rows carry the deleted row's
+        PRE-delete image (payload and order columns of the state the
+        delete removed; Delta emits exactly this row) instead of the
+        tombstone's NULL payload. The prior image rides the SAME
+        prefix-max window the classification already runs — the struct
+        widens from the order tuple to the full row, one window either
+        way, no extra exchange. Default stays the compact form (one row
+        per transition; deletes carry the tombstone watermark), which is
+        what ``replication``/``derived`` fold.
         """
+        if preimages and not change_types:
+            raise ValueError(
+                "read_changes(preimages=True) requires change_types=True "
+                "(pre-images only exist for typed state transitions)"
+            )
         by_epoch = _changes_file_map(
             self.path, self._snapshot, since_epoch, to_epoch, change_types
         )
@@ -2216,13 +2235,16 @@ class SnapshotTable(LakeTable):
             out = out.unionByName(b)
         if not change_types:
             return out
-        return self._classify_changes(out, since_epoch, out_fields)
+        return self._classify_changes(
+            out, since_epoch, out_fields, preimages=preimages
+        )
 
     def _classify_changes(
         self,
         feed: DataFrame,
         since_epoch: int,
         out_fields: list[str] | None = None,
+        preimages: bool = False,
     ) -> DataFrame:
         """Turn the raw per-(key, epoch) delta feed (one batch winner per
         key per epoch, ``upsert``/``delete``) into the typed state-transition
@@ -2239,10 +2261,20 @@ class SnapshotTable(LakeTable):
         """
         from pyspark.sql.window import Window
 
+        if out_fields is None:
+            out_fields = [f.name for f in self.schema.fields]
         cur_del = F.col("_change_type") == F.lit("delete")
+        # prefix-max struct: order tuple + tombstone tiebreak decide the
+        # comparison; with preimages the PRIOR WINNER'S full row rides the
+        # same struct (fields after the comparison keys never affect the
+        # max unless the rows are identical) — one window either way
+        image_cols = list(
+            dict.fromkeys([*out_fields, *self.order])
+        ) if preimages else []
         cur = F.struct(
             *[F.col(c).alias(f"o{i}") for i, c in enumerate(self.order)],
             cur_del.alias("d"),
+            *[F.col(c).alias(f"v{i}") for i, c in enumerate(image_cols)],
         )
         prior = (
             Window.partitionBy(*self.key)
@@ -2259,20 +2291,48 @@ class SnapshotTable(LakeTable):
             .when(prev_live, F.lit("update"))
             .otherwise(F.lit("insert"))
         )
-        if out_fields is None:
-            out_fields = [f.name for f in self.schema.fields]
-        return (
-            feed.withColumn("_typed", typed)
-            .filter(
-                F.col("_typed").isNotNull()
-                & (F.col("_change_epoch") >= F.lit(since_epoch))
-            )
-            .select(
+        base = feed.withColumn("_typed", typed)
+        if preimages:
+            base = base.withColumn("_prev", prev)
+        base = base.filter(
+            F.col("_typed").isNotNull()
+            & (F.col("_change_epoch") >= F.lit(since_epoch))
+        )
+        if not preimages:
+            return base.select(
                 *out_fields,
                 F.col("_typed").alias("_change_type"),
                 "_change_epoch",
             )
+        # Delta-CDF full vocabulary: insert / update_preimage +
+        # update_postimage / delete-with-pre-image (module: read_changes
+        # docstring). Keys come from the row either way (identical on both
+        # images); non-key fields of a pre-image come from the prior
+        # winner's struct.
+        vidx = {c: i for i, c in enumerate(image_cols)}
+        key = set(self.key)
+        post = base.filter(F.col("_typed") != "delete").select(
+            *out_fields,
+            F.when(F.col("_typed") == "update", F.lit("update_postimage"))
+            .otherwise(F.lit("insert"))
+            .alias("_change_type"),
+            "_change_epoch",
         )
+        pre = base.filter(F.col("_typed").isin("update", "delete")).select(
+            *[
+                (
+                    F.col(c)
+                    if c in key
+                    else F.col(f"_prev.v{vidx[c]}").alias(c)
+                )
+                for c in out_fields
+            ],
+            F.when(F.col("_typed") == "update", F.lit("update_preimage"))
+            .otherwise(F.lit("delete"))
+            .alias("_change_type"),
+            "_change_epoch",
+        )
+        return post.unionByName(pre)
 
     def _read_raw(
         self,

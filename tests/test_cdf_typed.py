@@ -130,3 +130,66 @@ def test_typed_feed_survives_compaction(spark, tmpdir_path):
         .toPandas()
     )
     assert before.equals(after)
+
+
+def test_preimages_full_cdf_vocabulary(spark, tmpdir_path):
+    """preimages=True emits Delta's full row vocabulary: update_preimage/
+    update_postimage pairs, deletes carrying the PRE-delete image, stale
+    and absent-delete rows still suppressed."""
+    import pytest
+
+    tbl = _mk_scenario(spark, tmpdir_path + "/t")
+    feed = (
+        tbl.read_changes(since_epoch=0, change_types=True, preimages=True)
+        .orderBy("conv_id", "_change_epoch", "_change_type")
+        .toPandas()
+    )
+    got = list(
+        zip(
+            feed["conv_id"],
+            feed["_change_epoch"],
+            feed["_change_type"],
+            feed["text"],
+            feed["lsn"],
+        )
+    )
+    assert got == [
+        ("a", 0, "insert", "a-v0", 1),
+        ("a", 1, "update_postimage", "a-v1", 11),
+        ("a", 1, "update_preimage", "a-v0", 1),
+        # the delete carries the PRE-delete image (Delta's delete row),
+        # not the tombstone's NULL payload
+        ("a", 3, "delete", "a-v1", 11),
+        ("a", 4, "insert", "a-v4", 41),
+        ("b", 1, "insert", "b-v1", 12),
+        ("c", 0, "insert", "c-v0", 3),
+    ]
+    # the pair shares its epoch; keys identical on both images
+    pair = feed[(feed["_change_epoch"] == 1) & (feed["conv_id"] == "a")]
+    assert set(pair["_change_type"]) == {
+        "update_preimage",
+        "update_postimage",
+    }
+    # guard: preimages without typed classification is meaningless
+    with pytest.raises(ValueError, match="requires change_types"):
+        tbl.read_changes(0, preimages=True)
+
+
+def test_preimages_compose_with_column_projection(spark, tmpdir_path):
+    tbl = _mk_scenario(spark, tmpdir_path + "/t")
+    feed = tbl.read_changes(
+        0, change_types=True, preimages=True, columns=["text"]
+    )
+    assert feed.columns == [
+        "conv_id",
+        "turn_idx",
+        "text",
+        "_change_type",
+        "_change_epoch",
+    ]
+    full = tbl.read_changes(0, change_types=True, preimages=True).select(
+        *feed.columns
+    )
+    assert sorted(map(tuple, feed.collect()), key=str) == sorted(
+        map(tuple, full.collect()), key=str
+    )

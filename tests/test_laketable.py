@@ -166,3 +166,26 @@ def test_iceberg_maintenance_builders_encode_the_contract():
     assert "FROM cat.db.transcripts.files" in t.files_sql()
     assert "record_count AS records" in t.files_sql()
     assert "FROM cat.db.transcripts.partitions" in t.partitions_sql()
+
+
+def test_iceberg_update_builder_encodes_the_contract():
+    t = object.__new__(IcebergTable)
+    t.identifier = "cat.db.transcripts"
+    t._key = ("conv_id", "turn_idx")
+    t._order = ("ts", "lsn")
+    t._n_buckets = 16
+
+    sql = t.update_sql("role = 'user'", {"text": "upper(text)"})
+    assert sql.startswith("UPDATE cat.db.transcripts SET text = upper(text)")
+    # only live rows: tombstones are not updatable state
+    assert "NOT coalesce(_tombstone, false)" in sql
+    import pytest
+
+    with pytest.raises(ValueError, match="key/LWW-order"):
+        t.update_sql("true", {"conv_id": "'x'"})
+    with pytest.raises(ValueError, match="empty"):
+        t.update_sql("true", {})
+    # native SPJ confs: the catalog form of colocated_join
+    conf = IcebergTable.spj_conf()
+    assert conf["spark.sql.sources.v2.bucketing.enabled"] == "true"
+    assert conf["spark.sql.autoBroadcastJoinThreshold"] == "-1"
