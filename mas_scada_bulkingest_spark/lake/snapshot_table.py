@@ -992,20 +992,29 @@ class SnapshotTable(LakeTable):
                     )
         return out
 
+    @property
+    def _has_patches(self) -> bool:
+        """True once ``update_where`` has ever committed a merge-on-read
+        patch layer (snapshot flag ``patched``, carried forward by every
+        snapshot copy — compact/rebucket materialize the winners' patch
+        seqs into their rewrite files, so the flag never clears). Tables
+        that never patch pay ZERO for the feature: no ``_patched`` column
+        in the pinned scan, no extra coalesce, no widened collapse
+        struct."""
+        return bool(self._snapshot.get("patched"))
+
     def _storage_schema(self, project: set | None = None) -> T.StructType:
-        """Table schema + tombstone flag; ``project`` narrows to a column
+        """Table schema + tombstone flag (+ patch-layer seq on tables that
+        have one — ``_has_patches``); ``project`` narrows to a column
         subset (manifest-level pruning — the pinned scan schema IS the
         pushdown, nothing else reaches the parquet reader)."""
         fields = list(self.schema.fields)
         if project is not None:
             fields = [f for f in fields if f.name in project]
-        return T.StructType(
-            fields
-            + [
-                T.StructField(_TOMBSTONE, T.BooleanType()),
-                T.StructField(_PATCHED, T.LongType()),
-            ]
-        )
+        extra = [T.StructField(_TOMBSTONE, T.BooleanType())]
+        if self._has_patches:
+            extra.append(T.StructField(_PATCHED, T.LongType()))
+        return T.StructType(fields + extra)
 
     def _alias_read(self, files: list[str], pinned: T.StructType) -> DataFrame:
         """Schema-pinned parquet read that resolves ``rename_column``
@@ -1091,7 +1100,12 @@ class SnapshotTable(LakeTable):
         df = self._alias_read(files, storage)
         df = df.withColumn(
             _TOMBSTONE, F.coalesce(F.col(_TOMBSTONE), F.lit(False))
-        ).withColumn(_PATCHED, F.coalesce(F.col(_PATCHED), F.lit(0)))
+        )
+        has_patches = _PATCHED in df.columns  # only on ever-patched tables
+        if has_patches:
+            df = df.withColumn(
+                _PATCHED, F.coalesce(F.col(_PATCHED), F.lit(0))
+            )
         # _tombstone and _patched are explicit FINAL order keys, not
         # carried columns: on an exact (ts, lsn) tie the tombstone must
         # win, then the highest patch layer — the same tiebreaks
@@ -1108,7 +1122,8 @@ class SnapshotTable(LakeTable):
         collapsed = collapse_lww(
             df.coalesce(1),
             keys=self.key,
-            order=[*self.order, _TOMBSTONE, _PATCHED],
+            order=[*self.order, _TOMBSTONE]
+            + ([_PATCHED] if has_patches else []),
         )
         if with_bucket_col:
             # recompute from the key (not a branch literal) so a branch
@@ -3136,13 +3151,18 @@ class SnapshotTable(LakeTable):
             raw = self._read_collapsed_local(
                 buckets=affected, with_bucket_col=True
             )
+            # first-ever patch on this table: the collapsed read predates
+            # the snapshot flag, so the column may not exist yet
+            prev_seq = (
+                F.coalesce(F.col(_PATCHED), F.lit(0))
+                if _PATCHED in raw.columns
+                else F.lit(0)
+            )
             patched = (
                 _patch_cols(raw, hit)
                 .filter(F.col("_hit"))
                 .drop("_hit")
-                .withColumn(
-                    _PATCHED, F.coalesce(F.col(_PATCHED), F.lit(0)) + F.lit(1)
-                )
+                .withColumn(_PATCHED, prev_seq + F.lit(1))
                 .withColumn(_TOMBSTONE, F.lit(False))
             )
             _enforce_constraints(patched)
@@ -3179,6 +3199,10 @@ class SnapshotTable(LakeTable):
                     "version": self._snapshot["version"] + 1,
                     "buckets": new_buckets,
                     "parent": self._snapshot["version"],
+                    # arms the _patched order key for every future read
+                    # (_has_patches) — never cleared: compact/rebucket
+                    # materialize winners' patch seqs into rewrite files
+                    "patched": True,
                 }
                 try:
                     self._write_snapshot(snap, operation="update_where")
@@ -4568,6 +4592,10 @@ class SnapshotTable(LakeTable):
                 k: list(v)
                 for k, v in self._snapshot.get("quarantine_files", {}).items()
             },
+            # like the registries above, the patch-layer flag is part of
+            # the read contract: hard-linked files may carry _patched seqs
+            # the clone's collapse must keep honoring
+            "patched": bool(self._snapshot.get("patched", False)),
             "buckets": {
                 b: list(fs) for b, fs in self._snapshot["buckets"].items()
             },

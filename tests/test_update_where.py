@@ -243,3 +243,33 @@ def test_modes_agree(spark, tmpdir_path):
             1,
         )
     assert _state(mor) == _state(cow)
+
+
+def test_never_patched_tables_pay_zero(spark, tmpdir_path):
+    """The _patched order key is armed by the first update_where commit
+    (snapshot flag) — a table that never patches has NO _patched column in
+    its pinned scan schema, no widened collapse struct, and its compacted
+    files never carry the column."""
+    tbl = _seed(spark, tmpdir_path + "/t", "mor")
+    assert not tbl._has_patches
+    assert "_patched" not in [f.name for f in tbl._storage_schema().fields]
+    tbl.compact(max_files=0)
+    import pyarrow.parquet as pq
+    import os
+
+    files = [
+        os.path.join(tbl.path, f)
+        for fs in tbl._snapshot["buckets"].values()
+        for f in fs
+    ]
+    assert all(
+        "_patched" not in pq.ParquetFile(f).schema_arrow.names for f in files
+    )
+    # first patch arms the flag; it survives compaction and a clone
+    tbl.update_where("conv_id = 'a'", {"text": "'p'"})
+    assert tbl._has_patches
+    assert "_patched" in [f.name for f in tbl._storage_schema().fields]
+    tbl.compact(max_files=0)
+    assert tbl._has_patches
+    clone = tbl.clone(tmpdir_path + "/c")
+    assert clone._has_patches
