@@ -213,6 +213,46 @@ class IcebergTable(LakeTable):
             opts["end-snapshot-id"] = str(int(end_snapshot_id))
         return opts
 
+    def create_changelog_view_sql(
+        self,
+        view_name: str = "engine_changes",
+        start_snapshot_id: int | None = None,
+        end_snapshot_id: int | None = None,
+        compute_updates: bool = True,
+    ) -> str:
+        """≙ ``SnapshotTable.read_changes(change_types=True[, preimages])``:
+        Iceberg's ``create_changelog_view`` procedure emits the typed feed
+        (INSERT/DELETE rows per snapshot), and ``compute_updates => true``
+        pairs them into UPDATE_BEFORE / UPDATE_AFTER on the identifier
+        columns — the catalog-native form of the parquet backend's
+        pre-image feed (same vocabulary, Delta-CDF shape; the parquet
+        backend derives it from ONE prefix-max window because its MoR
+        epochs append blind). Identifier columns are the MERGE key, same
+        as the window's partition key."""
+        opts = []
+        if start_snapshot_id is not None:
+            opts.append(f"'start-snapshot-id', '{int(start_snapshot_id)}'")
+        if end_snapshot_id is not None:
+            opts.append(f"'end-snapshot-id', '{int(end_snapshot_id)}'")
+        parts = self.identifier.split(".")
+        catalog = parts[0] if len(parts) > 2 else "spark_catalog"
+        table = ".".join(parts[1:]) if len(parts) > 2 else self.identifier
+        args = [
+            f"table => '{table}'",
+            f"changelog_view => '{view_name}'",
+        ]
+        if opts:
+            args.append(f"options => map({', '.join(opts)})")
+        if compute_updates:
+            ids = ", ".join(f"'{k}'" for k in self._key)
+            args.append(f"identifier_columns => array({ids})")
+            args.append("compute_updates => true")
+        return (
+            f"CALL {catalog}.system.create_changelog_view("
+            + ", ".join(args)
+            + ")"
+        )
+
     def update_sql(self, predicate: str, set_exprs: dict[str, str]) -> str:
         """≙ ``SnapshotTable.update_where``: Iceberg ``UPDATE … SET …
         WHERE`` is native (copy-on-write or position-delta per

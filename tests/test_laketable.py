@@ -189,3 +189,22 @@ def test_iceberg_update_builder_encodes_the_contract():
     conf = IcebergTable.spj_conf()
     assert conf["spark.sql.sources.v2.bucketing.enabled"] == "true"
     assert conf["spark.sql.autoBroadcastJoinThreshold"] == "-1"
+
+
+def test_iceberg_changelog_view_builder_encodes_the_contract():
+    t = object.__new__(IcebergTable)
+    t.identifier = "cat.db.transcripts"
+    t._key = ("conv_id", "turn_idx")
+    t._order = ("ts", "lsn")
+    t._n_buckets = 16
+
+    sql = t.create_changelog_view_sql(start_snapshot_id=7, end_snapshot_id=9)
+    assert sql.startswith("CALL cat.system.create_changelog_view(")
+    assert "table => 'db.transcripts'" in sql
+    assert "map('start-snapshot-id', '7', 'end-snapshot-id', '9')" in sql
+    # compute_updates pairs INSERT/DELETE into UPDATE_BEFORE/UPDATE_AFTER
+    # on the MERGE key — the catalog form of preimages=True
+    assert "identifier_columns => array('conv_id', 'turn_idx')" in sql
+    assert "compute_updates => true" in sql
+    raw = t.create_changelog_view_sql(compute_updates=False)
+    assert "compute_updates" not in raw and "options" not in raw
