@@ -88,6 +88,7 @@ def colocated_join(
     how: str = "inner",
     select_left: list[str] | None = None,
     select_right: list[str] | None = None,
+    max_branches: int | None = None,
 ) -> DataFrame:
     """Join two co-bucketed tables with zero Exchange (module docstring).
 
@@ -99,6 +100,17 @@ def colocated_join(
     present on both sides must be projected away on one side — silent
     suffixing would hide a schema drift between a source and its derived
     table.
+
+    ``max_branches`` bounds plan size at very large bucket counts (the
+    join-side twin of ``read``'s branch grouping, same LPT byte-weighting
+    rule — weight = the bucket's bytes on BOTH sides): several buckets
+    share one SortMergeJoin branch. Grouping MUST be by bucket id and
+    identical on both sides, and then every join type stays exact with no
+    per-bucket special-casing: a key's rows live in ONE bucket on each
+    table, so rows from different buckets inside a shared branch can
+    never equijoin (the join keys include the bucket column), and each
+    side's multi-bucket LWW collapse is exact for the same reason the
+    read path's grouped branches are.
     """
     from ..lake.snapshot_table import _TOMBSTONE  # deferred (cycle)
 
@@ -166,19 +178,27 @@ def colocated_join(
 
     lgroups = dict(left._bucket_file_groups())
     rgroups = dict(right._bucket_file_groups())
+    bucket_ids = sorted(set(lgroups) | set(rgroups))
+    if max_branches is not None and len(bucket_ids) > max(int(max_branches), 1):
+        slots = _pack_aligned(
+            bucket_ids, lgroups, rgroups, left, right, max(int(max_branches), 1)
+        )
+    else:
+        slots = [[b] for b in bucket_ids]
     branches: list[DataFrame] = []
-    for b in sorted(set(lgroups) | set(rgroups)):
-        lg, rg = lgroups.get(b), rgroups.get(b)
-        if lg is not None and rg is not None:
-            lb = _branch(left, (b, lg), lcols)
-            rb = _branch(right, (b, rg), rcols)
+    for slot in slots:
+        lg = [f for b in slot for f in lgroups.get(b, [])]
+        rg = [f for b in slot for f in rgroups.get(b, [])]
+        if lg and rg:
+            lb = _branch(left, (slot[0], lg), lcols)
+            rb = _branch(right, (slot[0], rg), rcols)
             j = lb.join(rb.hint("merge"), on=on, how=how_n)
-        elif lg is not None and how_n in ("left", "full"):
-            j = _null_extend(_branch(left, (b, lg), lcols), right, rcols)
-        elif rg is not None and how_n in ("right", "full"):
-            j = _null_extend(_branch(right, (b, rg), rcols), left, lcols)
+        elif lg and how_n in ("left", "full"):
+            j = _null_extend(_branch(left, (slot[0], lg), lcols), right, rcols)
+        elif rg and how_n in ("right", "full"):
+            j = _null_extend(_branch(right, (slot[0], rg), rcols), left, lcols)
         else:
-            continue  # bucket absent on the side the join preserves
+            continue  # buckets absent on the side the join preserves
         branches.append(j.select(*out_cols))
     if not branches:
         schema = left.spark.createDataFrame(
@@ -195,6 +215,35 @@ def colocated_join(
     # otherwise — a join doubles the branch count); honors
     # spark.mas_scada.mor.read.freeze_interpreted
     return left._freeze_interpreted(out)
+
+
+def _pack_aligned(
+    bucket_ids, lgroups, rgroups, left, right, nb: int
+) -> list[list[int]]:
+    """Greedy LPT over per-bucket COMBINED bytes (both sides' manifests),
+    packing bucket ids into ``nb`` slots — the straggler control the read
+    path uses (``_pack_groups_by_bytes``), adapted to weight a bucket by
+    the work the join branch actually does: scanning and collapsing BOTH
+    tables' files for it. Packing by id keeps the two sides' grouping
+    identical, which is what makes grouped branches exact."""
+    import heapq
+
+    lsizes = left._snapshot.get("file_sizes", {})
+    rsizes = right._snapshot.get("file_sizes", {})
+
+    def _w(b: int) -> int:
+        return sum(lsizes.get(f, 1 << 20) for f in lgroups.get(b, [])) + sum(
+            rsizes.get(f, 1 << 20) for f in rgroups.get(b, [])
+        )
+
+    heap = [(0, i) for i in range(nb)]
+    heapq.heapify(heap)
+    slots: list[list[int]] = [[] for _ in range(nb)]
+    for w, b in sorted(((_w(b), b) for b in bucket_ids), reverse=True):
+        load, i = heapq.heappop(heap)
+        slots[i].append(b)
+        heapq.heappush(heap, (load + w, i))
+    return [sorted(s) for s in slots if s]
 
 
 def _join_schema(left, right, on, lcols, rcols):

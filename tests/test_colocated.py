@@ -199,3 +199,27 @@ def test_empty_intersection_returns_empty(spark, tmpdir_path):
     left = colocated_join(fact, empty, on=["conv_id"], how="left")
     assert left.count() == fact.read().count()
     assert left.filter(F.col("score").isNotNull()).count() == 0
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "full"])
+def test_max_branches_grouping_exact(spark, tmpdir_path, how):
+    """Aligned bucket-grouping (plan-size bound at large bucket counts):
+    grouped branches must produce identical rows — cross-bucket rows can
+    never equijoin since the join key determines the bucket — with at
+    most max_branches SortMergeJoins and still zero Exchange."""
+    fact = _fact_table(spark, tmpdir_path + "/f")
+    dim = _dim_table(spark, tmpdir_path + "/d", fact)
+    full = colocated_join(fact, dim, on=["conv_id"], how=how)
+    spark.conf.set("spark.mas_scada.mor.read.freeze_interpreted", "false")
+    try:
+        grouped = colocated_join(
+            fact, dim, on=["conv_id"], how=how, max_branches=2
+        )
+        grouped.collect()
+        plan = grouped._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.mas_scada.mor.read.freeze_interpreted")
+    assert _rows(grouped, grouped.columns) == _rows(full, grouped.columns)
+    assert "Exchange" not in plan
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert 1 <= final_plan.count("SortMergeJoin") <= 2
