@@ -2435,6 +2435,10 @@ def q_cdc_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["conv_id"],
         select_left=["turn_idx", "text"],
         select_right=["live_turns", "total_chars"],
+        # grouped form (aligned LPT bucket grouping, 8 buckets -> <=4
+        # SortMergeJoin branches) so the driver's hash check covers the
+        # plan-size-bounded path a 4096-bucket deployment runs
+        max_branches=4,
     )
 
 
