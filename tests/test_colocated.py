@@ -223,3 +223,107 @@ def test_max_branches_grouping_exact(spark, tmpdir_path, how):
     assert "Exchange" not in plan
     final_plan = plan.split("== Initial Plan ==")[0]
     assert 1 <= final_plan.count("SortMergeJoin") <= 2
+
+
+IDX_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("last_text", T.StringType()),
+        T.StructField("max_lsn", T.LongType()),
+    ]
+)
+
+
+def _idx_table(spark, path, fact, drop_conv="c5"):
+    from mas_scada_bulkingest_spark.operators.colocated import (  # noqa: F401
+        colocated_join_many,
+    )
+
+    tbl = SnapshotTable.create(
+        spark, path, IDX_SCHEMA, n_buckets=4,
+        key=("conv_id",), order=("max_lsn",), mode="mor",
+    )
+    tbl.bootstrap(
+        fact.read()
+        .filter(F.col("conv_id") != drop_conv)
+        .groupBy("conv_id")
+        .agg(
+            F.max_by("text", F.col("lsn")).alias("last_text"),
+            F.max("lsn").alias("max_lsn"),
+        ),
+        epoch_id=0,
+    )
+    return tbl
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_multiway_star_matches_plain_chain(spark, tmpdir_path, how):
+    """Facts x rollup x latest-turn index in ONE exchange-free pass: the
+    chained per-bucket SortMergeJoins must equal Spark's own two shuffle
+    joins, including buckets where one right side is absent."""
+    from mas_scada_bulkingest_spark.operators.colocated import (
+        colocated_join_many,
+    )
+
+    fact = _fact_table(spark, tmpdir_path + "/f")
+    dim = _dim_table(spark, tmpdir_path + "/d", fact)        # drops c3
+    idx = _idx_table(spark, tmpdir_path + "/i", fact)        # drops c5
+    out = colocated_join_many(
+        fact,
+        [dim, idx],
+        on=["conv_id"],
+        how=how,
+        select_left=["turn_idx", "text"],
+        select_rights=[["score"], ["last_text"]],
+    )
+    assert out.columns == ["conv_id", "turn_idx", "text", "score", "last_text"]
+    plain = (
+        fact.read()
+        .select("conv_id", "turn_idx", "text")
+        .join(dim.read().select("conv_id", "score"), on="conv_id", how=how)
+        .join(idx.read().select("conv_id", "last_text"), on="conv_id", how=how)
+    )
+    assert _rows(out, out.columns) == _rows(plain, out.columns)
+
+
+def test_multiway_plan_exchange_free_and_grouped(spark, tmpdir_path):
+    from mas_scada_bulkingest_spark.operators.colocated import (
+        colocated_join_many,
+    )
+
+    fact = _fact_table(spark, tmpdir_path + "/f")
+    dim = _dim_table(spark, tmpdir_path + "/d", fact, drop_conv="nope")
+    idx = _idx_table(spark, tmpdir_path + "/i", fact, drop_conv="nope")
+    spark.conf.set("spark.mas_scada.mor.read.freeze_interpreted", "false")
+    try:
+        out = colocated_join_many(
+            fact, [dim, idx], on=["conv_id"], max_branches=2,
+            select_rights=[["score"], ["last_text"]],
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.mas_scada.mor.read.freeze_interpreted")
+    assert "Exchange" not in plan
+    final_plan = plan.split("== Initial Plan ==")[0]
+    # two joins per slot, at most 2 slots
+    assert 2 <= final_plan.count("SortMergeJoin") <= 4
+
+
+def test_multiway_validations(spark, tmpdir_path):
+    from mas_scada_bulkingest_spark.operators.colocated import (
+        colocated_join_many,
+    )
+
+    fact = _fact_table(spark, tmpdir_path + "/f")
+    dim = _dim_table(spark, tmpdir_path + "/d", fact)
+    with pytest.raises(ValueError, match="empty rights"):
+        colocated_join_many(fact, [])
+    with pytest.raises(ValueError, match="not supported for a multi-way"):
+        colocated_join_many(fact, [dim], how="full")
+    with pytest.raises(ValueError, match="one entry"):
+        colocated_join_many(fact, [dim], select_rights=[["score"], ["x"]])
+    # duplicate output column across two rights
+    dim2 = _dim_table(spark, tmpdir_path + "/d2", fact)
+    with pytest.raises(ValueError, match="appears on both"):
+        colocated_join_many(fact, [dim, dim2])
