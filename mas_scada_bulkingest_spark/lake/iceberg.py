@@ -253,7 +253,12 @@ class IcebergTable(LakeTable):
             + ")"
         )
 
-    def update_sql(self, predicate: str, set_exprs: dict[str, str]) -> str:
+    def update_sql(
+        self,
+        predicate: str,
+        set_exprs: dict[str, str],
+        known_columns: list[str] | tuple[str, ...] | None = None,
+    ) -> str:
         """≙ ``SnapshotTable.update_where``: Iceberg ``UPDATE … SET …
         WHERE`` is native (copy-on-write or position-delta per
         ``write.update.mode``), and because this mapping's MERGE guard is
@@ -261,7 +266,16 @@ class IcebergTable(LakeTable):
         stale re-delivery of the updated version already loses — no patch
         marker needed, exactly like the parquet backend's CoW path.
         Tombstone rows are excluded (they are not live rows); key/LWW-order
-        columns refuse, mirroring the parquet backend."""
+        columns refuse, mirroring the parquet backend.
+
+        Pass ``known_columns`` (the table's column names, e.g. from the
+        live catalog or the DDL fed to :meth:`create_sql`) to get the
+        parquet backend's unknown-column rejection at build time. Without
+        it the builder has no schema (it is pure, catalog-free), so a
+        typo'd assignment column — and any error in the verbatim-
+        interpolated predicate/expressions — surfaces only when the
+        catalog executes the statement; that asymmetry is inherent to
+        building SQL text offline."""
         if not set_exprs:
             raise ValueError("update_sql: empty assignment set")
         for c in set_exprs:
@@ -269,6 +283,8 @@ class IcebergTable(LakeTable):
                 raise ValueError(
                     f"update_sql: {c!r} is a key/LWW-order column"
                 )
+            if known_columns is not None and c not in known_columns:
+                raise ValueError(f"update_sql: unknown column {c!r}")
         sets = ", ".join(f"{c} = {e}" for c, e in set_exprs.items())
         return (
             f"UPDATE {self.identifier} SET {sets} "

@@ -3036,10 +3036,14 @@ class SnapshotTable(LakeTable):
         ``data/epoch=``); time travel below the update shows the
         original values until vacuum expires the version. NULL predicate
         rows are kept unchanged (three-valued logic). Returns rows
-        updated (snapshot isolation, as of the count pass). Concurrency
-        matches delete_where: the MoR append rebases over any concurrent
-        commit; the CoW rewrite raises :class:`ConcurrentCommitError` if
-        an affected bucket was rewritten meanwhile.
+        updated (snapshot isolation, as of the count pass). Concurrency:
+        the MoR append rebases over any concurrent commit by RE-DERIVING
+        the patch against the refreshed snapshot — racing update_where
+        calls therefore resolve in commit order (the loser's ``_patched``
+        seq lands strictly above the winner's, and its RHS evaluates
+        against the winner's output, like sequential UPDATEs); the CoW
+        rewrite raises :class:`ConcurrentCommitError` if an affected
+        bucket was rewritten meanwhile.
         """
         try:
             self.read().limit(0).select(F.expr(predicate).cast("boolean"))
@@ -3079,29 +3083,41 @@ class SnapshotTable(LakeTable):
                 f"against the table schema: {e}"
             ) from None
         nb = self.n_buckets
-        if self.mode == "mor":
-            raw_all = self._read_collapsed_local(with_bucket_col=True)
-        else:
-            raw_all = self._read_raw()
-            if raw_all is not None:
-                raw_all = raw_all.withColumn(
-                    "_bucket", _bucket_expr(key[0], nb)
-                )
-        if raw_all is None:
-            return 0
         hit = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)) & ~F.col(
             _TOMBSTONE
         )
-        per_bucket = (
-            raw_all.groupBy("_bucket")
-            .agg(F.sum(hit.cast("long")).alias("_hits"))
-            .filter(F.col("_hits") > 0)
-            .collect()
-        )  # bounded: <= n_buckets rows
-        if not per_bucket:
+
+        def _affected_buckets() -> tuple[list[int], int] | None:
+            """(matched buckets, matched-row count) against the CURRENT
+            snapshot, or None when nothing matches. Re-invoked on MoR
+            rebase so a retry sees concurrent commits' effects."""
+            if self.mode == "mor":
+                raw_all = self._read_collapsed_local(with_bucket_col=True)
+            else:
+                raw_all = self._read_raw()
+                if raw_all is not None:
+                    raw_all = raw_all.withColumn(
+                        "_bucket", _bucket_expr(key[0], nb)
+                    )
+            if raw_all is None:
+                return None
+            per_bucket = (
+                raw_all.groupBy("_bucket")
+                .agg(F.sum(hit.cast("long")).alias("_hits"))
+                .filter(F.col("_hits") > 0)
+                .collect()
+            )  # bounded: <= n_buckets rows
+            if not per_bucket:
+                return None
+            return (
+                sorted(int(r["_bucket"]) for r in per_bucket),
+                int(sum(r["_hits"] for r in per_bucket)),
+            )
+
+        matched = _affected_buckets()
+        if matched is None:
             return 0
-        affected = sorted(int(r["_bucket"]) for r in per_bucket)
-        n_updated = int(sum(r["_hits"] for r in per_bucket))
+        affected, n_updated = matched
 
         def _patch_cols(df: DataFrame, hit_col) -> DataFrame:
             """Apply assignments under ``hit_col`` (old-row context: every
@@ -3147,48 +3163,50 @@ class SnapshotTable(LakeTable):
                 )
 
         if self.mode == "mor":
-            # ---- patch-layer append: rewrite nothing
-            raw = self._read_collapsed_local(
-                buckets=affected, with_bucket_col=True
-            )
-            # first-ever patch on this table: the collapsed read predates
-            # the snapshot flag, so the column may not exist yet
-            prev_seq = (
-                F.coalesce(F.col(_PATCHED), F.lit(0))
-                if _PATCHED in raw.columns
-                else F.lit(0)
-            )
-            patched = (
-                _patch_cols(raw, hit)
-                .filter(F.col("_hit"))
-                .drop("_hit")
-                .withColumn(_PATCHED, prev_seq + F.lit(1))
-                .withColumn(_TOMBSTONE, F.lit(False))
-            )
-            _enforce_constraints(patched)
-            rel_dir = os.path.join(
-                "data", f"updatewhere-{uuid.uuid4().hex[:8]}"
-            )
-            out_dir = os.path.join(self.path, rel_dir)
-            patched.write.partitionBy("_bucket").mode("overwrite").parquet(
-                out_dir
-            )
-            appended: dict[str, list[str]] = {}
-            for entry in os.listdir(out_dir):
-                if not entry.startswith("_bucket="):
-                    continue
-                bval = entry.split("=", 1)[1]
-                files = [
-                    os.path.join(rel_dir, entry, fn)
-                    for fn in os.listdir(os.path.join(out_dir, entry))
-                    if fn.endswith(".parquet")
-                ]
-                if files:
-                    appended[bval] = files
+            # ---- patch-layer append: rewrite nothing.
+            # The ENTIRE derivation sits inside the rebase loop: a retry
+            # re-reads the collapsed state under the refreshed snapshot, so
+            # a concurrent update_where's patch layer is visible and this
+            # patch's _patched seq lands strictly ABOVE it — racing patches
+            # resolve in commit order, not payload-value order.
             for _attempt in range(10):
-                # pure append: LWW layering stays correct over whatever any
-                # concurrent commit did (a racing newer update outranks the
-                # patch on (ts, lsn); a racing stale one loses to it)
+                raw = self._read_collapsed_local(
+                    buckets=affected, with_bucket_col=True
+                )
+                # first-ever patch on this table: the collapsed read
+                # predates the snapshot flag, so the column may not exist
+                prev_seq = (
+                    F.coalesce(F.col(_PATCHED), F.lit(0))
+                    if _PATCHED in raw.columns
+                    else F.lit(0)
+                )
+                patched = (
+                    _patch_cols(raw, hit)
+                    .filter(F.col("_hit"))
+                    .drop("_hit")
+                    .withColumn(_PATCHED, prev_seq + F.lit(1))
+                    .withColumn(_TOMBSTONE, F.lit(False))
+                )
+                _enforce_constraints(patched)
+                rel_dir = os.path.join(
+                    "data", f"updatewhere-{uuid.uuid4().hex[:8]}"
+                )
+                out_dir = os.path.join(self.path, rel_dir)
+                patched.write.partitionBy("_bucket").mode(
+                    "overwrite"
+                ).parquet(out_dir)
+                appended: dict[str, list[str]] = {}
+                for entry in os.listdir(out_dir):
+                    if not entry.startswith("_bucket="):
+                        continue
+                    bval = entry.split("=", 1)[1]
+                    files = [
+                        os.path.join(rel_dir, entry, fn)
+                        for fn in os.listdir(os.path.join(out_dir, entry))
+                        if fn.endswith(".parquet")
+                    ]
+                    if files:
+                        appended[bval] = files
                 new_buckets = {
                     k: list(f) for k, f in self._snapshot["buckets"].items()
                 }
@@ -3207,7 +3225,15 @@ class SnapshotTable(LakeTable):
                 try:
                     self._write_snapshot(snap, operation="update_where")
                 except ConcurrentCommitError:
+                    # refresh and re-derive: affected buckets, matched
+                    # count, AND the patch seq may all have moved under us
+                    # (the loser's orphaned updatewhere files are reaped by
+                    # vacuum like any unregistered data dir)
                     self._snapshot = self._read_current_snapshot()
+                    matched = _affected_buckets()
+                    if matched is None:
+                        return 0
+                    affected, n_updated = matched
                     continue
                 self._snapshot = snap
                 return n_updated

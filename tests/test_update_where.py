@@ -273,3 +273,38 @@ def test_never_patched_tables_pay_zero(spark, tmpdir_path):
     assert tbl._has_patches
     clone = tbl.clone(tmpdir_path + "/c")
     assert clone._has_patches
+
+
+def test_racing_patches_resolve_in_commit_order(spark, tmpdir_path):
+    """Two MoR instances race update_where from the SAME base snapshot.
+    The loser's CAS retry must re-derive the patch against the refreshed
+    snapshot (ADVICE r4): its _patched seq lands strictly above the
+    winner's, so the surviving value is COMMIT-ordered — and its RHS
+    evaluates against the first patch's output (standard sequential
+    UPDATE semantics), not against the stale base row."""
+    a = _seed(spark, tmpdir_path + "/t", "mor")
+    b = SnapshotTable(spark, tmpdir_path + "/t")  # same base snapshot
+    assert a.update_where("conv_id = 'a'", {"text": "'first'"}) == 2
+    # b's snapshot predates a's commit -> CAS fails once, rebases, rederives
+    assert b.update_where("conv_id = 'a'", {"text": "upper(text)"}) == 2
+    for inst in (a, b):
+        st = _state(SnapshotTable(spark, tmpdir_path + "/t"))
+        assert st[("a", 0)] == "FIRST"  # upper() of the FIRST patch's value
+        assert st[("a", 1)] == "FIRST"
+    # the rebased patch carries a strictly higher seq than the winner's
+    raw = b._read_collapsed_local(with_bucket_col=False)
+    seqs = [
+        r["_patched"]
+        for r in raw.filter(F.col("conv_id") == "a").collect()
+    ]
+    assert max(seqs) == 2
+
+
+def test_rebase_rederives_affected_set(spark, tmpdir_path):
+    """If the concurrent commit DELETED every row the stale instance
+    matched, the rebase must return 0 instead of patching ghosts."""
+    a = _seed(spark, tmpdir_path + "/t", "mor")
+    b = SnapshotTable(spark, tmpdir_path + "/t")
+    a.delete_where("conv_id = 'b'")
+    assert b.update_where("conv_id = 'b'", {"text": "'ghost'"}) == 0
+    assert ("b", 0) not in _state(SnapshotTable(spark, tmpdir_path + "/t"))
