@@ -148,17 +148,31 @@ def _pack_aligned(bucket_ids, group_maps, tables, nb: int) -> list[list[int]]:
     path uses (``_pack_groups_by_bytes``), adapted to weight a bucket by
     the work the join branch actually does: scanning and collapsing EVERY
     side's files for it. Packing by id keeps all sides' grouping
-    identical, which is what makes grouped branches exact."""
+    identical, which is what makes grouped branches exact.
+
+    Group maps carry ABSOLUTE file paths while the snapshot's
+    ``file_sizes`` manifest is keyed by table-relative paths — resolve via
+    relpath with a stat fallback, exactly like ``_pack_groups_by_bytes``
+    (a bare ``sizes.get(abs_path, default)`` silently degrades LPT to
+    file-COUNT packing, re-creating the straggler this exists to bound)."""
     import heapq
+    import os
 
     sizes = [t._snapshot.get("file_sizes", {}) for t in tables]
+    roots = [t.path for t in tables]
 
     def _w(b: int) -> int:
-        return sum(
-            sz.get(f, 1 << 20)
-            for gm, sz in zip(group_maps, sizes)
-            for f in gm.get(b, [])
-        )
+        total = 0
+        for gm, sz, root in zip(group_maps, sizes, roots):
+            for f in gm.get(b, []):
+                s = sz.get(os.path.relpath(f, root))
+                if s is None:
+                    try:
+                        s = os.path.getsize(f)
+                    except OSError:
+                        s = 0
+                total += s
+        return total
 
     heap = [(0, i) for i in range(nb)]
     heapq.heapify(heap)

@@ -84,6 +84,7 @@ def generate_changelog(
     seed: int = 42,
     zipf_a: float = 1.4,
     compression: str = "zstd",
+    write_options: dict | None = None,
 ) -> ChangelogManifest:
     """Write a deterministic change log as parquet files under ``out_dir``.
 
@@ -207,7 +208,14 @@ def generate_changelog(
         # zstd default: a scan-side bandwidth/CPU trade — decompression costs
         # more CPU (which scales with cores) for fewer bytes over the memory
         # bus (which does not, on a single box) — measurably better N->4N
-        # scan scaling at identical logical content.
-        pq.write_table(_table(idx, with_meta), path, compression=compression)
+        # scan scaling at identical logical content. write_options passes
+        # further pyarrow encodings through (compression_level, per-column
+        # dictionary/delta choices — A/B'd in tools/bench_scan_stage.py).
+        pq.write_table(
+            _table(idx, with_meta),
+            path,
+            compression=compression,
+            **(write_options or {}),
+        )
         manifest.files.append(path)
     return manifest

@@ -327,3 +327,57 @@ def test_multiway_validations(spark, tmpdir_path):
     dim2 = _dim_table(spark, tmpdir_path + "/d2", fact)
     with pytest.raises(ValueError, match="appears on both"):
         colocated_join_many(fact, [dim, dim2])
+
+
+def test_pack_aligned_resolves_manifest_bytes(spark, tmpdir_path):
+    """Regression (r5): _pack_aligned must resolve group files (absolute
+    paths) against the snapshot's RELATIVE-keyed file_sizes manifest. A
+    bare dict lookup silently fell back to a constant default for every
+    file, degrading the byte-weighted LPT to file-count packing — the fat
+    bucket got chained behind unrelated buckets, re-creating the straggler
+    the grouping exists to bound (measured 1.13x at 2M rows,
+    tools/bench_colocated_straggler.py)."""
+    from mas_scada_bulkingest_spark.operators.colocated import _pack_aligned
+
+    fact = _fact_table(spark, tmpdir_path + "/f", n_buckets=4)
+    # fatten ONE conversation so its bucket dominates by bytes, not files —
+    # payload must be INCOMPRESSIBLE or the parquet codec flattens the skew
+    import hashlib
+
+    def _blob(i):
+        return "".join(
+            hashlib.sha256(f"{i}:{j}".encode()).hexdigest() for j in range(300)
+        )
+
+    fat = spark.createDataFrame(
+        [(f"c0", i % 5, _blob(i), None, 50_000 + i) for i in range(40)],
+        FACT_SCHEMA,
+    ).withColumn(
+        "ts",
+        F.lit("2024-01-03").cast("timestamp_ntz"),
+    ).withColumn("op", F.lit("update"))
+    apply_changes(fact, fat, epoch_id=3)
+    dim = _dim_table(spark, tmpdir_path + "/d", fact, drop_conv="nope")
+
+    lg = dict(fact._bucket_file_groups())
+    rg = dict(dim._bucket_file_groups())
+    ids = sorted(set(lg) | set(rg))
+    sizes = fact._snapshot["file_sizes"]
+    import os as _os
+
+    def _bucket_bytes(b):
+        return sum(
+            sizes.get(_os.path.relpath(f, fact.path), 0)
+            for f in lg.get(b, [])
+        )
+
+    fat_bucket = max(ids, key=_bucket_bytes)
+    # every bucket has the same FILE COUNT shape (epochs touch all), so
+    # only true byte weighting isolates the fat one
+    slots = _pack_aligned(ids, [lg, rg], [fact, dim], 2)
+    fat_slot = next(s for s in slots if fat_bucket in s)
+    other = [s for s in slots if fat_bucket not in s]
+    assert other, slots
+    # LPT: the fat bucket's slot must carry FEWER buckets than the rest
+    # (ideally alone) — count-packing would split 4 buckets 2/2
+    assert len(fat_slot) < max(len(s) for s in other), slots
