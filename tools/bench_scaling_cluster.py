@@ -142,6 +142,10 @@ def main() -> None:
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 640_000
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     mode = sys.argv[4] if len(sys.argv) > 4 else "mor"
+    # SCALING_RATIO=2 measures the N -> 2N executor pair (the estimator
+    # whose bandwidth demand stays inside this box's linear region); the
+    # north_rule's N -> 4N default otherwise
+    ratio = int(os.environ.get("SCALING_RATIO", "4"))
 
     staging = tempfile.mkdtemp(prefix="cscale_stage_", dir="/dev/shm")
     zpath = _make_pyfiles_zip(repo, staging)
@@ -162,13 +166,13 @@ def main() -> None:
     try:
         for t in range(trials):
             lo_runs.append(run_trial(n, 2, changes, repo, zpath, mode))
-            hi_runs.append(run_trial(4 * n, 8, changes, repo, zpath, mode))
+            hi_runs.append(run_trial(ratio * n, 8, changes, repo, zpath, mode))
             print(
                 f"trial {t + 1}/{trials}: lo {lo_runs[-1]['sec']:.1f}s "
                 f"(steal {lo_runs[-1]['steal_frac']:.1%}) "
                 f"hi {hi_runs[-1]['sec']:.1f}s "
                 f"(steal {hi_runs[-1]['steal_frac']:.1%}) "
-                f"(eff {(lo_runs[-1]['sec'] / hi_runs[-1]['sec']) / 4:.3f})",
+                f"(eff {(lo_runs[-1]['sec'] / hi_runs[-1]['sec']) / ratio:.3f})",
                 file=sys.stderr,
             )
     finally:
@@ -176,12 +180,12 @@ def main() -> None:
 
     lo_secs = [r["sec"] for r in lo_runs]
     hi_secs = [r["sec"] for r in hi_runs]
-    paired = sorted((a / b) / 4 for a, b in zip(lo_secs, hi_secs))
+    paired = sorted((a / b) / ratio for a, b in zip(lo_secs, hi_secs))
     med_pair = statistics.median(paired)
-    med_level = statistics.median(lo_secs) / (4 * statistics.median(hi_secs))
+    med_level = statistics.median(lo_secs) / (ratio * statistics.median(hi_secs))
     print(json.dumps({
         "harness": "spark-submit + local-cluster (separate executor JVMs)",
-        "executors_lo": n, "executors_hi": 4 * n, "mode": mode,
+        "executors_lo": n, "executors_hi": ratio * n, "mode": mode,
         "lo_walls_sec": [round(s, 1) for s in lo_secs],
         "hi_walls_sec": [round(s, 1) for s in hi_secs],
         "lo_steal": [r["steal_frac"] for r in lo_runs],
@@ -190,7 +194,7 @@ def main() -> None:
         "hi_min_sec": round(min(hi_secs), 1),
         "eff_paired_median": round(med_pair, 3),
         "eff_level_median": round(med_level, 3),
-        "eff_level_min": round(min(lo_secs) / (4 * min(hi_secs)), 3),
+        "eff_level_min": round(min(lo_secs) / (ratio * min(hi_secs)), 3),
         "rows": lo_runs[0]["rows"],
     }))
 
