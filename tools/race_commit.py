@@ -9,6 +9,9 @@ precisely for separate writers, so this script races two REAL processes
 ``merge_changes`` epochs on one table and then verifies:
 
 * no lost snapshot: every epoch from both writers is committed;
+* a handcrafted CRASHED WINNER (version CAS done, ``_CURRENT`` flip
+  missing — planted before the race) is helped forward by the first
+  child commit from another process, and its marker epoch survives;
 * the final state equals the single-threaded oracle reduction of the
   full changelog (per-turn text equality under stable ordering);
 * every bucket file either side committed is still referenced;
@@ -50,7 +53,29 @@ def run_race(
     generate_changelog(
         log_dir, n_convs=n_convs, mean_turns=6, n_files=n_files, seed=1234
     )
-    create_transcripts_table(spark, table_path, n_buckets=8, mode="mor")
+    tbl0 = create_transcripts_table(spark, table_path, n_buckets=8, mode="mor")
+
+    # handcraft a CRASHED WINNER before the race: a fully-formed next
+    # version whose _CURRENT flip never happened (a writer that died
+    # between the CAS hard-link and the pointer rename). The FIRST child
+    # commit from another process must help it forward — its marker epoch
+    # must survive the whole race.
+    import json as _json
+
+    cur = tbl0._snapshot
+    orphan = {
+        **cur,
+        "version": cur["version"] + 1,
+        "parent": cur["version"],
+        "committed_epochs": sorted(
+            {*map(str, cur["committed_epochs"]), "9999"}
+        ),
+    }
+    with open(
+        os.path.join(table_path, "snapshots", f"v{orphan['version']:08d}.json"),
+        "w",
+    ) as f:
+        _json.dump(orphan, f)
 
     files = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
     # interleave: child 0 gets even epochs, child 1 odd — maximal conflict
@@ -84,8 +109,11 @@ def run_race(
 
     tbl = SnapshotTable(spark, table_path)
     committed = {int(e) for e in tbl.committed_epochs}
-    assert committed == set(range(len(files))), (
-        f"lost epochs: {sorted(set(range(len(files))) - committed)}"
+    assert committed == set(range(len(files))) | {9999}, (
+        f"lost epochs: {sorted((set(range(len(files))) | {9999}) - committed)}"
+    )
+    assert tbl.is_epoch_committed(9999), (
+        "crashed winner's commit was not helped forward across processes"
     )
     final = (
         tbl.read()
