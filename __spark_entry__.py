@@ -12,6 +12,12 @@ the flagship replay, its copy-on-write twin, lineage accounting for both
 modes, the conversations registry (with dimension LEVEL columns), and
 replay idempotence — has a DuckDB oracle in ``oracle_sql()`` with matching
 column names (verified locally via tools/verify_oracles.py).
+
+Ordering contract (round 5): the external harness hash-verifies only the
+FIRST 50 entries, so ``_PRIORITY`` below front-loads the entries with the
+least prior driver evidence plus the flagship family; the rotation is
+pinned by tests/test_entry_contract.py and the full 78 remain locally
+verified at sf0.01 AND sf0.1 every round.
 """
 
 from __future__ import annotations
