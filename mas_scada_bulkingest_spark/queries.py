@@ -1331,11 +1331,18 @@ def _ivf_trained_centroids(spark: SparkSession, norm: DataFrame) -> DataFrame:
             F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("centn2").cast("double"))
         )
         scored = norm.crossJoin(F.broadcast(cent_df)).withColumn("ccos", ccos)
-        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+        # nearest-centroid assignment as a map-side-combinable max_by (same
+        # tie-break as row_number over (ccos DESC, cent_id ASC): the struct
+        # comparison maximizes ccos, then -cent_id = lowest id) — no N x K
+        # sort shuffle, the partial agg keeps <= 1 row per vec per map task
+        best = F.max_by(
+            F.struct(F.col("cent_id"), F.col("g")),
+            F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc")),
+        )
         assign = (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") == 1)
-            .select(F.col("cent_id").alias("cell"), "g")
+            scored.groupBy("vec_id")
+            .agg(best.alias("w"))
+            .select(F.col("w.cent_id").alias("cell"), F.col("w.g").alias("g"))
         )
         sums = (
             assign.select("cell", F.posexplode("g").alias("pos", "val"))
@@ -1379,13 +1386,31 @@ def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("centn2").cast("double"))
     )
     scored = norm.crossJoin(F.broadcast(cent)).withColumn("ccos", cos_c)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    ranked = scored.withColumn("crank", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("crank") == 1).select(
-        "vec_id", "g", "n2", F.col("cent_id").alias("cell")
+    # same max_by rewrite as training: the full-corpus assignment avoids
+    # the N x K window sort (map-side partial agg instead), and the probe
+    # branch filters to the 10 query vectors BEFORE its tiny window —
+    # the vec_id predicate pushes below the broadcast cross join
+    best = F.max_by(
+        F.struct(F.col("cent_id"), F.col("g"), F.col("n2")),
+        F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc")),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(best.alias("w"))
+        .select(
+            "vec_id",
+            F.col("w.g").alias("g"),
+            F.col("w.n2").alias("n2"),
+            F.col("w.cent_id").alias("cell"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cent_id")
     )
     probes = (
-        ranked.filter((F.col("vec_id") < 10) & (F.col("crank") <= _IVF_NPROBE))
+        scored.filter(F.col("vec_id") < 10)
+        .withColumn("crank", F.row_number().over(w_assign))
+        .filter(F.col("crank") <= _IVF_NPROBE)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("g").alias("qg"),
