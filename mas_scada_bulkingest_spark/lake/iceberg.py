@@ -398,7 +398,10 @@ class IcebergTable(LakeTable):
         parts = self.identifier.split(".")
         catalog = parts[0] if len(parts) > 2 else "spark_catalog"
         table = ".".join(parts[1:]) if len(parts) > 2 else self.identifier
-        w = f", where => '{where}'" if where else ""
+        # `where` lands inside a single-quoted procedure argument: double any
+        # embedded quotes (a scoped rewrite's predicate routinely carries a
+        # TIMESTAMP '…' literal, which would otherwise terminate the string)
+        w = ", where => '{}'".format(where.replace("'", "''")) if where else ""
         return (
             f"CALL {catalog}.system.rewrite_data_files("
             f"table => '{table}', strategy => 'sort'{w})"

@@ -147,6 +147,26 @@ class MergeStats:
     staged_ref: str | None = None
 
 
+def manifest_file_bytes(sizes: dict, root: str, files: list[str]) -> int:
+    """Total bytes of ``files`` resolved against a snapshot's
+    RELATIVE-keyed ``file_sizes`` manifest (group maps carry absolute
+    paths), with a stat fallback for unregistered paths and 0 for missing
+    files. Shared by the read path's branch packing
+    (:meth:`SnapshotTable._pack_groups_by_bytes`) and the colocated join's
+    ``_pack_aligned`` — a bare ``sizes.get(abs_path, default)`` silently
+    degrades byte-LPT to file-count packing (round-5 bug)."""
+    total = 0
+    for f in files:
+        sz = sizes.get(os.path.relpath(f, root))
+        if sz is None:
+            try:
+                sz = os.path.getsize(f)
+            except OSError:
+                sz = 0
+        total += sz
+    return total
+
+
 def _epoch_key(epoch_id: int | str) -> str:
     return str(epoch_id)
 
@@ -1240,17 +1260,7 @@ class SnapshotTable(LakeTable):
         sizes = self._snapshot.get("file_sizes", {})
 
         def _bytes(files: list[str]) -> int:
-            total = 0
-            for f in files:
-                rel = os.path.relpath(f, self.path)
-                sz = sizes.get(rel)
-                if sz is None:
-                    try:
-                        sz = os.path.getsize(f)
-                    except OSError:
-                        sz = 0
-                total += sz
-            return total
+            return manifest_file_bytes(sizes, self.path, files)
 
         weighted = sorted(
             ((_bytes(fs), b, fs) for b, fs in groups),

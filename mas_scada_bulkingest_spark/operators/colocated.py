@@ -150,29 +150,23 @@ def _pack_aligned(bucket_ids, group_maps, tables, nb: int) -> list[list[int]]:
     side's files for it. Packing by id keeps all sides' grouping
     identical, which is what makes grouped branches exact.
 
-    Group maps carry ABSOLUTE file paths while the snapshot's
-    ``file_sizes`` manifest is keyed by table-relative paths — resolve via
-    relpath with a stat fallback, exactly like ``_pack_groups_by_bytes``
-    (a bare ``sizes.get(abs_path, default)`` silently degrades LPT to
-    file-COUNT packing, re-creating the straggler this exists to bound)."""
+    Sizes resolve through the same helper as the read path's packer
+    (``manifest_file_bytes``: relpath against the table root + stat
+    fallback — a bare ``sizes.get(abs_path, default)`` silently degrades
+    LPT to file-COUNT packing, re-creating the straggler this exists to
+    bound)."""
     import heapq
-    import os
+
+    from ..lake.snapshot_table import manifest_file_bytes
 
     sizes = [t._snapshot.get("file_sizes", {}) for t in tables]
     roots = [t.path for t in tables]
 
     def _w(b: int) -> int:
-        total = 0
-        for gm, sz, root in zip(group_maps, sizes, roots):
-            for f in gm.get(b, []):
-                s = sz.get(os.path.relpath(f, root))
-                if s is None:
-                    try:
-                        s = os.path.getsize(f)
-                    except OSError:
-                        s = 0
-                total += s
-        return total
+        return sum(
+            manifest_file_bytes(sz, root, gm.get(b, []))
+            for gm, sz, root in zip(group_maps, sizes, roots)
+        )
 
     heap = [(0, i) for i in range(nb)]
     heapq.heapify(heap)

@@ -211,11 +211,15 @@ def generate_changelog(
         # scan scaling at identical logical content. write_options passes
         # further pyarrow encodings through (compression_level, per-column
         # dictionary/delta choices — A/B'd in tools/bench_scan_stage.py).
+        opts = dict(write_options or {})
         pq.write_table(
             _table(idx, with_meta),
             path,
-            compression=compression,
-            **(write_options or {}),
+            # write_options may carry its own 'compression' (an encoding
+            # variant expressed wholly through the passthrough dict); it
+            # overrides the positional arg instead of raising TypeError
+            compression=opts.pop("compression", compression),
+            **opts,
         )
         manifest.files.append(path)
     return manifest

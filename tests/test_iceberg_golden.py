@@ -138,3 +138,14 @@ def test_update_sql_validates_known_columns():
     assert "txet" in t.update_sql("turn_idx = 5", {"txet": "'typo'"})
     with pytest.raises(ValueError, match="key/LWW-order"):
         t.update_sql("1=1", {"ts": "NULL"}, known_columns=["ts"])
+
+
+def test_scoped_rewrite_escapes_embedded_quotes():
+    """A scoped rewrite's `where` routinely carries TIMESTAMP '…' literals;
+    embedded quotes must be doubled inside the single-quoted procedure
+    argument or the CALL is unparseable at the catalog (r5 review fix)."""
+    t = _table()
+    sql = t.rewrite_data_files_sql(where="ts < TIMESTAMP '2024-06-01 00:00:00'")
+    assert "where => 'ts < TIMESTAMP ''2024-06-01 00:00:00'''" in sql
+    # an argument with no quotes passes through verbatim
+    assert "where => 'turn_idx = 5'" in t.rewrite_data_files_sql(where="turn_idx = 5")
